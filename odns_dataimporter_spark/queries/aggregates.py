@@ -1,0 +1,225 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference has no aggregation operators (its only aggregate-adjacent
+logic is a batch counter, reference dataimporter.py:141,158,175); these
+are the EXT surface mandated by the north star. All are expressed as
+declarative groupBy/agg so Catalyst plans partial (map-side) + final
+HashAggregate automatically — at 100 TB the partial aggregation is what
+keeps the shuffle small (group cardinality, not row count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+  {money_sum_sql('l_extendedprice')} AS sum_base_price,
+  {money_sum_sql('l_extendedprice * (1 - l_discount)', 1000000)} AS sum_disc_price,
+  {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,
+  round(AVG(l_quantity), 6) AS avg_qty,
+  round(AVG(l_extendedprice), 6) AS avg_price,
+  round(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_hash_group", oracle=_Q1_ORACLE, tags=("agg", "flagship"))
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped sum/avg/count over lineitem.
+
+    Flagship query. Money sums use the exact integer-cents path (see
+    _helpers) so Spark and DuckDB agree bit-for-bit regardless of
+    aggregation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price, 1_000_000).alias("sum_disc_price"),
+            money_sum(charge, 1_000_000).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) per group (Catalyst expands to two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "rows-only"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate cardinality — the 100 TB path for distinct counts.
+
+    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    values differ by construction (driver records a rows-only check; the
+    exact-distinct twin `agg_distinct` is fully oracle-verified). The HLL
+    merge is order-insensitive, so results are deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal + grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), money_sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT
+  o_orderpriority,
+  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set collection per group, rendered as a sorted CSV string so the
+    value hash is order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT
+  o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile ↔ quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = "SELECT user_id % 10 AS user_bucket, " + ", ".join(
+    f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id % 10"
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE, tags=("agg",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (explicit value list keeps the output
+    schema static — required both for the oracle and for plan stability
+    at scale: an unlisted pivot needs an extra pass to discover values)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "agg_min_max",
+    oracle="""
+SELECT
+  l_linestatus,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+  MAX(CAST(l_shipdate AS DATE)) AS last_ship
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg",),
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX aggregates (exact for floats — no ordering sensitivity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )

@@ -1,0 +1,273 @@
+"""Join operators (SURVEY.md §2.3 — all EXT; the reference never joins).
+
+Scale notes baked into each implementation:
+
+- Dimension tables (region/nation/bands) are broadcast explicitly —
+  at 100 TB the fact side never shuffles for those joins.
+- Fact⋈fact equi-joins are left to Catalyst (sort-merge with AQE skew
+  splitting); no repartition hints that would fight the optimizer.
+- The theta/range join keeps the non-equi side broadcast so it is a
+  BroadcastNestedLoopJoin over a 5-row table, not an O(n·m) blowup.
+- The as-of join uses the union+window construction: one shuffle by
+  (user), no per-row subqueries — the standard scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "join_inner_equi",
+    oracle=f"""
+SELECT
+  c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  {money_sum_sql('o.o_totalprice')} AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join; Catalyst picks broadcast vs sort-merge by size."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+SELECT
+  r.r_name,
+  COUNT(*) AS n_customers,
+  {money_sum_sql('c.c_acctbal')} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level dim snowflake with explicit broadcast hints: at 100 TB the
+    customer side streams through map-side hash joins, zero shuffle for
+    the join itself."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), money_sum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(n_cust, 0) AS n_customers,
+       COALESCE(n_supp, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.k = s.k
+""",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-then-join:
+    shuffling two small aggregates beats outer-joining raw fact tables)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, "k", "full").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers that placed at least one order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_member
+FROM region r CROSS JOIN nation n
+""",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (5×25) — the primitive under naive
+    similarity scoring; only ever used with at least one tiny side."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_member"),
+    )
+
+
+_BANDS = [
+    ("00_under_50k", 0.0, 50_000.0),
+    ("01_50k_150k", 50_000.0, 150_000.0),
+    ("02_150k_300k", 150_000.0, 300_000.0),
+    ("03_over_300k", 300_000.0, 1e18),
+]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT b.band, COUNT(*) AS n_orders, {money_sum_sql('o.o_totalprice')} AS total_price
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range (banding) join: broadcast the tiny band table so the
+    physical plan is a BroadcastNestedLoopJoin streaming the fact side
+    once — the only tractable shape for theta joins at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        orders.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     signups  AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       s.event_id AS signup_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    tags=("join",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (nearest prior) join: for each purchase, the most recent
+    signup of the same user at-or-before it.
+
+    Spark has no native as-of join, so this uses the scalable
+    union+window construction: tag both streams, union, and carry the
+    last-seen signup forward with last(..., ignorenulls) over an ordered
+    per-user window — one shuffle on user_id, no correlated subqueries.
+    Matches DuckDB's native ASOF JOIN (oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"), F.lit(0).alias("is_probe")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_probe")
+    )
+    unioned = signups.unionByName(purchases, allowMissingColumns=True)
+    # at equal ts the signup sorts first (is_probe 0 < 1) => visible to the probe
+    w = W.partitionBy("user_id").orderBy("ts", "is_probe").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    carried = unioned.withColumn("last_signup_id", F.last("signup_id", ignorenulls=True).over(w))
+    carried = carried.withColumn("last_signup_ts", F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w))
+    return carried.filter(F.col("is_probe") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("last_signup_id").alias("signup_id"),
+        (F.unix_micros("ts") - F.unix_micros("last_signup_ts")).alias("wait_us"),
+    )

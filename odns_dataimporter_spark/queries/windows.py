@@ -1,0 +1,156 @@
+"""Window functions, sorts, top-k (SURVEY.md §2.5 — EXT).
+
+Every ordering carries a unique tiebreaker (orderkey / event_id) so
+row_number and top-k are deterministic — without it, equal sort keys
+make the result run-dependent and the oracle hash flaps.
+
+Scale note: window functions shuffle once on partitionBy keys; sorting
+within partitions is local. A global orderBy is a range-partitioned
+exchange — only used for top-k, where Catalyst collapses
+sort+limit into TakeOrderedAndProject (no full sort materialized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via row_number (latest-scan-per-protocol pattern
+    from the reference's snapshot semantics, generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+SELECT event_id,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-event gap per user in exact integer µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "window_frame_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+         AS running_total
+FROM orders
+""",
+    tags=("window",),
+)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (exact integer cents so
+    the running float never drifts between engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_total"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cdist
+FROM customer
+""",
+    tags=("window",),
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / cume_dist distribution analytics over a total order."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort",),
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: sort+limit collapses to TakeOrderedAndProject —
+    each partition keeps k rows, driver merges; no global sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_global",
+    oracle="""
+SELECT n_name, n_nationkey,
+       row_number() OVER (ORDER BY n_name DESC NULLS LAST, n_nationkey) AS pos
+FROM nation
+""",
+    tags=("sort",),
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order made hash-visible by materializing the rank position
+    (an order-insensitive hash can't see row order itself)."""
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.orderBy(F.col("n_name").desc_nulls_last(), F.col("n_nationkey"))
+    return nation.select("n_name", "n_nationkey", F.row_number().over(w).alias("pos"))
