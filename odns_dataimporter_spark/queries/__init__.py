@@ -3,6 +3,11 @@
 from odns_dataimporter_spark.queries import (  # noqa: F401
     aggregates,
     joins,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    multimodal,
+    scalars,
     setops,
     windows,
 )

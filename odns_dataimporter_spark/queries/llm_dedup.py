@@ -1,0 +1,251 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.7).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup — every variant
+implemented as deterministic Catalyst expressions with a full DuckDB
+oracle (including the MinHash signatures: both engines compute the same
+md5-based permutations, so even the LSH bands hash-match).
+
+Scale design:
+- Exact + fingerprint dedup: one hash per doc, groupBy on the digest —
+  shuffle is |distinct digests|.
+- MinHash: per-doc signature is embarrassingly parallel; candidate
+  pairing explodes (band_idx, band_hash) and self-joins on that key,
+  so only same-bucket docs ever meet (the LSH point). No O(n²).
+- SimHash: 16-bit signature via ±1 bit votes; exact-signature clusters
+  via groupBy.
+- Jaccard: blocked self-join on (lang, length-bucket) to bound pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+_N_HASHES = 8
+_BAND_SIZE = 4  # 2 bands of 4 minhashes
+
+
+@register(
+    "dedup_exact_doc",
+    oracle="""
+SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: hash → groupBy digest → keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+
+
+def _with_minhash_bands(docs: DataFrame) -> DataFrame:
+    """Add band0/band1 columns: md5-permutation MinHash over 3-word shingles.
+
+    Deterministic and engine-portable: permutation j of shingle s is the
+    hex string md5('<j>:' || s); the minimum over shingles is a uniform
+    sample of the shingle set, so P(min_a == min_b) = Jaccard(a, b).
+    """
+    words = F.split(F.col("text"), " ")
+    shingles = F.when(F.size(words) < 3, F.array(F.col("text"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+    def perm_hash(j: int):
+        # NB: the returned lambda must take exactly one arg — a two-arg
+        # lambda is interpreted by F.transform as (element, index)
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    df = docs.withColumn("_sh", shingles)
+    for j in range(_N_HASHES):
+        df = df.withColumn(f"_m{j}", F.array_min(F.transform(F.col("_sh"), perm_hash(j))))
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = [F.col(f"_m{j}") for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
+        df = df.withColumn(f"band{b}", F.md5(F.concat(*cols)))
+    return df
+
+
+def _minhash_sql_core() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(concat('{j}:', s)))) AS m{j}"
+        for j in range(_N_HASHES)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words, text FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN [text]
+              ELSE list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' ')) END AS shingles
+  FROM base
+), mins AS (
+  SELECT doc_id, {mins} FROM sh
+), sigs AS (
+  SELECT doc_id, md5(concat(m0, m1, m2, m3)) AS band0,
+                 md5(concat(m4, m5, m6, m7)) AS band1
+  FROM mins
+)
+"""
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=_minhash_sql_core() + "SELECT doc_id, band0, band1 FROM sigs",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash-LSH band signatures (hash-matched with the
+    oracle — both engines compute identical md5 permutations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_minhash_bands(docs).select("doc_id", "band0", "band1")
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=_minhash_sql_core()
+    + """
+, exploded AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS band FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band1 AS band FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM exploded a JOIN exploded b
+  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+
+    The join key is (band_idx, band_hash), so only same-bucket docs are
+    ever compared — candidate generation is O(bucket²) summed over
+    buckets, never O(corpus²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _with_minhash_bands(docs)
+    exploded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.col("band0").alias("band")),
+                F.struct(F.lit(1).alias("band_idx"), F.col("band1").alias("band")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band_idx", "e.band")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_exprs():
+    """16-bit SimHash: bit j votes ±1 per distinct token by the parity of
+    hex digit j of the token's md5. Returns (spark Column, duckdb SQL)."""
+    spark_bits = []
+    duck_bits = []
+    for j in range(16):
+        # parity of hex digit j of md5(token)
+        spark_bits.append(
+            f"CAST(aggregate(array_distinct(split(text, ' ')), 0, (acc, t) -> acc + "
+            f"CASE WHEN (instr('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) >= 0 AS INT) * {1 << j}"
+        )
+        duck_bits.append(
+            f"CAST(list_sum(list_transform(list_distinct(string_split(text, ' ')), t -> "
+            f"CASE WHEN (strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) >= 0 AS INT) * {1 << j}"
+        )
+    return " + ".join(spark_bits), " + ".join(duck_bits)
+
+
+_SIMHASH_SPARK, _SIMHASH_DUCK = _simhash_exprs()
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM (SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash FROM documents)
+GROUP BY simhash
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash clusters: identical 16-bit signatures group near-identical
+    token distributions (Hamming-distance pairing would bucket on
+    signature bytes the same way MinHash buckets on bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SIMHASH_SPARK).cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars // 100 AS lenbucket,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+         / 1000000.0 AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.lenbucket = b.lenbucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1000000.0
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 500000.0
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.5 within (lang, length-bucket)
+    blocks — the verification stage that normally follows MinHash
+    candidate generation. Blocking bounds the pair count; at 100 TB the
+    block key would also pre-partition the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lenbucket"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jacc = inter * F.lit(1_000_000.0) / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lenbucket") == F.col("b.lenbucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jacc >= 500_000.0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.floor(jacc) / 1_000_000.0).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Embedding similarity search (SURVEY §2.7).
+
+Brute-force exact top-k cosine as the oracle-verified baseline, plus an
+LSH-bucketed approximate variant as the 100 TB scale path.
+
+Determinism: float32 values are cast to double *before* any arithmetic
+(exact conversion); Spark's sequential fold (aggregate ∘ zip_with) and
+DuckDB's list_dot_product over DOUBLE[] produce bit-identical sums
+(verified empirically), sqrt/division are correctly-rounded IEEE ops,
+so cosine scores match exactly and the (score DESC, vec_id) ranking is
+stable across engines. Output scores are floor-quantized to 1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+_N_PROBES = 10
+_TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over double-cast arrays (bit-identical
+    to DuckDB's list_dot_product on DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cos
+  FROM v p JOIN v c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+)
+SELECT probe_id, cand_id, floor(cos * 1000000.0) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOP_K}
+""",
+    tags=("llm", "similarity"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a probe set (brute force).
+
+    Scale shape: probes are broadcast (tiny side), candidates stream
+    once — no shuffle of the big side; the per-probe top-k is a window
+    over probe_id. At real ANN scale the LSH variant below replaces the
+    cross product; this exact version remains the recall oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    probes = v.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    )
+    cands = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (_dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("probe_id", "cand_id", (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"))
+    )
+
+
+@register("sim_ann_lsh", oracle=None, tags=("llm", "similarity", "rows-only"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH — the 100 TB scale path.
+
+    Vectors are bucketed by the sign pattern of dot products with
+    deterministic pseudo-random hyperplanes (seeded per dimension from
+    index arithmetic, so the bucketing is reproducible without any
+    driver-side randomness). Probes only compare against their own
+    bucket: candidate generation is O(bucket²), not O(n²).
+
+    Rows-only check: approximate recall is data-dependent, so there is
+    no SQL oracle; tests assert bucket determinism and recall > 0
+    against the exact result.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+    n_planes = 8
+
+    # deterministic "random" hyperplanes: plane p, dim d -> sin(p*64+d)
+    # (fixed analytic sequence, identical on every run/executor)
+    planes = [
+        F.array(*[F.sin(F.lit(float(p * dims + d))) for d in range(dims)])
+        for p in range(n_planes)
+    ]
+    sig = None
+    for p, plane in enumerate(planes):
+        bit = (
+            F.aggregate(
+                F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("int") * (1 << p)
+        sig = bit if sig is None else sig + bit
+    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
+
+    probes = bucketed.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "bucket"
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = (
+        probes.join(cands, "bucket")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                _dot(F.col("pe"), F.col("ce"))
+                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("probe_id", "cand_id", (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"))
+    )
+
+
+@register(
+    "sim_pairs_blocked",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS score
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.5
+""",
+    tags=("llm", "similarity"),
+)
+def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks
+    (cos ≥ 0.5) — the embedding-space analog of blocked Jaccard dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.floor(cos * 1_000_000.0) / 1_000_000.0).alias("score"),
+        )
+    )

@@ -1,0 +1,236 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.7).
+
+All pure Catalyst expression work over the ``documents`` table: token
+statistics, quality scoring, language-ID (stopword heuristic), document
+fingerprinting, TF-IDF term weighting, regex (BPE-ish) tokenization.
+No Python UDFs — at 100 TB these run inside whole-stage codegen at
+scan speed, and the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_tokenize_stats",
+    oracle="""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  round(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+  round(AVG(n_chars), 6) AS avg_chars,
+  MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY lang
+""",
+    tags=("llm", "text"),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max(n_tok).alias("max_tokens"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         list_distinct(string_split(text, ' ')) AS utoks,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(utoks) AS n_uniq,
+  floor(len(utoks) * 1000000.0 / len(toks)) / 1000000.0 AS uniq_ratio,
+  floor((nc - len(toks) + 1) * 1000000.0 / len(toks)) / 1000000.0 AS avg_word_len,
+  floor(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) * 1000000.0
+        / len(toks)) / 1000000.0 AS stopword_ratio
+FROM t
+""",
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: type/token ratio, mean word length,
+    stopword ratio — the standard cheap filters before LLM training.
+    Ratios are floor-quantized (identical IEEE ops on identical doubles)
+    rather than rounded, to dodge round-half divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    utoks = F.array_distinct(toks)
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    def q6(col):
+        return F.floor(col * 1_000_000.0) / 1_000_000.0
+
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(utoks).alias("n_uniq"),
+        q6(F.size(utoks) * F.lit(1.0) / n_tok).alias("uniq_ratio"),
+        q6((F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok).alias("avg_word_len"),
+        q6(n_sw * F.lit(1.0) / n_tok).alias("stopword_ratio"),
+    )
+
+
+# Tiny deterministic stopword profiles per language. The corpus is
+# synthetic word soup, so the *predictions* are arbitrary — what the
+# oracle verifies is that the scoring+argmax pipeline is deterministic
+# and identical on both engines.
+_LANG_PROFILES = {
+    "en": ("the", "a", "and"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "ein"),
+}
+
+
+def _lang_overlap_sql(words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), {arr}))"
+
+
+_LANG_ID_ORACLE = (
+    "SELECT doc_id, lang AS labeled_lang, CASE "
+    + " ".join(
+        f"WHEN {_lang_overlap_sql(ws)} = g AND g > 0 THEN '{lang}'"
+        for lang, ws in _LANG_PROFILES.items()
+    )
+    + " ELSE 'und' END AS predicted_lang FROM (SELECT *, greatest("
+    + ", ".join(_lang_overlap_sql(ws) for ws in _LANG_PROFILES.values())
+    + ") AS g FROM documents)"
+)
+
+
+@register("text_lang_id", oracle=_LANG_ID_ORACLE, tags=("llm", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of stopword-profile overlap with a
+    deterministic preference order on ties and 'und' when nothing hits.
+    (Real lang-ID would swap in fastText/CLD3 via a Pandas UDF — the
+    pipeline shape is identical.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    utoks = F.array_distinct(_toks())
+    overlaps = {
+        lang: F.size(F.array_intersect(utoks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in _LANG_PROFILES.items()
+    }
+    df = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[
+        c.alias(f"ov_{lang}") for lang, c in overlaps.items()
+    ])
+    g = F.greatest(*[F.col(f"ov_{lang}") for lang in _LANG_PROFILES])
+    pred = F.lit("und")
+    # build the CASE chain in reverse so earlier langs win ties
+    for lang in reversed(list(_LANG_PROFILES)):
+        pred = F.when((F.col(f"ov_{lang}") == g) & (g > 0), lang).otherwise(pred)
+    return df.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint
+""",
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (hash of the sorted distinct
+    token set) — catches shuffled/reordered near-copies that exact
+    hashing misses, at one hash per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_toks()))))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH N AS (SELECT COUNT(*) AS n FROM documents),
+df AS (
+  SELECT term, COUNT(*) AS doc_freq
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents)
+  GROUP BY term
+)
+SELECT term, doc_freq, round(ln(n / doc_freq), 6) AS idf
+FROM df, N
+ORDER BY doc_freq DESC, term
+LIMIT 100
+""",
+    tags=("llm", "text"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + IDF per term (the groupBy-side of TF-IDF; the
+    per-doc TF join is a plain broadcast of this output). Explode of
+    distinct tokens keeps the shuffle at |vocab|, not |corpus|."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    terms = docs.select(F.explode(F.array_distinct(_toks())).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.log(F.lit(n_docs) / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(100)
+    )
+
+
+@register(
+    "text_token_count_regex",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization counts (letters / digits / punctuation
+    classes) — the cheap token-count estimator for data budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
+            "n_re_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).alias("n_numbers"),
+    )

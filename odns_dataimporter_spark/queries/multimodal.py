@@ -1,0 +1,101 @@
+"""Multimodal (binary) column operators (SURVEY §2.7).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata flowing through normal DataFrame ops. The Spark-side plumbing
+(schema, Arrow batching, partitioning) is real and tested; the actual
+media decode is STUBBED behind a deterministic fake because no
+image/audio libraries exist in this container — swap `_fake_decode`
+for PIL/torchaudio in production (the mapInPandas signature is exactly
+what a real decoder needs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest,
+       lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode → byte length / digest / hex slice.
+    These are the ops that stay JVM-side even when the payload is a JPEG."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("digest"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias("head_hex"),
+    )
+
+
+# --- stubbed media decode -------------------------------------------------
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real media decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+
+    Production swaps this for e.g. ``PIL.Image.open(io.BytesIO(payload))``.
+    """
+    raise NotImplementedError("media decode requires an image library; use _fake_decode in tests")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: derives fake (w, h, c) metadata
+    from the payload bytes so the distributed plumbing is fully testable."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, 3)
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, feature rows out. This is the
+    real 100 TB shape — per-partition vectorized Python, no driver hop."""
+    for pdf in batches:
+        feats = [_fake_decode(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in pdf["payload"]],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "n_channels": [f[2] for f in feats],
+            }
+        )
+
+
+@register("multimodal_extract", oracle=None, tags=("llm", "multimodal", "rows-only"))
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batches). Decode itself is a deterministic stub (`_fake_decode`);
+    everything Spark-side — binary column, batch shape, output schema,
+    partition parallelism — is the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)

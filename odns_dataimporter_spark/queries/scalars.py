@@ -1,0 +1,316 @@
+"""Scalar function surface (SURVEY.md §2.6).
+
+REF rows reproduce the reference's actual scalar semantics — strict
+``%f``-required timestamp parsing (reference fieldtypers.py:13-17),
+permissive float casts (fieldtypers.py:19-23), regex date extraction
+(zipFileUtils.py:25-35) — as Catalyst expressions, not Python UDFs.
+EXT rows complete the string/date/math/array/JSON/conditional families.
+
+Everything here is whole-stage-codegen'd JVM expression work: no
+Python in the hot path, so the same projections run at scan speed on
+a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "fn_string_core",
+    oracle="""
+SELECT
+  doc_id,
+  length(text) AS len_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  upper(substring(text, 1, 10)) AS prefix10,
+  list_extract(string_split(text, ' '), len(string_split(text, ' '))) AS last_word,
+  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+  length(replace(text, ' ', '')) AS len_no_spaces,
+  concat(lang, ':', source) AS lang_source
+FROM documents
+""",
+    tags=("scalar",),
+)
+def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substr/length/upper/split/replace/concat string family."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.upper(F.substring("text", 1, 10)).alias("prefix10"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.when(F.contains("text", F.lit("spark")), 1).otherwise(0).alias("has_spark"),
+        F.length(F.regexp_replace("text", " ", "")).alias("len_no_spaces"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+    )
+
+
+@register(
+    "fn_date_core",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(isodow(o_orderdate) AS INT) AS order_isodow,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+FROM orders
+""",
+    tags=("scalar",),
+)
+def fn_date_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/add/diff/extract family (ISO day-of-week to sidestep the
+    Spark-1=Sunday vs DuckDB-0=Sunday mismatch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
+    )
+
+
+@register(
+    "fn_math_core",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  floor(l_extendedprice / l_quantity * 10000) / 10000.0 AS unit_price,
+  round(abs(l_discount - 0.05), 6) AS disc_dev,
+  round(ln(l_extendedprice), 6) AS log_price,
+  round(pow(1 + l_tax, 2), 6) AS tax_sq,
+  CASE WHEN l_discount = 0 THEN NULL
+       ELSE round(l_tax / l_discount, 6) END AS tax_per_disc,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket
+FROM lineitem
+""",
+    tags=("scalar",),
+)
+def fn_math_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ln/pow/safe-division/floor math family.
+
+    Quotients of fixed-decimal operands (price/qty) can land exactly on
+    round-half boundaries where Spark (HALF_UP on BigDecimal) and DuckDB
+    disagree — quantize those with floor (identical IEEE op on identical
+    doubles) instead of round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10_000) / 10_000.0).alias(
+            "unit_price"
+        ),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.when(F.col("l_discount") == 0, F.lit(None))
+        .otherwise(F.round(F.col("l_tax") / F.col("l_discount"), 6))
+        .alias("tax_per_disc"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
+    )
+
+
+@register(
+    "fn_array_core",
+    oracle="""
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+    AS sq_norm
+FROM embeddings
+""",
+    tags=("scalar",),
+)
+def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/slice/filter/transform/aggregate higher-order array family.
+
+    Floats are cast to double *before* any arithmetic on both engines
+    (exact conversion) so the sequential fold sums are bit-identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = lambda arr: F.transform(arr, lambda x: x.cast("double"))  # noqa: E731
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(fsum(as_double(F.slice(e, 1, 4))), 6).alias("head4_sum"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(fsum(F.transform(e, lambda x: x.cast("double") * x.cast("double"))), 6).alias(
+            "sq_norm"
+        ),
+    )
+
+
+@register(
+    "fn_map_json",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+""",
+    tags=("scalar",),
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property access on the events.props string column (the engine's
+    map/semi-structured surface; from_json → MapType works the same way)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing_val"),
+    )
+
+
+@register(
+    "fn_case_when",
+    oracle=f"""
+SELECT
+  CASE WHEN o_totalprice < 50000 THEN 'low'
+       WHEN o_totalprice < 150000 THEN 'mid'
+       ELSE 'high' END AS price_band,
+  COUNT(*) AS n_orders,
+  {money_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("scalar",),
+)
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN classification (the response_type-bucketing pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50_000, "low")
+        .when(F.col("o_totalprice") < 150_000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.groupBy(band.alias("price_band"))
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "fn_regexp_extract",
+    oracle=r"""
+SELECT
+  o_orderkey,
+  regexp_extract(
+    concat('scan_tcp_', strftime(o_orderdate, '%Y-%m-%d'), '.csv.gz'),
+    '\d{4}-\d{2}-\d{2}', 0) AS scan_date
+FROM orders
+""",
+    tags=("scalar", "ref"),
+)
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's filename→date regex (zipFileUtils.py:28) as a
+    Catalyst expression over synthetic scan filenames."""
+    orders = load_table(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.lit("scan_tcp_"), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(".csv.gz")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.regexp_extract(fname, r"\d{4}-\d{2}-\d{2}", 0).alias("scan_date"),
+    )
+
+
+@register(
+    "fn_strptime_strict",
+    oracle="""
+SELECT
+  event_id,
+  strftime(try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                        '%Y-%m-%d %H:%M:%S.%f'),
+           '%Y-%m-%d %H:%M:%S.%f') AS reparsed,
+  try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S.%f') AS no_frac
+FROM events
+""",
+    tags=("scalar", "ref"),
+)
+def fn_strptime_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's strict typer semantics (fieldtypers.py:13-17): a
+    timestamp string WITHOUT fractional seconds must parse to NULL.
+    Round-trips events.ts through format→strict-parse on both engines;
+    `no_frac` is NULL everywhere, proving the strictness."""
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    full = F.date_format("ts", fmt)
+    no_frac = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        F.date_format(F.try_to_timestamp(full, F.lit(fmt)), fmt).alias("reparsed"),
+        F.try_to_timestamp(no_frac, F.lit(fmt)).alias("no_frac"),
+    )
+
+
+@register(
+    "fn_cast_permissive",
+    oracle="""
+SELECT
+  doc_id,
+  TRY_CAST(source AS DOUBLE) AS bad_double,
+  TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) AS good_double,
+  CASE WHEN lang = '' THEN NULL ELSE lang END AS lang_nullified
+FROM documents
+""",
+    tags=("scalar", "ref"),
+)
+def fn_cast_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's permissive float cast (fieldtypers.py:19-23,
+    null-on-failure) and empty-string→NULL rule (dataimporter.py:152-155)
+    as try_cast / nullif expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("try_cast(source AS DOUBLE)").alias("bad_double"),
+        F.expr("try_cast(CAST(n_chars AS STRING) AS DOUBLE)").alias("good_double"),
+        F.nullif(F.col("lang"), F.lit("")).alias("lang_nullified"),
+    )
+
+
+@register(
+    "filter_compound",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 10000 AND 200000
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+  AND o_custkey IS NOT NULL
+""",
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/IN/BETWEEN/LIKE/IS NULL predicate algebra (SURVEY §2.2) —
+    all pushed to the parquet scan by Catalyst (visible as PushedFilters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(10_000, 200_000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
