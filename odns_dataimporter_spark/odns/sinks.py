@@ -1,0 +1,80 @@
+"""Sinks: snapshot-replace semantics, Spark-first (SURVEY §2.1).
+
+The reference implements latest-snapshot-per-protocol by DELETE-then-
+batch-INSERT against Postgres (dataimporter.py:187-200, 119-127) —
+non-atomic: a mid-run crash leaves a half-loaded protocol (SURVEY
+§4.2). The idiomatic Spark translation is dynamic partition overwrite:
+write the new snapshot partitioned by protocol and only the rewritten
+partitions are replaced, atomically per partition. The JDBC variant is
+kept behind the same interface for real Postgres targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_snapshot_partitioned(df: DataFrame, path: str) -> None:
+    """Replace exactly the protocol partitions present in ``df`` —
+    the reference's delete-by-protocol + insert, made atomic.
+
+    Requires partitionOverwriteMode=dynamic (set per-write below), so
+    untouched protocols survive: ingesting only tcp leaves udp intact,
+    matching the reference's per-protocol DELETE scope
+    (dataimporter.py:190-195).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("protocol")
+        .parquet(path)
+    )
+
+
+def write_jdbc_batched(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 200_000,
+    num_partitions: int = 8,
+) -> None:
+    """Batched JDBC append mirroring the reference's 200k-row
+    executemany batches (dataimporter.py:20,119-127): ``batchsize``
+    replaces BATCHLIMIT, ``reWriteBatchedInserts`` turns the batches
+    into multi-row INSERTs server-side, ``numPartitions`` bounds the
+    connection count. Pair with :func:`delete_by_protocol` for the
+    reference's snapshot-replace (same non-atomicity caveat applies —
+    prefer a staging-table swap in production).
+
+    Untestable in this container (no JDBC driver jar / database
+    server); exercised only through its SQL-composition unit tests.
+    """
+    writer = (
+        df.coalesce(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("reWriteBatchedInserts", "true")
+        .mode("append")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def delete_by_protocol_sql(table: str, protocol: str) -> tuple[str, tuple[str, ...]]:
+    """Parameterized DELETE matching the reference's snapshot clear
+    (dataimporter.py:187-200). Returned as (sql, params) for execution
+    through any DB-API/JDBC connection as the pre-action of a reload;
+    identifier safety via quoting rather than interpolation."""
+    safe_table = '"' + table.replace('"', '""') + '"'
+    return f"DELETE FROM {safe_table} WHERE protocol = %s", (protocol,)
+
+
+def healthcheck_paths(spark: SparkSession, archive_root: str) -> bool:
+    """Shared-drive health probe (reference dataimporter.py:320-326)."""
+    import os
+
+    return os.path.isdir(archive_root) and os.access(archive_root, os.R_OK)

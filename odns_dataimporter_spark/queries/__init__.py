@@ -7,7 +7,9 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     multimodal,
+    odns,
     scalars,
     setops,
+    streaming_batch,
     windows,
 )

@@ -1,0 +1,153 @@
+"""ODNS reference-parity queries (SURVEY §2.1-§2.2 REF rows), registered
+against the committed golden fixtures so the driver's DuckDB oracle
+verifies the exact reference semantics: native .csv.gz scan, strict-%f
+timestamp typing, permissive float ASNs, ''→NULL, literal protocol /
+filename-derived scan_date, tcp∪udp union, snapshot-replace sink.
+
+Timestamps are emitted as formatted strings so both engines hash the
+same canonical values regardless of timezone/type plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.odns.ingest import ingest_file
+from odns_dataimporter_spark.odns.schema import SINK_COLUMNS
+from odns_dataimporter_spark.odns.sinks import write_snapshot_partitioned
+from odns_dataimporter_spark.registry import register
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "odns",
+)
+_TCP_FILE = os.path.join(_FIXTURES, "2026", "tcp", "tcp_dns_scan_2026-01-15.csv.gz")
+_UDP_FILE = os.path.join(_FIXTURES, "2026", "udp", "udp_dns_scan_2026-01-16.csv.gz")
+
+_DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _duck_typed_select(protocol: str, path: str, scan_date: str) -> str:
+    """DuckDB projection mirroring odns.ingest.typed_projection."""
+    exprs = []
+    for name in SINK_COLUMNS:
+        if name == "protocol":
+            exprs.append(f"'{protocol}' AS protocol")
+        elif name == "scan_date":
+            exprs.append(f"'{scan_date}' AS scan_date")
+        elif protocol == "udp" and name == "timestamp_response":
+            exprs.append("CAST(NULL AS VARCHAR) AS timestamp_response")
+        elif name.startswith("timestamp_"):
+            # Python's %f right-pads short fractions ('.1' → 100000 µs);
+            # DuckDB's %f left-pads ('.1' → 1 µs). The reference uses
+            # Python semantics (fieldtypers.py:15), so gate the format
+            # with a regex and pad the fraction before parsing.
+            pat = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{1,6}$"
+            padded = (
+                f"split_part({name}, '.', 1) || '.' || rpad(split_part({name}, '.', 2), 6, '0')"
+            )
+            exprs.append(
+                f"CASE WHEN regexp_matches({name}, '{pat}') THEN "
+                f"strftime(try_strptime({padded}, '{_DUCK_TS_FMT}'), '{_DUCK_TS_FMT}') "
+                f"ELSE NULL END AS {name}"
+            )
+        elif name.startswith("asn_"):
+            exprs.append(f"TRY_CAST({name} AS DOUBLE) AS {name}")
+        else:
+            exprs.append(name)
+    cols = ", ".join(exprs)
+    return (
+        f"SELECT {cols} FROM read_csv('{path}', delim=';', header=true, "
+        f"all_varchar=true, null_padding=true)"
+    )
+
+
+_ODNS_ORACLE = (
+    _duck_typed_select("tcp", _TCP_FILE, "2026-01-15")
+    + "\nUNION ALL BY NAME\n"
+    + _duck_typed_select("udp", _UDP_FILE, "2026-01-16")
+)
+
+
+def _ingest_both(spark: SparkSession) -> DataFrame:
+    """tcp ∪ udp typed ingest with timestamps stringified for hashing."""
+    tcp = ingest_file(spark, _TCP_FILE, "tcp", "2026-01-15")
+    udp = ingest_file(spark, _UDP_FILE, "udp", "2026-01-16")
+    df = tcp.unionByName(udp)
+    for c in ("timestamp_request", "timestamp_response"):
+        df = df.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    return df
+
+
+@register("odns_scan_csv_gz", oracle=_ODNS_ORACLE, tags=("odns", "ref"))
+def odns_scan_csv_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire ingest dataflow (dataimporter.py:131-184) as
+    one declarative plan over the golden fixtures — every typing edge
+    case (strict %f, 'AS3320'→NULL, ''→NULL, short rows, UDP's missing
+    timestamp_response) hash-checked against DuckDB's independent CSV
+    pipeline. (sf_dir unused: this surface reads scan files, not the
+    synthetic tables.)"""
+    return _ingest_both(spark)
+
+
+@register(
+    "odns_protocol_summary",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT protocol, scan_date, COUNT(*) AS n_rows,
+       COUNT(timestamp_request) AS n_ts_ok,
+       COUNT(asn_request) AS n_asn_ok,
+       COUNT(DISTINCT response_type) AS n_response_types
+FROM ingested
+GROUP BY protocol, scan_date
+""",
+    tags=("odns", "ref"),
+)
+def odns_protocol_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The natural ODNS sanity aggregation (rows per protocol×scan_date
+    with typing-success counts) over the ingested snapshot."""
+    return (
+        _ingest_both(spark)
+        .groupBy("protocol", "scan_date")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("timestamp_request").alias("n_ts_ok"),
+            F.count("asn_request").alias("n_asn_ok"),
+            F.countDistinct("response_type").alias("n_response_types"),
+        )
+    )
+
+
+@register(
+    "odns_sink_snapshot_replace",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT protocol, COUNT(*) AS n_rows
+FROM ingested
+WHERE protocol = 'udp' OR timestamp_request IS NOT NULL
+GROUP BY protocol
+""",
+    tags=("odns", "ref"),
+)
+def odns_sink_snapshot_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-replace semantics end to end: write both protocols to a
+    partitioned sink, then overwrite ONLY the tcp partition with a
+    re-scan subset (dynamic partition overwrite = the reference's
+    DELETE WHERE protocol + reload, dataimporter.py:187-200), read back
+    per-protocol counts. The oracle predicts the post-replace state
+    relationally: udp untouched, tcp = the replacement subset."""
+    sink = os.path.join(tempfile.mkdtemp(prefix="odns_sink_"), "snapshot")
+    tcp = ingest_file(spark, _TCP_FILE, "tcp", "2026-01-15")
+    udp = ingest_file(spark, _UDP_FILE, "udp", "2026-01-16")
+    write_snapshot_partitioned(tcp, sink)
+    write_snapshot_partitioned(udp, sink)
+    # the "next scan" drops rows whose timestamp failed typing
+    write_snapshot_partitioned(tcp.filter(F.col("timestamp_request").isNotNull()), sink)
+    got = spark.read.parquet(sink)
+    return got.groupBy("protocol").agg(F.count("*").alias("n_rows"))

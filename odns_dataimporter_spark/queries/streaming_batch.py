@@ -1,0 +1,162 @@
+"""Windowed event-time operators (SURVEY §2.8) — batch-mode twins.
+
+Each of these is the *batch* execution of a streaming operator over the
+same ``events`` table, which makes it DuckDB-oracle-checkable; the
+actual ``readStream`` variants live in
+:mod:`odns_dataimporter_spark.streaming.jobs` and are asserted
+equivalent to these in tests/test_streaming.py. That equivalence is the
+point: Structured Streaming's incremental execution of an unchanged
+logical plan is exactly how the engine scales these to infinite input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql, ts_str, ts_str_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {money_sum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (batch twin of the streaming
+    groupBy(window(...)) — window.start ≡ date_trunc for day windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+SELECT {ws} AS window_start, COUNT(*) AS n_events
+FROM (
+  SELECT e.ts, time_bucket(INTERVAL 6 HOURS, e.ts) - k.k * INTERVAL 6 HOURS AS wstart
+  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+GROUP BY 1
+""".format(ws=ts_str_sql("wstart")),
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day wide, 6 h slide): every event lands in 4
+    overlapping windows. The oracle reconstructs Spark's epoch-aligned
+    window set via time_bucket − k·slide (2000-01-01 bucket origin is
+    6h-aligned to the 1970 epoch, so the grids coincide)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours"))
+        .agg(F.count("*").alias("n_events"))
+        .select(ts_str(F.col("window.start")).alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       {ts_str_sql('MIN(ts)')} AS session_start,
+       {ts_str_sql("MAX(ts) + INTERVAL 30 MINUTES")} AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    tags=("streaming",),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user. Spark's session_window merges
+    an event iff it falls strictly inside [start, last_ts + gap); the
+    oracle reproduces that with the classic lag/cumsum sessionization.
+    session_end = last_ts + gap, matching Spark's definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("session_window.start")).alias("session_start"),
+            ts_str(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-key (batch twin of withWatermark+dropDuplicates — the
+    streaming variant keeps keys in state until the watermark expires)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+FROM events, mx
+WHERE ts <= m - INTERVAL 1 HOUR
+GROUP BY 1
+""",
+    tags=("streaming",),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-checkable: only events at least 1 h
+    behind the max event time are 'closed' (what a 1 h watermark would
+    have emitted by end-of-input). The streaming twin uses
+    withWatermark('ts', '1 hour') before the same windowed count."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") <= F.col("m") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").cast("date").alias("day"), "n_events")
+    )

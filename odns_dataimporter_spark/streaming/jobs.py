@@ -1,0 +1,147 @@
+"""Structured Streaming variants of the windowed event operators.
+
+The reference is batch-only; these are the EXT streaming surface
+(SURVEY §2.8). Each job is readStream → transform → writeStream with an
+``availableNow`` trigger so tests can drain a finite file source and
+compare against the batch twins in queries/streaming_batch.py — the
+standard batch/stream equivalence check for Structured Streaming.
+
+At production scale the same code runs against a file/Kafka source with
+a real trigger; watermarks bound the state store, which is the only
+thing that grows with input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odns_dataimporter_spark.tables import load_table
+
+
+def prepare_stream_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize `events` as a µs-timestamp parquet dir usable as a
+    streaming file source (the raw testdata file is INT64-nanos, which
+    the streaming parquet reader can't consume directly)."""
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a finite stream with availableNow into a memory sink and
+    return the result as a DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_tumbling_counts(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Tumbling 1-day windows with a 1-hour watermark (streaming twin of
+    queries/streaming_batch.stream_tumbling)."""
+    ev = read_events_stream(spark, src_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").cast("date").alias("day"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_session_windows(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user, streaming."""
+    ev = read_events_stream(spark, src_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_dedup_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id with a watermark bounding the
+    dedup state (the 100 TB requirement — unbounded dedup state OOMs)."""
+    ev = read_events_stream(spark, src_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    return _run_to_memory(deduped.select("event_id", "event_type"), "append")
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _count_per_user(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState worker: running event count per user."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def stream_stateful_custom(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Custom per-key state via applyInPandasWithState: running per-user
+    event counts (the arbitrary-stateful-operator escape hatch for
+    semantics windows can't express)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, src_dir)
+    counted = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_per_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(counted, "update")

@@ -1,0 +1,60 @@
+"""Batch ↔ stream equivalence for the Structured Streaming jobs
+(SURVEY §5.2 item 3): the streaming result over a drained finite source
+must equal the batch twin over the same rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from odns_dataimporter_spark.queries.streaming_batch import (
+    stream_dedup,
+    stream_tumbling,
+)
+from odns_dataimporter_spark.streaming import jobs
+from odns_dataimporter_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    return jobs.prepare_stream_source(spark, sf_dir, out)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, src_dir):
+    streamed = jobs.stream_tumbling_counts(spark, src_dir)
+    batch = stream_tumbling(spark, sf_dir).select("day", "event_type", "n_events")
+    assert _rows(streamed, ["day", "event_type", "n_events"]) == _rows(
+        batch, ["day", "event_type", "n_events"]
+    )
+
+
+def test_session_stream_equals_batch(spark, sf_dir, src_dir):
+    streamed = jobs.stream_session_windows(spark, src_dir)
+    from odns_dataimporter_spark.queries.streaming_batch import stream_session
+
+    batch = stream_session(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_dedup_stream_equals_batch(spark, sf_dir, src_dir):
+    streamed = jobs.stream_dedup_events(spark, src_dir)
+    n_unique = streamed.count()
+    batch_total = (
+        stream_dedup(spark, sf_dir).agg({"n_unique": "sum"}).collect()[0][0]
+    )
+    assert n_unique == batch_total
+
+
+def test_stateful_custom_counts(spark, sf_dir, src_dir):
+    streamed = jobs.stream_stateful_custom(spark, src_dir)
+    batch = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    )
+    got = {r["user_id"]: r["n_events"] for r in streamed.collect()}
+    want = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == want
