@@ -32,6 +32,11 @@ HEADLINE = [
     "window_frame_agg",
     "limit_topk",
     "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_cosine",
+    "text_tfidf",
+    "stream_session",
+    "odns_scan_csv_gz",
 ]
 
 

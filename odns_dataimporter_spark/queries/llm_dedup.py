@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
-_N_HASHES = 8
-_BAND_SIZE = 4  # 2 bands of 4 minhashes
+# 4 minhash lanes extracted as 8-hex-char chunks of ONE md5 per shingle
+# (one hash invocation instead of k — md5's avalanche makes the chunks
+# effectively independent lanes), grouped into 2 bands of 2.
+_N_HASHES = 4
+_BAND_SIZE = 2
 
 
 @register(
@@ -46,11 +49,14 @@ def dedup_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_minhash_bands(docs: DataFrame) -> DataFrame:
-    """Add band0/band1 columns: md5-permutation MinHash over 3-word shingles.
+    """Add band0/band1 columns: MinHash over 3-word shingles.
 
-    Deterministic and engine-portable: permutation j of shingle s is the
-    hex string md5('<j>:' || s); the minimum over shingles is a uniform
-    sample of the shingle set, so P(min_a == min_b) = Jaccard(a, b).
+    Deterministic and engine-portable: each shingle is hashed ONCE with
+    md5 and lane j reads hex chars [8j, 8j+8) of the digest; the
+    per-lane minimum over shingles is a uniform sample of the shingle
+    set, so P(min_a == min_b) = Jaccard(a, b). One hash invocation per
+    shingle (instead of one per lane) is what keeps this viable over
+    100 TB of text; md5's avalanche makes the chunks independent lanes.
     """
     words = F.split(F.col("text"), " ")
     shingles = F.when(F.size(words) < 3, F.array(F.col("text"))).otherwise(
@@ -59,15 +65,16 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
         )
     )
-    def perm_hash(j: int):
-        # NB: the returned lambda must take exactly one arg — a two-arg
-        # lambda is interpreted by F.transform as (element, index)
-        prefix = f"{j}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    df = docs.withColumn("_sh", shingles)
+    def lane(j: int):
+        # NB: single-arg lambda only — F.transform reads a two-arg
+        # lambda as (element, index)
+        start = j * 8 + 1
+        return lambda h: F.substring(h, start, 8)
+
+    df = docs.withColumn("_hx", F.transform(shingles, lambda s: F.md5(s)))
     for j in range(_N_HASHES):
-        df = df.withColumn(f"_m{j}", F.array_min(F.transform(F.col("_sh"), perm_hash(j))))
+        df = df.withColumn(f"_m{j}", F.array_min(F.transform(F.col("_hx"), lane(j))))
     for b in range(_N_HASHES // _BAND_SIZE):
         cols = [F.col(f"_m{j}") for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
         df = df.withColumn(f"band{b}", F.md5(F.concat(*cols)))
@@ -76,7 +83,7 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
 
 def _minhash_sql_core() -> str:
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5(concat('{j}:', s)))) AS m{j}"
+        f"list_min(list_transform(hx, h -> substr(h, {j * 8 + 1}, 8))) AS m{j}"
         for j in range(_N_HASHES)
     )
     return f"""
@@ -88,11 +95,13 @@ WITH base AS (
               ELSE list_transform(range(1, len(words) - 1),
                                   i -> array_to_string(words[i:i+2], ' ')) END AS shingles
   FROM base
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hx FROM sh
 ), mins AS (
-  SELECT doc_id, {mins} FROM sh
+  SELECT doc_id, {mins} FROM hashed
 ), sigs AS (
-  SELECT doc_id, md5(concat(m0, m1, m2, m3)) AS band0,
-                 md5(concat(m4, m5, m6, m7)) AS band1
+  SELECT doc_id, md5(concat(m0, m1)) AS band0,
+                 md5(concat(m2, m3)) AS band1
   FROM mins
 )
 """
@@ -128,9 +137,11 @@ FROM exploded a JOIN exploded b
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
 
-    The join key is (band_idx, band_hash), so only same-bucket docs are
-    ever compared — candidate generation is O(bucket²) summed over
-    buckets, never O(corpus²)."""
+    Signatures are computed ONCE; docs are bucketed by (band_idx, band)
+    with a single shuffle and pairs are expanded inside each bucket —
+    candidate generation is O(bucket²) summed over buckets, never
+    O(corpus²), and the expensive hashing never runs twice (a naive
+    self-join would recompute the signature pipeline per side)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = _with_minhash_bands(docs)
     exploded = sigs.select(
@@ -142,18 +153,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band_idx", "e.band")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        exploded.groupBy("band_idx", "band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _simhash_exprs():

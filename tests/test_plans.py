@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions (SURVEY §4.3, the 100 TB checklist).
+
+Correctness tests prove the operators compute the right answer; these
+prove Catalyst produced the plan that survives a 1000-executor cluster:
+filters pushed to the parquet scan, columns pruned, small dims
+broadcast, top-k collapsed to TakeOrderedAndProject, aggregates
+partial+final. A regression here is a performance bug even when every
+value still matches.
+"""
+
+from __future__ import annotations
+
+from odns_dataimporter_spark.registry import REGISTRY, all_queries
+
+all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_compound")
+    assert "PushedFilters: [" in plan
+    # the IN and range predicates must reach the parquet reader
+    assert "In(o_orderstatus" in plan
+    assert "GreaterThanOrEqual(o_totalprice,10000" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_map_json")
+    # 2-output-column query over a 6-column table: scan must read only what's needed
+    assert "ReadSchema: struct<event_id:bigint,props:string>" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_broadcasts_tiny_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_hash_group")
+    # map-side partial aggregation keeps the shuffle at |groups|
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_rank")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    # union + window construction must shuffle once on user_id, not per side
+    plan = _plan(spark, sf_dir, "join_asof")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_near_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_cosine_broadcasts_probes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_topk_cosine")
+    # probes are the tiny side: the candidate stream must not shuffle for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
