@@ -2,6 +2,7 @@
 
 from odns_dataimporter_spark.queries import (  # noqa: F401
     aggregates,
+    extras,
     joins,
     llm_dedup,
     llm_similarity,
