@@ -1,0 +1,64 @@
+"""CLI entry point mirroring the reference's contract (SURVEY §3.1-3.2).
+
+  python -m odns_dataimporter_spark --archive /data --sink /warehouse/odns
+  python -m odns_dataimporter_spark --check-health --archive /data
+
+Exit codes match the reference (dataimporter.py:216-227,302-306):
+0 on success / healthy, 1 on failure — the container-orchestration
+contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="odns_dataimporter_spark")
+    p.add_argument("--archive", required=True, help="scan archive root (<root>/<yyyy>/<proto>/)")
+    p.add_argument("--sink", help="partitioned parquet sink path")
+    p.add_argument("--year", type=int, default=None, help="archive year (default: current)")
+    p.add_argument("--repartition", type=int, default=None)
+    p.add_argument("--check-health", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from odns_dataimporter_spark.odns.sinks import healthcheck_paths
+    from odns_dataimporter_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="odns-ingest")
+    try:
+        if args.check_health:
+            ok = healthcheck_paths(spark, args.archive)
+            print(f"shared drive {'healthy' if ok else 'UNHEALTHY'}: {args.archive}")
+            return 0 if ok else 1
+        if not args.sink:
+            print("--sink is required for an ingest run", file=sys.stderr)
+            return 1
+        from odns_dataimporter_spark.odns.pipeline import run_ingest
+
+        results = run_ingest(
+            spark, args.archive, args.sink, year=args.year, repartition=args.repartition
+        )
+        for r in results:
+            print(
+                f"{r.protocol}: {r.rows} rows"
+                + (f" from {r.source_file} (scan_date={r.scan_date})" if r.source_file else " (no file found)")
+            )
+        return 0
+    except Exception as exc:  # the reference exits 1 on any failure
+        print(f"ingest failed: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:  # embedded callers (tests) keep their session
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
