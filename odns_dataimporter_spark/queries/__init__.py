@@ -3,6 +3,7 @@
 from odns_dataimporter_spark.queries import (  # noqa: F401
     aggregates,
     extras,
+    flagship,
     joins,
     llm_dedup,
     llm_similarity,

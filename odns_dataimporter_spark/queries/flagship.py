@@ -1,0 +1,100 @@
+"""Flagship multi-join analytics + skew-mitigation patterns.
+
+Q5-style: the full snowflake (region→nation→customer→orders→lineitem→
+supplier) — the query shape Catalyst's join reordering and AQE exist
+for. Salted aggregation: the standard two-phase fix for hot grouping
+keys at 100 TB (a handful of keys receiving most rows turns one reducer
+into the job's critical path; salting fans each hot key across N
+partial groups, then merges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.queries._helpers import money_sum_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+_Q5_REV = (
+    "CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT))"
+    " AS BIGINT) / 1e6"
+)
+
+
+@register(
+    "join_snowflake_q5",
+    oracle=f"""
+SELECT n.n_name AS nation, COUNT(*) AS n_items, {_Q5_REV} AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("join", "flagship"),
+)
+def join_snowflake_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 6-table snowflake with a
+    selective dim filter. Declared in natural order; Catalyst + AQE
+    reorder joins, broadcast the small sides, and push the region/date
+    filters into the scans — asserted in test_plans.py."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+    )
+    rev_micros = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6).cast("long")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_items"),
+        (F.sum(rev_micros) / F.lit(1e6)).alias("revenue"),
+    )
+
+
+_N_SALT = 16
+
+
+@register(
+    "agg_skew_salted",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {money_sum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "skew"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically hot key space
+    (5 event types for every row in the table).
+
+    Phase 1 groups by (key, salt) — Spark's map-side partial aggregation
+    already fans the reduction, so the explicit salt is belt-and-braces
+    for aggregates; the pattern matters most for skewed JOIN keys and
+    for high-cardinality state like collect_list. Result is identical
+    to the direct groupBy, which is exactly what the oracle checks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    salted = ev.withColumn("_salt", (F.col("event_id") % _N_SALT))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"), F.sum(cents).alias("_cents")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        (F.sum("_cents") / F.lit(100.0)).alias("total_value"),
+    )

@@ -168,13 +168,13 @@ WITH v AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0) / 1000000.0 AS score
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.5
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
 """,
     tags=("llm", "similarity"),
 )
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within label blocks
-    (cos ≥ 0.5) — the embedding-space analog of blocked Jaccard dedup."""
+    (cos ≥ 0.3) — the embedding-space analog of blocked Jaccard dedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -186,7 +186,7 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= 0.5)
+        .filter(cos >= 0.3)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

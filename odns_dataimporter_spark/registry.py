@@ -34,18 +34,29 @@ class QuerySpec:
     oracle: str | None  # None => driver records a weaker rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Parity guard: an oracle match on two EMPTY results is vacuous (a
+    # mistyped filter can silently null a query). Queries that may
+    # legitimately return zero rows at tiny scale declare min_rows=0.
+    min_rows: int = 1
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    min_rows: int = 1,
+):
     """Decorator: register a query implementation under a SURVEY §2 op id."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip(), min_rows
+        )
         return fn
 
     return deco

@@ -28,6 +28,12 @@ def test_oracle_parity(name, spark, sf_dir, con):
     df = spec.fn(spark, sf_dir)
     res = compare(name, df, con, spec.oracle)
     assert res.ok, res.detail
+    if spec.min_rows:
+        assert df.count() >= spec.min_rows, (
+            f"{name}: oracle matched but result is empty — vacuous pass "
+            "(a broken filter would hide here); set min_rows=0 if this "
+            "query can legitimately be empty at this scale"
+        )
 
 
 @pytest.mark.parametrize(
