@@ -11,6 +11,7 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     multimodal,
     odns,
     scalars,
+    scale_ops,
     setops,
     streaming_batch,
     windows,

@@ -1,0 +1,140 @@
+"""Scale-path operators: reproducible sampling, storage layout
+optimization with partition pruning, and binary frame sampling.
+
+These are the operations a 100 TB training-data pipeline leans on
+between the relational core and the model: cut a deterministic slice of
+the corpus, lay data out so later scans skip irrelevant partitions, and
+chunk opaque media payloads without decoding them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+""",
+    tags=("llm", "sampling"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 1/8 corpus sample by hashing the stable key — unlike
+    ``df.sample`` (seeded per-partition RNG, result depends on
+    partitioning) this is a pure function of the data: re-runs, engine
+    changes, and repartitioning all yield the identical sample, which is
+    what training-data lineage requires."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(bucket.isin("0", "1")).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_topn",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+    tags=("llm", "sampling"),
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: exactly 20 docs per language, chosen
+    by hash order — deterministic stratified sampling (the sampleBy
+    fraction API can't guarantee exact strata sizes)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "layout_partition_prune",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("scan", "layout"),
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout optimization end to end: rewrite events partitioned
+    by event_type (the high-selectivity predicate column), then query one
+    type — the scan reads ONLY that partition's files (PartitionFilters;
+    asserted in test_plans.py). At 100 TB this layout turns a full-corpus
+    scan into a 1/|types| scan for type-filtered queries."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="layout_"), "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_N_FRAMES = 4
+_FRAME_BYTES = 16
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, k.k AS frame_idx,
+       lower(hex(encode(substring(text, CAST(k.k * {_FRAME_BYTES} + 1 AS INT),
+                                  {_FRAME_BYTES})))) AS frame_hex
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, {_N_FRAMES})) AS k) k
+WHERE length(text) >= (k.k + 1) * {_FRAME_BYTES}
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads: slice N fixed-offset
+    chunks per payload JVM-side (no decode, no Python) — the shape of
+    video-frame / audio-window extraction where the only Python step is
+    the (stubbed) per-frame decoder downstream. Emits (doc_id,
+    frame_idx, frame_hex) with short payloads yielding fewer frames."""
+    # frames are sliced pre-encode (char==byte on this ASCII corpus;
+    # DuckDB's substring cannot slice BLOBs, so the oracle does the same)
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_FRAMES - 1))).alias("frame_idx"),
+    )
+    return exploded.filter(
+        F.length("text") >= (F.col("frame_idx") + 1) * _FRAME_BYTES
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.lower(
+            F.hex(
+                F.encode(
+                    F.expr(f"substring(text, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})"),
+                    "utf-8",
+                )
+            )
+        ).alias("frame_hex"),
+    )

@@ -32,6 +32,14 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
+    try:
+        # timestamp rendering (date_format / cast-to-date) is session-tz
+        # dependent; pin UTC so results match the (naive-timestamp)
+        # DuckDB oracle even under a host with a non-UTC default
+        if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         try:  # runtime conf; harmless if already set by the session factory

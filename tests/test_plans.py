@@ -78,3 +78,10 @@ def test_topk_cosine_broadcasts_probes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_topk_cosine")
     # probes are the tiny side: the candidate stream must not shuffle for the join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_layout_rewrite_prunes_partitions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "layout_partition_prune")
+    # the rewritten layout must let the scan skip every other event_type
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan and "purchase" in plan
