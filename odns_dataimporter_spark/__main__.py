@@ -16,8 +16,9 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="odns_dataimporter_spark")
-    p.add_argument("--archive", required=True, help="scan archive root (<root>/<yyyy>/<proto>/)")
+    p.add_argument("--archive", help="scan archive root (<root>/<yyyy>/<proto>/)")
     p.add_argument("--sink", help="partitioned parquet sink path")
+    p.add_argument("--config", help="ini config (see config.ini.template); flags override")
     p.add_argument("--year", type=int, default=None, help="archive year (default: current)")
     p.add_argument("--repartition", type=int, default=None)
     p.add_argument("--check-health", action="store_true")
@@ -26,6 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.config:
+        from odns_dataimporter_spark.odns.config import load_config
+
+        cfg = load_config(args.config)
+        args.archive = args.archive or cfg.archive_root
+        args.sink = args.sink or cfg.sink_path
+    if not args.archive:
+        print("--archive (or a config with paths.archive_root) is required", file=sys.stderr)
+        return 1
     from pyspark.sql import SparkSession
 
     from odns_dataimporter_spark.odns.sinks import healthcheck_paths

@@ -151,3 +151,31 @@ def odns_sink_snapshot_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot_partitioned(tcp.filter(F.col("timestamp_request").isNotNull()), sink)
     got = spark.read.parquet(sink)
     return got.groupBy("protocol").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "odns_archive_scan",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT protocol, scan_date,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT ip_request) AS n_resolvers
+FROM ingested
+GROUP BY protocol, scan_date
+""",
+    tags=("odns", "ref"),
+)
+def odns_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-archive globbed read (every year x protocol in one plan),
+    protocol/scan_date derived from each file path — the archive as a
+    queryable partitioned table rather than a newest-file-only source.
+    The oracle enumerates the same files explicitly; with exactly one
+    file per protocol in the fixtures the results coincide, proving the
+    path-derivation logic."""
+    from odns_dataimporter_spark.odns.archive import scan_archive
+
+    df = scan_archive(spark, _FIXTURES)
+    return df.groupBy("protocol", "scan_date").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("ip_request").alias("n_resolvers"),
+    )

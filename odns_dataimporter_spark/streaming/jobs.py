@@ -145,3 +145,22 @@ def stream_stateful_custom(spark: SparkSession, src_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(counted, "update")
+
+
+def stream_static_join_enrich(spark: SparkSession, src_dir: str, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension snapshot (per-user order counts) — the standard pattern for
+    joining unbounded data to reference data without state: the static
+    side is re-read per micro-batch, no watermark needed."""
+    from odns_dataimporter_spark.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    ev = read_events_stream(spark, src_dir)
+    enriched = ev.join(dim, "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+    return _run_to_memory(enriched, "append")

@@ -58,3 +58,20 @@ def test_stateful_custom_counts(spark, sf_dir, src_dir):
     got = {r["user_id"]: r["n_events"] for r in streamed.collect()}
     want = {r["user_id"]: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_join(spark, sf_dir, src_dir):
+    streamed = jobs.stream_static_join_enrich(spark, src_dir, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    dim = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count("*").alias("n_orders")
+    )
+    batch = ev.join(dim, "user_id", "left").select(
+        "event_id", "user_id", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+    assert _rows(streamed, ["event_id", "user_id", "n_orders"]) == _rows(
+        batch, ["event_id", "user_id", "n_orders"]
+    )
