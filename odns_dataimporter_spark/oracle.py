@@ -58,6 +58,33 @@ class CompareResult:
     detail: str = ""
 
 
+# Spark dtype string -> normalized type token (DuckDB types map onto the
+# same tokens below). Exact matching matters: if the driver compares
+# schemas, int32-vs-int64 is a failure even when every value is equal.
+_SPARK_TYPE_NORM = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+
+
+def _type_mismatches(spark_df, rel) -> list[str]:
+    duck = {c.lower(): str(t) for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for c, t in spark_df.dtypes:
+        want = duck.get(c.lower())
+        norm = _SPARK_TYPE_NORM.get(t, t.upper())
+        if want is not None and norm != want:
+            out.append(f"{c}: spark={t} duckdb={want}")
+    return out
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     mine_cols = list(spark_df.columns)
     mine_rows = [tuple(r) for r in spark_df.collect()]
@@ -67,6 +94,9 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
 
     if sorted(c.lower() for c in mine_cols) != sorted(c.lower() for c in oracle_cols):
         return CompareResult(name, False, f"columns differ: {mine_cols} vs {oracle_cols}")
+    bad_types = _type_mismatches(spark_df, rel)
+    if bad_types:
+        return CompareResult(name, False, f"types differ: {bad_types}")
     if len(mine_rows) != len(oracle_rows):
         return CompareResult(
             name, False, f"row count differs: spark={len(mine_rows)} oracle={len(oracle_rows)}"

@@ -43,7 +43,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tok).cast("long").alias("total_tokens"),
         F.round(F.avg(n_tok), 6).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.max(n_tok).alias("max_tokens"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
     )
 
 
@@ -89,8 +89,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.size(utoks).alias("n_uniq"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(utoks).cast("long").alias("n_uniq"),
         q6(F.size(utoks) * F.lit(1.0) / n_tok).alias("uniq_ratio"),
         q6((F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok).alias("avg_word_len"),
         q6(n_sw * F.lit(1.0) / n_tok).alias("stopword_ratio"),
@@ -229,8 +229,8 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
-            "n_re_tokens"
-        ),
-        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).alias("n_numbers"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+        ).cast("long").alias("n_re_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).cast("long").alias("n_numbers"),
     )

@@ -40,7 +40,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",
-        F.octet_length(blob).alias("n_bytes"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
         F.sha2(blob, 256).alias("digest"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias("head_hex"),
     )

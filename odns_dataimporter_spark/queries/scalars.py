@@ -43,12 +43,12 @@ def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.length("text").alias("len_chars"),
-        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.upper(F.substring("text", 1, 10)).alias("prefix10"),
         F.element_at(toks, -1).alias("last_word"),
         F.when(F.contains("text", F.lit("spark")), 1).otherwise(0).alias("has_spark"),
-        F.length(F.regexp_replace("text", " ", "")).alias("len_no_spaces"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("len_no_spaces"),
         F.concat_ws(":", "lang", "source").alias("lang_source"),
     )
 
@@ -153,10 +153,10 @@ def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding")
     return emb.select(
         "vec_id",
-        F.size(e).alias("dim"),
+        F.size(e).cast("long").alias("dim"),
         F.round(fsum(as_double(F.slice(e, 1, 4))), 6).alias("head4_sum"),
         F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
-        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(fsum(F.transform(e, lambda x: x.cast("double") * x.cast("double"))), 6).alias(
             "sq_norm"
         ),

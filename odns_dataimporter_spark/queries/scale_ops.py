@@ -122,7 +122,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_FRAMES - 1))).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_N_FRAMES - 1).cast("long"))).alias(
+            "frame_idx"
+        ),
     )
     return exploded.filter(
         F.length("text") >= (F.col("frame_idx") + 1) * _FRAME_BYTES

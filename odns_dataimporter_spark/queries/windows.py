@@ -113,7 +113,7 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("c_acctbal", "c_custkey")
     return customer.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
@@ -153,4 +153,4 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an order-insensitive hash can't see row order itself)."""
     nation = load_table(spark, sf_dir, "nation")
     w = W.orderBy(F.col("n_name").desc_nulls_last(), F.col("n_nationkey"))
-    return nation.select("n_name", "n_nationkey", F.row_number().over(w).alias("pos"))
+    return nation.select("n_name", "n_nationkey", F.row_number().over(w).cast("long").alias("pos"))
