@@ -8,6 +8,7 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     llm_dedup,
     llm_similarity,
     llm_text,
+    ml_ops,
     multimodal,
     odns,
     scalars,
