@@ -223,3 +223,30 @@ def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  round(var_samp(l_quantity), 4) AS var_qty,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    rounded: both engines use numerically-stable online formulas whose
+    results agree far below the rounding precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )

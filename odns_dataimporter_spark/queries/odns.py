@@ -179,3 +179,83 @@ def odns_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("ip_request").alias("n_resolvers"),
     )
+
+
+@register(
+    "odns_top_resolvers",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT country_request, ip_request, n_queries
+FROM (
+  SELECT country_request, ip_request, COUNT(*) AS n_queries,
+         row_number() OVER (PARTITION BY country_request
+                            ORDER BY COUNT(*) DESC, ip_request) AS rn
+  FROM ingested
+  WHERE ip_request IS NOT NULL
+  GROUP BY country_request, ip_request
+) WHERE rn <= 3
+""",
+    tags=("odns", "ref", "domain"),
+)
+def odns_top_resolvers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain analytics: top-3 open resolvers per country by query count —
+    the first question an ODNS measurement analyst asks of the table the
+    reference merely loads."""
+    from pyspark.sql.window import Window as W
+
+    df = _ingest_both(spark).filter(F.col("ip_request").isNotNull())
+    counts = df.groupBy("country_request", "ip_request").agg(
+        F.count("*").alias("n_queries")
+    )
+    w = W.partitionBy("country_request").orderBy(
+        F.col("n_queries").desc(), F.col("ip_request")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("country_request", "ip_request", "n_queries")
+    )
+
+
+@register(
+    "odns_hijack_indicator",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT protocol,
+       COUNT(*) AS n_answered,
+       CAST(COUNT(CASE WHEN country_arecord IS NOT NULL
+                        AND country_response IS NOT NULL
+                        AND country_arecord != country_response THEN 1 END) AS BIGINT)
+         AS n_cross_country,
+       CAST(COUNT(CASE WHEN asn_arecord IS NOT NULL AND asn_response IS NOT NULL
+                        AND asn_arecord != asn_response THEN 1 END) AS BIGINT)
+         AS n_cross_asn
+FROM ingested
+WHERE a_record IS NOT NULL
+GROUP BY protocol
+""",
+    tags=("odns", "ref", "domain"),
+)
+def odns_hijack_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain analytics: answer-manipulation indicator — answered queries
+    whose A-record geolocates to a different country/ASN than the
+    responding resolver (the classic open-resolver rewriting signal in
+    ODNS measurement studies)."""
+    df = _ingest_both(spark).filter(F.col("a_record").isNotNull())
+    cross_country = F.when(
+        F.col("country_arecord").isNotNull()
+        & F.col("country_response").isNotNull()
+        & (F.col("country_arecord") != F.col("country_response")),
+        1,
+    )
+    cross_asn = F.when(
+        F.col("asn_arecord").isNotNull()
+        & F.col("asn_response").isNotNull()
+        & (F.col("asn_arecord") != F.col("asn_response")),
+        1,
+    )
+    return df.groupBy("protocol").agg(
+        F.count("*").alias("n_answered"),
+        F.count(cross_country).alias("n_cross_country"),
+        F.count(cross_asn).alias("n_cross_asn"),
+    )

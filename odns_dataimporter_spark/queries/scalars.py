@@ -314,3 +314,34 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
         & F.col("o_custkey").isNotNull()
     ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+SELECT
+  c_custkey,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_or_zero,
+  CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_missing,
+  ifnull(NULLIF(c_name, ''), 'anon') AS name_or_anon
+FROM customer
+""",
+    tags=("scalar",),
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: coalesce / nullif / ifnull / IS NULL — the
+    relational completion of the reference's ''→NULL rule."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        bal_nonneg.alias("bal_nonneg"),
+        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_or_zero"),
+        F.isnull("c_acctbal").alias("bal_missing"),
+        F.ifnull(F.nullif("c_name", F.lit("")), F.lit("anon")).alias("name_or_anon"),
+    )

@@ -154,3 +154,27 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     w = W.orderBy(F.col("n_name").desc_nulls_last(), F.col("n_nationkey"))
     return nation.select("n_name", "n_nationkey", F.row_number().over(w).cast("long").alias("pos"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_within_10k
+FROM orders
+""",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-based frame (value distance, not row count): how many orders
+    price within 10k below each order — complement of the ROWS frame in
+    window_frame_agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice").rangeBetween(-10_000, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_10k"),
+    )
