@@ -84,16 +84,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
 
-    def q6(col):
-        return F.floor(col * 1_000_000.0) / 1_000_000.0
+    def q6(numer, denom):
+        # scale BEFORE dividing, exactly like the oracle SQL — the other
+        # order ((a/b)*1e6) floors differently when a/b is not exactly
+        # representable (e.g. 41/10: ratio-first gives 4.099999)
+        return F.floor(numer * F.lit(1_000_000.0) / denom) / 1_000_000.0
 
     return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.size(utoks).cast("long").alias("n_uniq"),
-        q6(F.size(utoks) * F.lit(1.0) / n_tok).alias("uniq_ratio"),
-        q6((F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok).alias("avg_word_len"),
-        q6(n_sw * F.lit(1.0) / n_tok).alias("stopword_ratio"),
+        q6(F.size(utoks), n_tok).alias("uniq_ratio"),
+        q6(F.length("text") - n_tok + 1, n_tok).alias("avg_word_len"),
+        q6(n_sw, n_tok).alias("stopword_ratio"),
     )
 
 
