@@ -345,3 +345,28 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("c_acctbal").alias("bal_missing"),
         F.ifnull(F.nullif("c_name", F.lit("")), F.lit("anon")).alias("name_or_anon"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id >> 4 AS shifted,
+       xor(event_id, 255) AS xored,
+       CAST(bit_count(event_id) AS INT) AS popcount
+FROM events
+""",
+    tags=("scalar",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (AND/shift/XOR/popcount) — the primitives under
+    bucketing, bloom filters, and SimHash-style signatures."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright("event_id", 4).alias("shifted"),
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("xored"),
+        F.bit_count("event_id").alias("popcount"),
+    )
