@@ -2,6 +2,7 @@
 
 from odns_dataimporter_spark.queries import (  # noqa: F401
     aggregates,
+    etl_ops,
     extras,
     flagship,
     joins,
