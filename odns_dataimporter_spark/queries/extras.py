@@ -5,15 +5,12 @@ UDTF)."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from odns_dataimporter_spark.queries._helpers import money_sum_sql
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table, register_views
 

@@ -193,3 +193,77 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cos * 1_000_000.0) / 1_000_000.0).alias("score"),
         )
     )
+
+
+@register("sim_ann_ivf", oracle=None, tags=("llm", "similarity", "rows-only"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) coarse quantization — the
+    other classic ANN scale path next to LSH.
+
+    Coarse centroids are the per-label element-wise mean vectors
+    (computed distributively: posexplode → groupBy(label, dim) → avg →
+    re-assemble). Every vector is assigned to its nearest centroid
+    (nprobe=1 for candidates); probes search only their own cell, so
+    comparisons are O(cell²) summed over cells. Deterministic end to
+    end (means and assignments are pure functions of the data), but no
+    SQL oracle: approximate recall is the semantics, tested against the
+    exact top-k in tests instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # element-wise centroid means, distributively
+    pos = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = (
+        pos.groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["m"]).alias("centroid"),
+        )
+    )
+    # assign every vector to its nearest centroid (euclidean == cosine
+    # order here since centroids/vectors are near-normalized)
+    v = emb.select("vec_id", "embedding")
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.aggregate(
+            F.zip_with("embedding", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("dist2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "cell")
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        "vec_id", "embedding", "cell"
+    )
+    probes = assigned.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cell"
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "cell"
+    )
+    pairs = (
+        probes.join(cands, "cell")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                _dot(F.col("pe"), F.col("ce"))
+                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+            ).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"),
+        )
+    )
