@@ -259,3 +259,70 @@ def odns_hijack_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(cross_country).alias("n_cross_country"),
         F.count(cross_asn).alias("n_cross_asn"),
     )
+
+
+def _ip_to_long_spark(col: str):
+    """Dotted-quad IPv4 -> uint32-as-long, pure Catalyst expressions."""
+    oct_ = lambda i: F.get(F.split(F.col(col), r"\."), i).cast("long")  # noqa: E731
+    return (oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3))
+
+
+def _ip_to_long_duck(expr: str) -> str:
+    parts = f"string_split({expr}, '.')"
+    return (
+        f"(CAST(list_extract({parts}, 1) AS BIGINT) * 16777216 + "
+        f"CAST(list_extract({parts}, 2) AS BIGINT) * 65536 + "
+        f"CAST(list_extract({parts}, 3) AS BIGINT) * 256 + "
+        f"CAST(list_extract({parts}, 4) AS BIGINT))"
+    )
+
+
+@register(
+    "odns_cidr_membership",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE}),
+parsed AS (
+  SELECT protocol, ip_request, prefix_request,
+         {_ip_to_long_duck('ip_request')} AS ip_l,
+         {_ip_to_long_duck("string_split(prefix_request, '/')[1]")} AS net_l,
+         CAST(string_split(prefix_request, '/')[2] AS BIGINT) AS masklen
+  FROM ingested
+  WHERE ip_request IS NOT NULL AND prefix_request IS NOT NULL
+)
+SELECT protocol,
+       COUNT(*) AS n_checked,
+       CAST(COUNT(CASE WHEN (ip_l >> (32 - masklen)) = (net_l >> (32 - masklen))
+                       THEN 1 END) AS BIGINT) AS n_in_prefix
+FROM parsed
+GROUP BY protocol
+""",
+    tags=("odns", "ref", "domain"),
+)
+def odns_cidr_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4/CIDR arithmetic over the scan's enrichment columns: does the
+    resolver IP actually fall inside its announced prefix? Dotted-quad →
+    uint32 and mask-shift comparison, entirely in Catalyst expressions —
+    the network-analytics primitive (subnet joins, prefix aggregation)
+    ODNS users need constantly."""
+    df = _ingest_both(spark).filter(
+        F.col("ip_request").isNotNull() & F.col("prefix_request").isNotNull()
+    )
+    net = F.get(F.split(F.col("prefix_request"), "/"), 0)
+    masklen = F.get(F.split(F.col("prefix_request"), "/"), 1).cast("long")
+    df = df.withColumn("ip_l", _ip_to_long_spark("ip_request")).withColumn(
+        "net_l",
+        F.get(F.split(net, r"\."), 0).cast("long") * 16777216
+        + F.get(F.split(net, r"\."), 1).cast("long") * 65536
+        + F.get(F.split(net, r"\."), 2).cast("long") * 256
+        + F.get(F.split(net, r"\."), 3).cast("long"),
+    ).withColumn("masklen", masklen)
+    # F.shiftright needs a literal bit count; the SQL form takes expressions
+    in_prefix = F.when(
+        F.expr("shiftright(ip_l, CAST(32 - masklen AS INT))")
+        == F.expr("shiftright(net_l, CAST(32 - masklen AS INT))"),
+        1,
+    )
+    return df.groupBy("protocol").agg(
+        F.count("*").alias("n_checked"),
+        F.count(in_prefix).alias("n_in_prefix"),
+    )
