@@ -186,3 +186,48 @@ def roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+       CAST(COUNT(priority_rank) AS BIGINT) AS n_with_rank
+FROM (
+  SELECT o_orderstatus, o_totalprice, NULL AS priority_rank
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderstatus, NULL AS o_totalprice,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+""",
+    tags=("etl", "scan"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the storage layer: two parquet batches written
+    with DIFFERENT schemas (v1 has o_totalprice, v2 drops it and adds
+    priority_rank) read back as one table via mergeSchema — old rows
+    NULL-fill new columns and vice versa. This is how a long-lived 100 TB
+    dataset absorbs schema change without rewrites."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.mkdtemp(prefix="evo_"), "t")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
+    )
+    v1.write.mode("append").parquet(base)
+    v2.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("priority_rank").alias("n_with_rank"),
+    )

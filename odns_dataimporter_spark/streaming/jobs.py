@@ -164,3 +164,75 @@ def stream_static_join_enrich(spark: SparkSession, src_dir: str, sf_dir: str) ->
         "event_id", "user_id", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
     )
     return _run_to_memory(enriched, "append")
+
+
+def stream_foreach_batch_sink(spark: SparkSession, src_dir: str, out_dir: str) -> int:
+    """foreachBatch sink: per-micro-batch custom writes (the production
+    pattern for JDBC/upsert sinks from a stream — each batch lands as a
+    snapshot partition via the same dynamic-overwrite path the ODNS
+    sink uses). Returns the number of micro-batches processed."""
+    ev = read_events_stream(spark, src_dir)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def stream_transform_with_state(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas: the successor stateful API to
+    applyInPandasWithState — typed per-key state handles, timers, and
+    multiple state variables. Running per-user count, same semantics as
+    stream_stateful_custom so tests can cross-check the two APIs."""
+    try:
+        # the TWS protocol runs over protobuf; absent in this container
+        from google.protobuf import descriptor  # noqa: F401
+
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:  # API (or its protobuf dependency) unavailable
+        return None
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, src_dir)
+    counted = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(counted, "update")

@@ -75,3 +75,33 @@ def test_stream_static_join(spark, sf_dir, src_dir):
     assert _rows(streamed, ["event_id", "user_id", "n_orders"]) == _rows(
         batch, ["event_id", "user_id", "n_orders"]
     )
+
+
+def test_foreach_batch_sink(spark, sf_dir, src_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    n_batches = jobs.stream_foreach_batch_sink(spark, src_dir, out)
+    assert n_batches >= 1
+    written = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: r.total
+        for r in written.groupBy("event_type").agg(F.sum("count").alias("total")).collect()
+    }
+    want = {
+        r.event_type: r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state(spark, sf_dir, src_dir):
+    import pytest as _pytest
+
+    streamed = jobs.stream_transform_with_state(spark, src_dir)
+    if streamed is None:
+        _pytest.skip("transformWithStateInPandas not available on this build")
+    got = {r["user_id"]: r["n_events"] for r in streamed.collect()}
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    want = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == want
