@@ -37,6 +37,8 @@ HEADLINE = [
     "text_tfidf",
     "stream_session",
     "odns_scan_csv_gz",
+    "join_snowflake_q5",
+    "sql_api_q6",
 ]
 
 

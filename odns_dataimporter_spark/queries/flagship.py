@@ -98,3 +98,53 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         (F.sum("_cents") / F.lit(100.0)).alias("total_value"),
     )
+
+
+_Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(round(l_extendedprice * l_discount * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_api_q6", oracle=_Q6_SQL, tags=("sql", "flagship"))
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure filter+aggregate
+    query — every predicate pushes to the parquet scan, zero joins, one
+    partial+final aggregation. Same SQL text runs on both engines."""
+    from odns_dataimporter_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_Q14_SQL = """
+SELECT
+  floor(
+    100.0 * SUM(CAST(round(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 1e6) AS BIGINT))
+    / SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) * 1e6
+  ) / 1e6 AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("sql_api_q14", oracle=_Q14_SQL, tags=("sql", "flagship"))
+def sql_api_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    fact⋈dim join; the percentage is a ratio of exact integer-micros
+    sums, floor-quantized so both engines land on the same grid cell."""
+    from odns_dataimporter_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
