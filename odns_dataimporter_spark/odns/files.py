@@ -39,3 +39,19 @@ def extract_file_date_from_name(path: str) -> str | None:
     None when the name carries no date."""
     m = _DATE_RE.search(os.path.basename(path))
     return m.group(0) if m else None
+
+
+def list_archive_files_distributed(spark, archive_root: str):
+    """Distributed archive listing via the binaryFile source: exposes
+    (path, modificationTime, length) as a DataFrame — the cluster-scale
+    analog of the driver-side newest-file pick for archives too large to
+    glob on one machine (SURVEY §2.1 source_latest_file note). Content
+    is NOT read: with a projection of metadata columns only, Spark skips
+    the bytes."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.csv.gz")
+        .option("recursiveFileLookup", "true")
+        .load(archive_root)
+        .select("path", "modificationTime", "length")
+    )

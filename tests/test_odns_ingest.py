@@ -115,3 +115,24 @@ def test_delete_sql_composition():
     sql, params = delete_by_protocol_sql('odns"entries', "tcp")
     assert sql == 'DELETE FROM "odns""entries" WHERE protocol = %s'
     assert params == ("tcp",)
+
+
+def test_distributed_archive_listing(spark):
+    from odns_dataimporter_spark.odns.files import list_archive_files_distributed
+
+    df = list_archive_files_distributed(spark, FIXTURES)
+    rows = {os.path.basename(r.path): r.length for r in df.collect()}
+    assert set(rows) == {
+        "tcp_dns_scan_2026-01-15.csv.gz",
+        "udp_dns_scan_2026-01-16.csv.gz",
+        "tcp_dns_scan_undated.csv.gz",
+    }
+    for name, length in rows.items():
+        disk = os.path.getsize(
+            next(
+                os.path.join(dp, name)
+                for dp, _, fs in os.walk(FIXTURES)
+                if name in fs
+            )
+        )
+        assert length == disk
