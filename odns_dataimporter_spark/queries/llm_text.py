@@ -237,3 +237,98 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_re_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).cast("long").alias("n_numbers"),
     )
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+    AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 50
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-bigram frequencies (top 50): the n-gram statistic
+    under language models and contamination checks; explode keeps the
+    shuffle at |bigram vocabulary|."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "llm_prep_pipeline",
+    oracle="""
+WITH filtered AS (
+  SELECT doc_id, text, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+  WHERE lang IN ('en', 'fr', 'es')
+    AND n_chars BETWEEN 50 AND 2000
+    AND len(list_distinct(string_split(text, ' '))) * 1000000.0
+        / len(string_split(text, ' ')) >= 200000.0
+),
+deduped AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id,
+         any_value(lang) AS lang, any_value(n_tok) AS n_tok
+  FROM filtered GROUP BY md5(text)
+),
+sampled AS (
+  SELECT * FROM deduped WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_budget
+FROM sampled
+GROUP BY lang
+""",
+    tags=("llm", "flagship"),
+)
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the composed training-data prep pipeline in one plan —
+    language filter → length window → quality gate (type/token ratio)
+    → exact dedup (keep min doc_id) → deterministic 50% hash sample →
+    per-language token budget. Every stage is an operator verified
+    individually elsewhere; this query proves they compose, and the
+    whole thing is still one Catalyst plan with two shuffles (dedup
+    groupBy + final groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    filtered = docs.filter(
+        F.col("lang").isin("en", "fr", "es")
+        & F.col("n_chars").between(50, 2000)
+        & (n_uniq * F.lit(1_000_000.0) / n_tok >= 200_000.0)
+    ).select("doc_id", "text", "lang", n_tok.cast("long").alias("n_tok"))
+    deduped = filtered.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.any_value("n_tok").alias("n_tok"),
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("token_budget"),
+    )

@@ -178,3 +178,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count("*").over(w).alias("n_within_10k"),
     )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_n
+FROM orders
+""",
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded moving frame (2 PRECEDING..CURRENT): emits the exact
+    integer window sum + count (the moving average is their ratio,
+    derivable without float divergence)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.sum(cents).over(w).alias("win_cents"),
+        F.count("*").over(w).alias("win_n"),
+    )
