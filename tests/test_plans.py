@@ -85,3 +85,11 @@ def test_layout_rewrite_prunes_partitions(spark, sf_dir):
     # the rewritten layout must let the scan skip every other event_type
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "(event_type" in plan and "purchase" in plan
+
+
+def test_prep_pipeline_two_shuffles(spark, sf_dir):
+    # the composed LLM-prep pipeline must stay at exactly two exchanges
+    # (dedup groupBy + final groupBy) — a regression here means a stage
+    # stopped fusing
+    plan = _plan(spark, sf_dir, "llm_prep_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 2
