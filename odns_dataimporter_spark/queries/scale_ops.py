@@ -140,3 +140,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_hex"),
     )
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    oracle="""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("join", "layout"),
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are saved bucketed +
+    sorted on the join key, so the subsequent sort-merge join needs NO
+    exchange on either side (asserted in test_plans.py) — the storage
+    technique that turns the biggest recurring fact⋈fact shuffle at
+    100 TB into a local merge. Values verified against the plain join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    base = tempfile.mkdtemp(prefix="buckets_")
+    for name, df, key in (
+        ("bj_orders", orders, "o_orderkey"),
+        ("bj_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("bj_orders")
+    l = spark.table("bj_lineitem")  # noqa: E741
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # at test SF orders fits under the auto-broadcast threshold; force the
+    # merge strategy the bucketing serves (at 100 TB both sides are facts)
+    return (
+        o.hint("merge")
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_price"),
+        )
+    )

@@ -93,3 +93,15 @@ def test_prep_pipeline_two_shuffles(spark, sf_dir):
     # stopped fusing
     plan = _plan(spark, sf_dir, "llm_prep_pipeline")
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bucketed_join_no_shuffle")
+    # bucketed+sorted on the join key on both sides: the SMJ needs no
+    # exchange; the only allowed exchange is the final tiny aggregation
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # the plan tree prints top-down, so everything after the SMJ node is
+    # its input subtree: neither bucketed scan may re-shuffle
+    below_join = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange" not in below_join
