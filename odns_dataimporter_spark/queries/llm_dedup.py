@@ -263,3 +263,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(jacc) / 1_000_000.0).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+dup AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
+)
+SELECT d.doc_id, d.lang, d.n_chars, e.label
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT dup_id FROM dup)
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: returns the surviving
+    documents after dropping every doc whose embedding has cosine ≥ 0.3
+    with an earlier (lower-id) doc in the same label block.
+
+    Completes the dedup family (exact / MinHash / SimHash / Jaccard /
+    embedding): `sim_pairs_blocked` emits the near-dup PAIRS; this op
+    applies the keep-first survivorship rule and lands back on the
+    documents table.
+
+    Scale shape: the self-join is blocked on `label` (shuffle keyed on
+    the block, never O(n²) global); the dominated-id set — tiny relative
+    to the corpus, it's only the dropped docs — anti-joins against the
+    corpus. Cosine arithmetic follows the double-cast fold convention,
+    so the ≥ 0.3 gate is bit-identical to DuckDB's list_dot_product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ) / (F.col("a.nrm") * F.col("b.nrm"))
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = emb.select("vec_id", "label").join(dominated, "vec_id", "left_anti")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.join(
+        survivors.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).select("doc_id", "lang", "n_chars", "label")

@@ -105,3 +105,11 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     # its input subtree: neither bucketed scan may re-shuffle
     below_join = plan[plan.index("SortMergeJoin") :]
     assert "Exchange" not in below_join
+
+
+def test_embedding_dedup_is_blocked_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    # pair generation must stay keyed on the label block — an unkeyed
+    # self-join here is O(n^2) over the whole corpus at 100 TB
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
