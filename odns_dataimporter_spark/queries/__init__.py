@@ -16,5 +16,7 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     scale_ops,
     setops,
     streaming_batch,
+    tpch_df,
+    tpch_sql,
     windows,
 )

@@ -185,3 +185,51 @@ def join_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+WITH d AS (
+  SELECT event_type, MIN(event_id) AS first_id
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, d.first_id, COUNT(*) AS n_events,
+       CAST(SUM(e.event_id - d.first_id) AS BIGINT) AS id_offset_sum
+FROM events e JOIN d ON d.event_type = e.event_type
+GROUP BY e.event_type, d.first_id
+""",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SKEW JOIN: every row of `events` carries one of only 5
+    event_type values, so a plain shuffle join on event_type lands each
+    key on ONE reducer — at 100 TB the hottest key becomes the job.
+
+    The fix demonstrated here: the fact side salts its key
+    (event_id % N), the dim side replicates ×N via explode, and the
+    join runs on (key, salt) — fanning each hot key across N reducers.
+    The merge hint forces the shuffle join that makes salting matter
+    (a broadcast-able dim at test scale needs no salt; real skewed
+    joins are fact⋈fact). Result is identical to the unsalted join,
+    which is exactly what the oracle checks; the plan test pins the
+    (key, salt) partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.min("event_id").alias("first_id"))
+    n_salt = F.lit(_N_SALT)
+    fact = ev.withColumn("_salt", (F.col("event_id") % n_salt).cast("int"))
+    dim_rep = dim.select(
+        "event_type",
+        "first_id",
+        F.explode(F.sequence(F.lit(0), n_salt - 1)).alias("_salt"),
+    )
+    return (
+        fact.hint("merge")
+        .join(dim_rep, ["event_type", "_salt"])
+        .groupBy("event_type", "first_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("event_id") - F.col("first_id")).alias("id_offset_sum"),
+        )
+    )

@@ -113,3 +113,28 @@ def test_embedding_dedup_is_blocked_join(spark, sf_dir):
     # self-join here is O(n^2) over the whole corpus at 100 TB
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_api_q19")
+    # the OR-of-conjunctions must stay a residual on the p_partkey equi
+    # join — falling back to a nested loop is O(n*m) at 100 TB
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_api_q4")
+    # EXISTS must decorrelate to a semi join (one probe per order, no
+    # duplication), never a correlated re-scan of lineitem
+    assert "LeftSemi" in plan
+
+
+def test_skew_join_partitions_on_salted_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    # the join shuffle must be keyed on (event_type, _salt) so each hot
+    # key fans across _N_SALT reducers instead of landing on one
+    assert "SortMergeJoin" in plan
+    import re
+    assert re.search(r"Exchange hashpartitioning\(event_type#\d+, _salt#\d+", plan)
