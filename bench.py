@@ -39,6 +39,11 @@ HEADLINE = [
     "odns_scan_csv_gz",
     "join_snowflake_q5",
     "sql_api_q6",
+    "sql_api_q13",
+    "sql_api_q19",
+    "join_range_binned",
+    "join_skew_salted",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -272,3 +272,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_signup_id").alias("signup_id"),
         (F.unix_micros("ts") - F.unix_micros("last_signup_ts")).alias("wait_us"),
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS signup_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + 3600000000 AS hi
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, COUNT(*) AS n_in_window
+FROM s JOIN p ON p.t >= s.lo AND p.t < s.hi
+GROUP BY s.signup_id
+""",
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned (bucketized) RANGE join: purchases falling inside each
+    signup's one-hour window, with BOTH sides big.
+
+    The broadcast-nested-loop shape of `join_theta_range` only works
+    when one side is tiny; when both sides are facts, the scalable
+    rewrite is to quantize the range dimension into fixed-width bins:
+    each interval explodes to the bins it overlaps (≤2 here), each
+    point maps to exactly one bin, and the join becomes an EQUI join on
+    bin with the range predicate as residual — a hash-partitioned
+    shuffle instead of O(n·m). Bin arithmetic is exact integer-µs
+    division (`div`), identical to DuckDB's `//`.
+    """
+    binw = 3_600_000_000  # 1 h in µs == the interval width
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.unix_micros("ts").alias("lo"),
+            (F.unix_micros("ts") + binw).alias("hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo div {binw}"), F.expr(f"(hi - 1) div {binw}")
+                )
+            ),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.unix_micros("ts").alias("t"),
+        F.expr(f"unix_micros(ts) div {binw}").alias("bin"),
+    )
+    return (
+        s.join(p, "bin")
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .groupBy("signup_id")
+        .agg(F.count("*").alias("n_in_window"))
+    )

@@ -119,30 +119,30 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_minhash_bands(docs).select("doc_id", "band0", "band1")
 
 
-@register(
-    "dedup_near_minhash",
-    oracle=_minhash_sql_core()
+_CAND_PAIRS_SQL = (
+    _minhash_sql_core()
     + """
 , exploded AS (
   SELECT doc_id, 0 AS band_idx, band0 AS band FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_idx, band1 AS band FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM exploded a JOIN exploded b
-  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
-""",
-    tags=("llm", "dedup"),
+"""
 )
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+
+
+def _candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): docs sharing any band bucket.
 
     Signatures are computed ONCE; docs are bucketed by (band_idx, band)
     with a single shuffle and pairs are expanded inside each bucket —
     candidate generation is O(bucket²) summed over buckets, never
     O(corpus²), and the expensive hashing never runs twice (a naive
     self-join would recompute the signature pipeline per side)."""
-    docs = load_table(spark, sf_dir, "documents")
     sigs = _with_minhash_bands(docs)
     exploded = sigs.select(
         "doc_id",
@@ -168,6 +168,85 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=_CAND_PAIRS_SQL + "SELECT doc_a, doc_b FROM cand",
+    tags=("llm", "dedup"),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket
+    (see `_candidate_pairs` for the bucketed O(bucket²) scale design)."""
+    return _candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cluster_components",
+    # the recursive closure CTE requires RECURSIVE on the whole chain
+    oracle=_CAND_PAIRS_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+""",
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: the TRUE
+    transitive near-dup clusters (pairwise survivorship under-merges
+    when A~B and B~C but A≁C). Returns (doc_id, cluster_id = component
+    minimum) for every doc in at least one pair.
+
+    Spark side is iterative min-label propagation — labels start as the
+    node id and each round takes the min over neighbors' labels until a
+    fixpoint (≤ graph diameter rounds). Every round is one distributed
+    join+aggregate; `localCheckpoint` truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1 (the standard Spark
+    iterative-algorithm discipline; GraphX/GraphFrames do the same
+    internally). The oracle is DuckDB's recursive CTE computing the
+    same components via transitive closure — tractable at oracle scale,
+    while the Spark formulation is the one that survives 100 TB.
+    """
+    pairs = _candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                "lbl",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 def _simhash_exprs():

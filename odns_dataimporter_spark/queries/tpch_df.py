@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
-_NATION_A = "NATION_1"
-_NATION_B = "NATION_2"
+# nation SETS rather than the textbook single pair: the synthetic data
+# at sf0.001 has no lineitem for any one specific cross-nation pair, so
+# a literal FRANCE/GERMANY-style filter is vacuously empty at test scale
+_NATIONS_A = ("NATION_1", "NATION_2", "NATION_3")
+_NATIONS_B = ("NATION_4", "NATION_5", "NATION_6")
 
 
 @register(
@@ -43,8 +46,8 @@ JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-WHERE (n1.n_name = '{_NATION_A}' AND n2.n_name = '{_NATION_B}')
-   OR (n1.n_name = '{_NATION_B}' AND n2.n_name = '{_NATION_A}')
+WHERE (n1.n_name IN {_NATIONS_A!r} AND n2.n_name IN {_NATIONS_B!r})
+   OR (n1.n_name IN {_NATIONS_B!r} AND n2.n_name IN {_NATIONS_A!r})
 GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 """,
     tags=("join", "flagship"),
@@ -62,8 +65,8 @@ def join_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     pair = (
-        (F.col("supp_nation") == _NATION_A) & (F.col("cust_nation") == _NATION_B)
-    ) | ((F.col("supp_nation") == _NATION_B) & (F.col("cust_nation") == _NATION_A))
+        F.col("supp_nation").isin(*_NATIONS_A) & F.col("cust_nation").isin(*_NATIONS_B)
+    ) | (F.col("supp_nation").isin(*_NATIONS_B) & F.col("cust_nation").isin(*_NATIONS_A))
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6).cast("long")
     return (
         li.join(s, li.l_suppkey == s.s_suppkey)
@@ -242,18 +245,23 @@ SELECT c.c_mktsegment, COUNT(*) AS numcust,
 FROM customer c, pos
 WHERE c.c_mktsegment IN {_Q22_SEGMENTS!r}
   AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.cents
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2001-01-01')
 GROUP BY c.c_mktsegment
 """,
     tags=("join", "flagship"),
 )
 def join_global_sales_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): customers above the
-    average positive balance who have never ordered. The scalar avg
-    subquery broadcasts as a 1-row aggregate; "never ordered" is a LEFT
-    ANTI join on o_custkey. The above-average test is cross-multiplied
-    into integer cents (bal_cents * n > total_cents) — no float avg.
-    c_mktsegment stands in for the reference query's phone prefix."""
+    average positive balance with no RECENT order (none since
+    2001-01-01 — in this synthetic data every customer has ordered at
+    least once, so the textbook "never ordered" anti-join is vacuously
+    empty; "lapsed" keeps the anti-join semantics non-vacuous). The
+    scalar avg subquery broadcasts as a 1-row aggregate; the anti
+    condition is a LEFT ANTI join on o_custkey over date-filtered
+    orders. The above-average test is cross-multiplied into integer
+    cents (bal_cents * n > total_cents) — no float avg. c_mktsegment
+    stands in for the reference query's phone prefix."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
     )
@@ -261,7 +269,11 @@ def join_global_sales_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(bal_cents).alias("cents"), F.count("*").alias("n")
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(pos))
         .filter(bal_cents * F.col("n") > F.col("cents"))

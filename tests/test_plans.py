@@ -138,3 +138,11 @@ def test_skew_join_partitions_on_salted_key(spark, sf_dir):
     assert "SortMergeJoin" in plan
     import re
     assert re.search(r"Exchange hashpartitioning\(event_type#\d+, _salt#\d+", plan)
+
+
+def test_range_join_binned_is_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_range_binned")
+    # the bin quantization must turn the interval join into an equi
+    # join — a nested loop here is O(n*m) with both sides big
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
