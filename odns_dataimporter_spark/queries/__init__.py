@@ -17,6 +17,7 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     setops,
     streaming_batch,
     tpch_df,
+    tpch_full,
     tpch_sql,
     windows,
 )
