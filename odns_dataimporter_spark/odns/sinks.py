@@ -11,10 +11,29 @@ kept behind the same interface for real Postgres targets.
 
 from __future__ import annotations
 
+import logging
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 
+_log = logging.getLogger("odns.sink")
 
-def write_snapshot_partitioned(df: DataFrame, path: str) -> None:
+
+def _timed_write(write, rows: int | None) -> None:
+    """Run a write action, logging (rows, sec, rows/sec) when the caller
+    knows the row count — the Spark analog of the reference's per-batch
+    wall-time debug log (dataimporter.py:163-167), kept line-compatible
+    so throughputs are directly comparable (BASELINE.md)."""
+    t0 = time.perf_counter()
+    write()
+    sec = time.perf_counter() - t0
+    if rows is not None:
+        _log.info(
+            "wrote %d rows in %.3f sec (%.0f rows/sec)", rows, sec, rows / max(sec, 1e-9)
+        )
+
+
+def write_snapshot_partitioned(df: DataFrame, path: str, rows: int | None = None) -> None:
     """Replace exactly the protocol partitions present in ``df`` —
     the reference's delete-by-protocol + insert, made atomic.
 
@@ -23,11 +42,14 @@ def write_snapshot_partitioned(df: DataFrame, path: str) -> None:
     matching the reference's per-protocol DELETE scope
     (dataimporter.py:190-195).
     """
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("protocol")
-        .parquet(path)
+    _timed_write(
+        lambda: (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("protocol")
+            .parquet(path)
+        ),
+        rows,
     )
 
 
@@ -38,6 +60,7 @@ def write_jdbc_batched(
     properties: dict[str, str] | None = None,
     batchsize: int = 200_000,
     num_partitions: int = 8,
+    rows: int | None = None,
 ) -> None:
     """Batched JDBC append mirroring the reference's 200k-row
     executemany batches (dataimporter.py:20,119-127): ``batchsize``
@@ -61,7 +84,7 @@ def write_jdbc_batched(
     )
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
-    writer.save()
+    _timed_write(writer.save, rows)
 
 
 def delete_by_protocol_sql(table: str, protocol: str) -> tuple[str, tuple[str, ...]]:
