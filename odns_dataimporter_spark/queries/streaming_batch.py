@@ -160,3 +160,54 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("window.start").cast("date").alias("day"), "n_events")
     )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle=f"""
+SELECT CASE WHEN h IS NOT NULL THEN 'hour' WHEN d IS NOT NULL THEN 'day'
+            ELSE 'month' END AS resolution,
+       {ts_str_sql('COALESCE(h, d, m)')} AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       {money_sum_sql('value', 1_000_000)} AS total_value
+FROM (SELECT event_type, value,
+             date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m
+      FROM events)
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+""",
+    tags=("streaming", "agg"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable-continuous-aggregate
+    analog): hour/day/month buckets per event_type materialized in ONE
+    scan via GROUPING SETS (`DataFrame.groupingSets`, Spark 4) instead
+    of three separate aggregations. Catalyst plans one Expand (×3 rows)
+    + one shuffle — at 100 TB that is one pass over the fact table
+    instead of three, and the Expand rows partial-aggregate map-side
+    before the exchange, so the shuffle carries pre-rolled buckets, not
+    raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    rolled = ev.groupingSets(
+        [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+        "h", "d", "m", "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum("value", 1_000_000).alias("total_value"),
+    )
+    return rolled.select(
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("month")
+        .alias("resolution"),
+        ts_str(F.coalesce("h", "d", "m")).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

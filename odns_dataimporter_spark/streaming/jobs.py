@@ -236,3 +236,46 @@ def stream_transform_with_state(spark: SparkSession, src_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(counted, "update")
+
+
+def stream_odns_archive_ingest(
+    spark: SparkSession,
+    archive_dir: str,
+    protocol: str,
+    out_dir: str,
+) -> DataFrame:
+    """Streaming ODNS archive ingest: watch a protocol's archive
+    directory and land every scan file as typed rows in the partitioned
+    snapshot layout — the Structured Streaming replacement for the
+    reference's cron-driven newest-file pick (zipFileUtils.py:7-17):
+    instead of polling for the most recent archive, the file source
+    discovers each new file exactly once (checkpointed), applies the
+    same typed projection as the batch path, and appends atomically.
+
+    ``scan_date`` is derived per-file from the filename (the streaming
+    generalization of the reference's single-file date extraction,
+    zipFileUtils.py:25-35) — one streaming job handles the whole
+    archive history, not just the latest file."""
+    from odns_dataimporter_spark.odns.ingest import typed_projection
+    from odns_dataimporter_spark.odns.schema import raw_csv_schema
+
+    raw = (
+        spark.readStream.schema(raw_csv_schema(protocol))
+        .options(sep=";", header=True, nullValue="")
+        .csv(archive_dir)
+    )
+    date = F.regexp_extract(F.input_file_name(), r"\d{4}-\d{2}-\d{2}", 0)
+    typed = typed_projection(raw, protocol, None).withColumn(
+        "scan_date", F.when(date != "", date)  # no date in name -> NULL
+    )
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_odns_"))
+        .partitionBy("protocol")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

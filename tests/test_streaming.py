@@ -105,3 +105,24 @@ def test_transform_with_state(spark, sf_dir, src_dir):
     batch = load_table(spark, sf_dir, "events").groupBy("user_id").count()
     want = {r["user_id"]: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_odns_archive_stream_equals_batch_ingest(spark, tmp_path):
+    """The streaming archive ingest must land exactly the rows the batch
+    ingest path produces for the same file, scan_date included."""
+    import os
+
+    from odns_dataimporter_spark.odns.ingest import ingest_file
+
+    archive = os.path.join(
+        os.path.dirname(__file__), "fixtures", "odns", "2026", "tcp"
+    )
+    streamed = jobs.stream_odns_archive_ingest(
+        spark, archive, "tcp", str(tmp_path / "snapshot")
+    )
+    batch = ingest_file(
+        spark, os.path.join(archive, "tcp_dns_scan_2026-01-15.csv.gz"), "tcp", "2026-01-15"
+    )
+    cols = sorted(batch.columns)
+    assert sorted(streamed.columns) == cols
+    assert _rows(streamed, cols) == _rows(batch, cols)
