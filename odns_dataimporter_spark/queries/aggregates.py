@@ -250,3 +250,36 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+WITH m AS (
+  SELECT l_linestatus,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, metric, value
+FROM m UNPIVOT (value FOR metric IN (n_rows, sum_qty, sum_cents))
+""",
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-group metrics to long (group, metric,
+    value) form — `DataFrame.unpivot`, the inverse of `agg_pivot`.
+    Values are 64-bit integers (count / integer quantity / cents) so the
+    unpivoted column has one exact type. Unpivot is a per-row Expand
+    (×3), no shuffle beyond the feeding aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+    )
+    return m.unpivot(
+        ["l_linestatus"], ["n_rows", "sum_qty", "sum_cents"], "metric", "value"
+    )

@@ -146,3 +146,39 @@ def test_range_join_binned_is_equi(spark, sf_dir):
     # join — a nested loop here is O(n*m) with both sides big
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Spark's runtime bloom filter: a selective filter on the build
+    side of a shuffle join is converted into a might_contain() probe
+    pushed into the fact side's scan stage, pruning shuffle input at
+    runtime. At 100 TB the 10 GB application-side default threshold is
+    met naturally; locally we lower it to observe the plan Catalyst
+    would produce there."""
+    from pyspark.sql import functions as F
+
+    from odns_dataimporter_spark.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
