@@ -137,7 +137,10 @@ def _bench_ingest(spark) -> dict:
         return time.perf_counter() - t0
 
     run()  # warmup (also pays the one-time gunzip)
-    sec = run()
+    # best-of-3: timings here are bimodal under external machine load
+    # (~1.5s intrinsic, occasional 8s outliers); min is the stable
+    # estimator of intrinsic cost and each run is cheap
+    sec = min(run(), run(), run())
     return {
         "rows": _INGEST_ROWS,
         "sec": round(sec, 4),
@@ -164,7 +167,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         run(name)  # warmup
-        timings[name] = round(run(name), 4)
+        # best-of-2 warm runs: machine-load noise is ±25% on this box,
+        # and the minimum is the stable estimator of intrinsic cost
+        timings[name] = round(min(run(name), run(name)), 4)
 
     ingest = _bench_ingest(spark)
 
