@@ -191,3 +191,44 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / F.lit(100.0)).alias("total_price"),
         )
     )
+
+
+@register(
+    "layout_range_cluster",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+""",
+    tags=("scan", "layout"),
+)
+def layout_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout optimization, range dimension: rewrite events
+    range-clustered on ts (`repartitionByRange` + `sortWithinPartitions`
+    → each file covers a narrow, non-overlapping time slice with tight
+    parquet row-group min/max stats), then run a one-week range query.
+    The pushed ts predicate (PushedFilters, asserted in test_plans.py)
+    lets the parquet reader skip every row group — and effectively every
+    file — outside the week. The directory-partition analog is
+    `layout_partition_prune`; together they are the two halves of the
+    100 TB layout story: partition on low-cardinality filter columns,
+    range-cluster within partitions on the time/range key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="layout_"), "events_by_ts")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )

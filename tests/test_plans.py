@@ -182,3 +182,12 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_range_cluster_pushes_ts_bounds_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "layout_range_cluster")
+    # both range bounds must reach the parquet reader so row-group
+    # min/max stats on the clustered layout can skip everything outside
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "LessThan(ts" in plan
