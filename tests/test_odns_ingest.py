@@ -136,3 +136,24 @@ def test_distributed_archive_listing(spark):
             )
         )
         assert length == disk
+
+
+def test_stage_decompress_equals_native_gz_read(spark, tmp_path):
+    """The staged (splittable) ingest path must produce exactly the rows
+    of the native .gz read — staging changes the physical scan, never
+    the data."""
+    from odns_dataimporter_spark.odns.ingest import ingest_file
+
+    native = ingest_file(spark, TCP_FILE, "tcp", "2026-01-15")
+    staged = ingest_file(
+        spark, TCP_FILE, "tcp", "2026-01-15", stage_dir=str(tmp_path / "stage")
+    )
+    assert staged.columns == native.columns
+    from collections import Counter
+
+    assert Counter(map(tuple, staged.collect())) == Counter(map(tuple, native.collect()))
+    # idempotent: a second call reuses the cached staged file
+    staged2 = ingest_file(
+        spark, TCP_FILE, "tcp", "2026-01-15", stage_dir=str(tmp_path / "stage")
+    )
+    assert staged2.count() == native.count()
