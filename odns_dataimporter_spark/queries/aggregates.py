@@ -283,3 +283,26 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unpivot(
         ["l_linestatus"], ["n_rows", "sum_qty", "sum_cents"], "metric", "value"
     )
+
+
+@register("agg_count_min_sketch", oracle=None, tags=("agg", "sketch", "rows-only"))
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch per day over event_type — the point-frequency
+    sketch next to HLL's cardinality sketch (`agg_approx_distinct`): a
+    fixed-size (ε=1%, δ=5%, seeded) mergeable summary that answers
+    "how often did X occur" within εN while shuffling only sketch bytes,
+    never raw rows. At 100 TB per-partition sketches merge associatively
+    map-side, so the exchange carries kilobytes per group. Rows-only:
+    the binary layout is Spark's own; tests decode it via the JVM
+    CountMinSketch and assert every estimate bounds the exact count
+    from above within εN (CMS never underestimates)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr("hex(count_min_sketch(event_type, 0.01d, 0.95d, 42))").alias(
+                "sketch_hex"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )

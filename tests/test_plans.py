@@ -191,3 +191,21 @@ def test_range_cluster_pushes_ts_bounds_to_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(ts" in plan
     assert "LessThan(ts" in plan
+
+
+def test_join_strategy_hints_override_catalyst(spark, sf_dir):
+    """The join-hint API surface: each strategy hint must win over
+    Catalyst's default pick (the escape hatch when statistics mislead
+    the planner at scale)."""
+    from odns_dataimporter_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    def plan_of(hint):
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
