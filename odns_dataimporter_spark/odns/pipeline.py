@@ -42,8 +42,16 @@ def run_ingest(
     protocols: tuple[str, ...] = PROTOCOLS,
     repartition: int | None = None,
     move_processed_to: str | None = None,
+    stage_dir: str | None = None,
 ) -> list[IngestResult]:
-    """The reference's main() loop (dataimporter.py:252-296), Spark-first."""
+    """The reference's main() loop (dataimporter.py:252-296), Spark-first.
+
+    Row counts come from ``Observation`` metrics collected DURING the
+    sink write (the Spark analog of the reference's running bulkCount,
+    dataimporter.py:141,158) — no second scan of the sink."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     results: list[IngestResult] = []
     for proto in protocols:
         directory = get_data_path(archive_root, proto, year)
@@ -52,10 +60,12 @@ def run_ingest(
             results.append(IngestResult(proto, None, None, 0))
             continue
         scan_date = extract_file_date_from_name(path)
-        df = ingest_file(spark, path, proto, scan_date, repartition=repartition)
-        write_snapshot_partitioned(df, sink_path)
-        rows = spark.read.parquet(sink_path).filter(f"protocol = '{proto}'").count()
-        results.append(IngestResult(proto, path, scan_date, rows))
+        df = ingest_file(
+            spark, path, proto, scan_date, repartition=repartition, stage_dir=stage_dir
+        )
+        obs = Observation(f"ingest_{proto}")
+        write_snapshot_partitioned(df.observe(obs, F.count(F.lit(1)).alias("rows")), sink_path)
+        results.append(IngestResult(proto, path, scan_date, int(obs.get["rows"])))
         if move_processed_to is not None:
             shutil.move(path, move_processed_to)
     return results
