@@ -21,6 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="ini config (see config.ini.template); flags override")
     p.add_argument("--year", type=int, default=None, help="archive year (default: current)")
     p.add_argument("--repartition", type=int, default=None)
+    p.add_argument(
+        "--stage-dir",
+        default=None,
+        help="stage-decompress .gz archives here before scanning "
+        "(splittable scan — the fast path for large single files)",
+    )
     p.add_argument("--check-health", action="store_true")
     return p
 
@@ -54,7 +60,12 @@ def main(argv: list[str] | None = None) -> int:
         from odns_dataimporter_spark.odns.pipeline import run_ingest
 
         results = run_ingest(
-            spark, args.archive, args.sink, year=args.year, repartition=args.repartition
+            spark,
+            args.archive,
+            args.sink,
+            year=args.year,
+            repartition=args.repartition,
+            stage_dir=args.stage_dir,
         )
         for r in results:
             print(

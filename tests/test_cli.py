@@ -25,3 +25,25 @@ def test_ingest_run(spark, tmp_path):
 
 def test_ingest_requires_sink(spark):
     assert main(["--archive", FIXTURES]) == 1
+
+
+def test_cli_ingest_with_stage_dir(spark, tmp_path, capsys):
+    """--stage-dir routes through the staged-decompress fast path and
+    produces the same per-protocol row counts."""
+    import os
+
+    from odns_dataimporter_spark.__main__ import main
+
+    archive = os.path.join(os.path.dirname(__file__), "fixtures", "odns")
+    rc = main(
+        [
+            "--archive", archive,
+            "--sink", str(tmp_path / "sink"),
+            "--year", "2026",
+            "--stage-dir", str(tmp_path / "stage"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tcp: 5 rows" in out
+    assert "udp: 2 rows" in out
