@@ -7,6 +7,7 @@ from odns_dataimporter_spark.queries import (  # noqa: F401
     flagship,
     joins,
     llm_dedup,
+    llm_quality,
     llm_similarity,
     llm_text,
     ml_ops,

@@ -1,0 +1,432 @@
+"""Training-data curation operators round 2 (SURVEY §2.7 extensions):
+chunking, repetition scoring, char entropy, PII redaction, cross-corpus
+segment dedup, test-set decontamination, sequence packing.
+
+All but the segment dedup are pure per-row Catalyst expression work —
+at 100 TB they run inside whole-stage codegen at scan speed with zero
+shuffles. The segment dedup is the CCNet-style corpus-wide filter and
+is deliberately shaped as ONE shuffle on the segment digest (window
+count) plus one small shuffle on doc_id.
+
+Determinism: ratios are floor-quantized with scale-before-divide;
+entropies follow the text_tfidf precedent (round(ln-based value, 6) —
+both engines' libm log agree to well under the quantum in practice);
+fold order over sorted arrays is identical on both engines so double
+accumulation is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+_CHUNK = 64
+_STRIDE = 48
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def _q6(numer, denom):
+    # floor-quantize, scaling BEFORE the divide (identical IEEE ops on
+    # both engines — see ARCHITECTURE.md "Determinism conventions")
+    return F.floor(numer * F.lit(1_000_000.0) / denom) / 1_000_000.0
+
+
+@register(
+    "text_chunk_fixed",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, {_STRIDE})) AS chunk_start
+      FROM t)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(len(toks[chunk_start:chunk_start+{_CHUNK - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_start:chunk_start+{_CHUNK - 1}], ' ')) AS chunk_digest
+FROM e
+""",
+    tags=("llm", "text"),
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (chunk=64 tokens,
+    stride=48 → 16-token overlap) — the context-window prep step before
+    tokenization/packing. One explode per doc, no shuffle; chunk text is
+    emitted as a digest so the verified value is the exact content."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _toks().alias("toks"))
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+        ).alias("chunk_id", "chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(_CHUNK))
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    )
+
+
+def _ngram_dup_sql(n: int) -> str:
+    grams = (
+        f"list_transform(range(1, len(toks)-{n}+2), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"floor((len({grams}) - len(list_distinct({grams}))) * 1e6 "
+        f"/ len({grams})) / 1e6"
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       floor((len(toks) - len(list_distinct(toks))) * 1e6 / len(toks)) / 1e6
+         AS dup_tok_frac,
+       {_ngram_dup_sql(2)} AS dup_2gram_frac,
+       {_ngram_dup_sql(3)} AS dup_3gram_frac
+FROM t
+""",
+    tags=("llm", "text"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of tokens / 2-grams /
+    3-grams that are duplicates within the document. High values flag
+    boilerplate and degenerate generations; standard pre-training
+    filter thresholds sit around 0.2-0.6. Pure per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ngrams(words, n):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+
+    def dup_frac(arr):
+        return _q6(F.size(arr) - F.size(F.array_distinct(arr)), F.size(arr))
+
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_frac(toks).alias("dup_tok_frac"),
+        dup_frac(ngrams(toks, 2)).alias("dup_2gram_frac"),
+        dup_frac(ngrams(toks, 3)).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars FROM documents),
+u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dch FROM t)
+SELECT doc_id,
+  CAST(len(dch) AS BIGINT) AS n_distinct_chars,
+  round(ln(CAST(len(chars) AS DOUBLE))
+        - list_sum(list_transform(dch,
+            c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                 * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE))))
+          / len(chars), 6) AS entropy_nats
+FROM u
+""",
+    tags=("llm", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats): the cheap
+    garbage/encoding detector — near-zero flags repeated-char junk,
+    unusually high flags binary-as-text; the same statistic scores
+    DGA-style random strings. H = ln(N) - (1/N)·Σ n_c·ln(n_c), folded
+    over the SORTED distinct-char array so both engines accumulate in
+    the same order (bit-identical before rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit("."), F.lit(0)).alias("chars")
+    )
+    d = d.withColumn("dch", F.array_sort(F.array_distinct(F.col("chars"))))
+    counts = F.transform(
+        F.col("dch"),
+        lambda c: F.size(F.filter(F.col("chars"), lambda x: x == c)),
+    )
+    sum_nlogn = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, n: acc + n.cast("double") * F.log(n.cast("double")),
+    )
+    n = F.size("chars").cast("double")
+    return d.select(
+        "doc_id",
+        F.size("dch").cast("long").alias("n_distinct_chars"),
+        F.round(F.log(n) - sum_nlogn / n, 6).alias("entropy_nats"),
+    )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def _synth_pii(doc_id):
+    """Deterministic PII-bearing suffix (the corpus itself is word soup
+    with no digits, so the redactor is exercised on synthesized spans)."""
+    return F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        (doc_id % 1000).cast("string"),
+        F.lit("@example.com from 10."),
+        (doc_id % 256).cast("string"),
+        F.lit(".0."),
+        (1 + doc_id % 254).cast("string"),
+        F.lit(" call 555-01"),
+        F.lpad((doc_id % 100).cast("string"), 2, "0"),
+    )
+
+
+_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)"
+    " || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(1 + doc_id % 254 AS VARCHAR)"
+    " || ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SYNTH_SQL} AS synth FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(synth, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(synth, '{_PII_IP}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(synth, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(synth,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_digest
+FROM t
+""",
+    tags=("llm", "text"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing (emails → IPv4 → phone, in that order) with
+    per-class match counts — the standard pre-release redaction pass.
+    Patterns are RE2/Java-compatible; redacted text is verified by
+    digest. Pure per-row regexp work: zero shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _synth_pii(F.col("doc_id")).alias("synth"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("synth"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+
+    def cnt(pat):
+        return F.size(F.regexp_extract_all("synth", F.lit(pat), F.lit(0))).cast("long")
+
+    return d.select(
+        "doc_id",
+        cnt(_PII_EMAIL).alias("n_email"),
+        cnt(_PII_IP).alias("n_ip"),
+        cnt(_PII_PHONE).alias("n_phone"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+_SEG = 10
+
+
+@register(
+    "dedup_segment_cross",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+segs AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_SEG - 1}], ' ')) AS seg
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1, {_SEG})) AS i FROM t)
+),
+counted AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY seg) AS cnt FROM segs),
+d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id, n_segs, n_dup_segs,
+       floor(n_dup_segs * 1e6 / n_segs) / 1e6 AS dup_frac
+FROM d
+WHERE floor(n_dup_segs * 1e6 / n_segs) / 1e6 < 0.5
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_segment_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus duplicate-segment filter: split each doc
+    into 10-token segments, count each segment's occurrences CORPUS-WIDE,
+    and keep documents whose duplicate-segment fraction is under 0.5
+    (reporting the stats). Shaped as one shuffle on the segment digest
+    (window count — same exchange a groupBy would need, but no join back)
+    plus one small shuffle on doc_id; segment digests never leave the
+    executors as full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    seg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(_SEG)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SEG))),
+        )
+    ).alias("seg")
+    segs = docs.select("doc_id", seg)
+    counted = segs.withColumn("cnt", F.count("*").over(Window.partitionBy("seg")))
+    d = counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_segs"),
+    )
+    dup_frac = _q6(F.col("n_dup_segs"), F.col("n_segs"))
+    return d.select("doc_id", "n_segs", "n_dup_segs", dup_frac.alias("dup_frac")).filter(
+        dup_frac < 0.5
+    )
+
+
+_DECON_N = 3  # real pipelines use 8-13-grams; 3 keeps the synthetic
+# word-soup corpus non-vacuous (246 contaminated docs at sf0.001)
+
+_DECON_GRAMS = (
+    f"list_distinct(list_transform(range(1, len(toks)-{_DECON_N}+2), "
+    f"i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))"
+)
+
+
+@register(
+    "decontam_ngram",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_DECON_GRAMS}) AS gram FROM t),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 != 0 GROUP BY g.doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len({_DECON_GRAMS}) AS BIGINT) AS n_grams
+  FROM t WHERE doc_id % 50 != 0
+)
+SELECT b.doc_id, b.n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       floor(COALESCE(h.n_contaminated, 0) * 1e6 / b.n_grams) / 1e6
+         AS contam_frac,
+       CAST(CASE WHEN COALESCE(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+""",
+    tags=("llm", "dedup"),
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-gram (n=3 here) with the held-out eval set (docs with doc_id % 50 == 0
+    stand in for the benchmark). The eval gram set is tiny relative to
+    the corpus, so it is BROADCAST — the 100 TB training side is scanned
+    once with no shuffle; per-doc contamination counts then aggregate on
+    doc_id (map-side combinable). This is the standard pre-training
+    hygiene pass (GPT-3 §C / PaLM-style 'contaminated if any n-gram
+    overlaps')."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - _DECON_N + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)),
+        )
+    )
+    g = docs.select("doc_id", F.explode(grams_arr).alias("gram"))
+    ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    hits = (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    base = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.size(grams_arr).cast("long").alias("n_grams")
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_cont.alias("n_contaminated"),
+        _q6(n_cont, F.col("n_grams")).alias("contam_frac"),
+        F.when(n_cont > 0, 1).otherwise(0).cast("long").alias("is_contaminated"),
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks
+           FROM documents),
+c AS (SELECT doc_id, source, n_toks,
+        CAST(COALESCE(SUM(n_toks) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_excl
+      FROM t)
+SELECT source,
+       CAST(floor(cum_excl / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY source, floor(cum_excl / {_PACK_BUDGET})
+""",
+    tags=("llm", "text"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget sequence packing: within each source
+    shard, docs in doc_id order are assigned to training sequences of
+    ~512 tokens by exclusive-cumulative-sum binning (a doc whose prefix
+    sum crosses the boundary starts spilling into the next sequence —
+    the standard contiguous-packing approximation, vs. first-fit which
+    is inherently sequential). The window partitions by source, so the
+    cumsum parallelizes across shards — no global ordering bottleneck;
+    at 100 TB, packing is per input shard exactly like this. One shuffle
+    on source; the groupBy reuses the same partitioning (no second
+    exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(_toks()).cast("long").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_excl", F.coalesce(F.sum("n_toks").over(w), F.lit(0).cast("long"))
+    )
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor(F.col("cum_excl") / F.lit(_PACK_BUDGET)).cast("long"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
