@@ -193,6 +193,32 @@ def test_range_cluster_pushes_ts_bounds_to_scan(spark, sf_dir):
     assert "LessThan(ts" in plan
 
 
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    # the cumsum window shuffles once on source; the (source, seq_id)
+    # aggregate must reuse that partitioning (hash on a subset of the
+    # group keys satisfies the aggregate's clustered distribution) —
+    # a second exchange here re-shuffles the whole corpus at 100 TB
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "decontam_ngram")
+    # the contamination probe must broadcast the (small) eval gram set
+    # into a semi join — shuffling the exploded training corpus on gram
+    # would move the full 100 TB token stream
+    assert re.search(r"BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], LeftSemi", plan)
+
+
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_segment_cross")
+    # one exchange on the segment digest (window count), one on doc_id
+    # (per-doc stats) — anything more means the corpus moved twice
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_join_strategy_hints_override_catalyst(spark, sf_dir):
     """The join-hint API surface: each strategy hint must win over
     Catalyst's default pick (the escape hatch when statistics mislead
