@@ -267,3 +267,69 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"),
         )
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+             CAST(len(v) AS BIGINT) AS n_dim
+      FROM t WHERE list_min(v) < list_max(v)),
+q AS (SELECT vec_id, lo, hi, n_dim,
+        list_transform(v, x ->
+          CAST(least(255, floor((x - lo) * 255.0 / (hi - lo))) AS BIGINT)) AS qv,
+        list_transform(v, x ->
+          (x - (lo + least(255, floor((x - lo) * 255.0 / (hi - lo)))
+                     * (hi - lo) / 255.0))
+          * (x - (lo + least(255, floor((x - lo) * 255.0 / (hi - lo)))
+                       * (hi - lo) / 255.0))) AS errs
+      FROM s)
+SELECT vec_id, n_dim, lo, hi,
+       md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ','))
+         AS q_digest,
+       floor(list_reduce(errs, (a, b) -> a + b) * 1e9 / n_dim) / 1e9 AS mse_q9
+FROM q
+""",
+    tags=("llm", "embedding"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar int8 quantization (min/max affine, the faiss
+    SQ8 scheme): maps each float32 embedding to 256 levels, reporting
+    the quantized-vector digest and reconstruction MSE. This is the 4x
+    storage/bandwidth reduction step before ANN indexing at 100 TB —
+    pure per-row array math in whole-stage codegen, zero shuffles.
+    Determinism: floor-based level assignment (never round), scale
+    before divide, error fold in array order; MSE floor-quantized at
+    1e-9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+        F.size("v").cast("long").alias("n_dim"),
+    ).filter(F.col("lo") < F.col("hi"))
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def level(x):
+        return F.least(F.lit(255).cast("long"), F.floor((x - lo) * 255.0 / (hi - lo)))
+
+    def err2(x):
+        e = x - (lo + level(x).cast("double") * (hi - lo) / 255.0)
+        return e * e
+
+    qv = F.transform(F.col("v"), lambda x: level(x).cast("string"))
+    sum_err = F.aggregate(
+        F.transform(F.col("v"), err2), F.lit(0.0), lambda acc, e: acc + e
+    )
+    return d.select(
+        "vec_id",
+        "n_dim",
+        "lo",
+        "hi",
+        F.md5(F.concat_ws(",", qv)).alias("q_digest"),
+        (F.floor(sum_err * 1e9 / F.col("n_dim")) / 1e9).alias("mse_q9"),
+    )

@@ -232,3 +232,49 @@ def layout_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "sample_source_weighted",
+    oracle="""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+           FROM documents GROUP BY source),
+u AS (SELECT doc_id, source,
+        list_reduce(
+          list_transform(
+            regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.'),
+            ch -> strpos('0123456789abcdef', ch) - 1),
+          (a, b) -> a * 16 + b) AS u32
+      FROM documents)
+SELECT u.doc_id, u.source, c.n_src
+FROM u JOIN c USING (source)
+WHERE u.u32 < least(4294967296.0,
+                    floor(12884901888.0 / sqrt(CAST(c.n_src AS DOUBLE))))
+""",
+    tags=("llm", "sampling"),
+)
+def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): each source
+    contributes ~K*sqrt(n_src) expected documents (K=3), so large
+    sources are down-weighted exactly like multilingual/multi-corpus
+    alpha-sampling — without any cross-source normalization term (no
+    global float sum to make deterministic). Selection is a pure
+    function of doc_id: a 32-bit uniform from the md5 prefix compared
+    against the per-source threshold. The per-source counts are a tiny
+    partial-aggregated groupBy broadcast back onto the corpus — the
+    100 TB side is scanned once, never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_src"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.least(
+        F.lit(4294967296.0),
+        F.floor(F.lit(12884901888.0) / F.sqrt(F.col("n_src").cast("double"))),
+    )
+    return (
+        docs.select("doc_id", "source", u32.alias("u32"))
+        .join(F.broadcast(counts), "source")
+        .filter(F.col("u32") < thr)
+        .select("doc_id", "source", "n_src")
+    )

@@ -219,6 +219,21 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_quantize_has_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embed_quantize_int8")
+    # pure per-row array math: any exchange here means the planner
+    # stopped fusing and the full embedding corpus moves at 100 TB
+    assert "Exchange" not in plan
+
+
+def test_source_weighted_sample_broadcasts_counts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_source_weighted")
+    # only the tiny per-source count aggregate may shuffle; the corpus
+    # side joins against it via broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_join_strategy_hints_override_catalyst(spark, sf_dir):
     """The join-hint API surface: each strategy hint must win over
     Catalyst's default pick (the escape hatch when statistics mislead
