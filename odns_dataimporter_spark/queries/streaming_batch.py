@@ -211,3 +211,44 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_join_interval",
+    oracle=f"""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       {ts_str_sql('v.ts')} AS view_ts, {ts_str_sql('p.ts')} AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution within 4 hours: the batch twin of the
+    stream-stream interval join (jobs.stream_stream_join). Equi key on
+    user_id with the time range as a join residual — a hash join at any
+    scale, never a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    return j.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        ts_str("v_ts").alias("view_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from odns_dataimporter_spark.queries._helpers import ts_str
 from odns_dataimporter_spark.tables import load_table
 
 
@@ -164,6 +165,45 @@ def stream_static_join_enrich(spark: SparkSession, src_dir: str, sf_dir: str) ->
         "event_id", "user_id", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
     )
     return _run_to_memory(enriched, "append")
+
+
+def stream_stream_join(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Stream-stream interval join: views joined to the same user's
+    purchases within 4 hours, BOTH sides unbounded. Spark buffers each
+    side in the state store; the watermarks plus the two-sided time
+    range let it evict views older than watermark-4h and purchases
+    older than the watermark — bounded state on infinite input, which is
+    the whole trick (an un-ranged stream-stream join grows state
+    forever). Batch twin: queries/streaming_batch.stream_join_interval."""
+    v = (
+        read_events_stream(spark, src_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts"))
+    )
+    p = (
+        read_events_stream(spark, src_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        ts_str("v_ts").alias("view_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+    )
+    return _run_to_memory(j, "append")
 
 
 def stream_foreach_batch_sink(spark: SparkSession, src_dir: str, out_dir: str) -> int:

@@ -77,6 +77,16 @@ def test_stream_static_join(spark, sf_dir, src_dir):
     )
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, src_dir):
+    from odns_dataimporter_spark.queries.streaming_batch import stream_join_interval
+
+    streamed = jobs.stream_stream_join(spark, src_dir)
+    batch = stream_join_interval(spark, sf_dir)
+    cols = ["view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"]
+    assert streamed.count() > 0
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
 def test_foreach_batch_sink(spark, sf_dir, src_dir, tmp_path):
     out = str(tmp_path / "fb_out")
     n_batches = jobs.stream_foreach_batch_sink(spark, src_dir, out)
