@@ -231,3 +231,172 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_with_price"),
         F.count("priority_rank").alias("n_with_rank"),
     )
+
+
+def _profile_sql(col: str, repr_sql: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(COUNT(*) FILTER ({col} IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       {repr_sql.format(x=f'min({col})')} AS min_repr,
+       {repr_sql.format(x=f'max({col})')} AS max_repr
+FROM orders"""
+
+
+@register(
+    "profile_table",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_sql("o_orderkey", "CAST({x} AS VARCHAR)"),
+            _profile_sql("o_custkey", "CAST({x} AS VARCHAR)"),
+            _profile_sql("o_orderstatus", "{x}"),
+            _profile_sql("o_orderpriority", "{x}"),
+            _profile_sql(
+                "o_totalprice", "CAST(CAST(round({x}*100) AS BIGINT) AS VARCHAR)"
+            ),
+            _profile_sql("o_orderdate", "strftime({x}, '%Y-%m-%d %H:%M:%S')"),
+        ]
+    ),
+    tags=("etl", "profiling"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling (the deequ/great-expectations core
+    loop): per-column null count, exact distinct count, and typed
+    min/max rendered to strings under deterministic rules (ints raw,
+    money as integer cents, timestamps formatted). ONE scan computes all
+    six columns' stats; the exact distincts expand the scan 6-fold in
+    the shuffle, which is the documented trade — at 100 TB swap
+    count_distinct for approx_count_distinct (the plan is otherwise
+    unchanged) and accept ~2% error, as every production profiler does."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(col, rep):
+        return F.struct(
+            F.lit(col).alias("col_name"),
+            F.count(F.when(F.col(col).isNull(), 1)).cast("long").alias("n_nulls"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            rep(F.min(col)).alias("min_repr"),
+            rep(F.max(col)).alias("max_repr"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    cents = lambda c: F.round(c * 100).cast("long").cast("string")  # noqa: E731
+    day = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    row = o.agg(
+        F.array(
+            stats("o_orderkey", as_str),
+            stats("o_custkey", as_str),
+            stats("o_orderstatus", as_str),
+            stats("o_orderpriority", as_str),
+            stats("o_totalprice", cents),
+            stats("o_orderdate", day),
+        ).alias("profile")
+    )
+    return row.select(F.inline("profile"))
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, epoch_us(s1.t1) AS t1_us, epoch_us(s2.t2) AS t2_us,
+       epoch_us(s3.t3) AS t3_us,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+    tags=("analytics", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup → view → purchase: per user,
+    the first view strictly after the first signup, then the first
+    purchase strictly after that view. ONE shuffle total: events
+    group to a per-user sorted struct array and the funnel is a pure
+    array fold over it (the oracle's equivalent 3-pass correlated-min
+    formulation would scan and join events three times — the collect
+    approach assumes bounded per-user activity, which event data has).
+    Timestamps are integer µs; stage reached is 0-3."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("a")
+        )
+    )
+
+    def first_after(typ, after):
+        hit = F.element_at(
+            F.filter(
+                F.col("a"),
+                lambda x: (x["event_type"] == F.lit(typ))
+                & (F.lit(True) if after is None else x["ts"] > after),
+            ),
+            1,
+        )
+        return hit["ts"]
+
+    t1 = first_after("signup", None)
+    a2 = a.withColumn("t1", t1)
+    a2 = a2.withColumn("t2", first_after("view", F.col("t1")))
+    a2 = a2.withColumn("t3", first_after("purchase", F.col("t2")))
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return a2.select(
+        "user_id",
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+        stage.cast("long").alias("funnel_stage"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH c AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events)
+SELECT c.cohort_day, CAST(a.act_day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("analytics", "events"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each subsequent active day (the day-N retention table
+    every growth dashboard is built on). The cohort assignment, the
+    distinct (user, day) activity set, and the join all shuffle on
+    user_id — AQE coalesces them onto one partitioning — and the final
+    matrix aggregate is tiny (|days|²)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    c = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    a = ev.select("user_id", day.alias("act_day")).distinct()
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -332,3 +332,43 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("token_budget"),
     )
+
+
+@register(
+    "text_vocab_topn",
+    oracle="""
+WITH g AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY token),
+t AS (SELECT * FROM f ORDER BY n_occ DESC, token LIMIT 500)
+SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) - 1
+         AS token_id,
+       token, n_occ, n_docs
+FROM t
+""",
+    tags=("llm", "text"),
+)
+def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: token frequencies + document frequencies,
+    top-500 by count with contiguous 0-based ids — the tokenizer-training
+    precursor. One shuffle on token (partial-aggregated, so the exchange
+    carries |vocab| not |corpus|); the top-500 cut collapses to
+    TakeOrderedAndProject, and the id window then runs over 500 rows, not
+    the corpus."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    f = g.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    t = f.orderBy(F.desc("n_occ"), "token").limit(500)
+    w = W.orderBy(F.desc("n_occ"), "token")
+    return t.select(
+        (F.row_number().over(w).cast("long") - 1).alias("token_id"),
+        "token",
+        "n_occ",
+        "n_docs",
+    )

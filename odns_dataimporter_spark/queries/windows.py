@@ -209,3 +209,64 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("win_cents"),
         F.count("*").over(w).alias("win_n"),
     )
+
+
+@register(
+    "sessionize_lag_cumsum",
+    oracle="""
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+           FROM events),
+f AS (SELECT user_id, event_id, us,
+        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM o),
+s AS (SELECT user_id, us,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx
+""",
+    tags=("window", "analytics"),
+)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lag/cumsum sessionization (30-min inactivity gap): flag a
+    new session when the gap to the previous event exceeds the timeout,
+    running-sum the flags into per-user session indexes, then aggregate
+    per session. Both window passes AND the final aggregate share the
+    user_id partitioning — ONE shuffle end to end (the session_window
+    operator computes the same thing; this is the portable formulation
+    every warehouse uses). Timestamps are integer µs throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    f = o.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = f.withColumn("session_idx", F.sum("new_s").over(ws))
+    return s.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("us").cast("long").alias("start_us"),
+        F.max("us").cast("long").alias("end_us"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )

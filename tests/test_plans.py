@@ -234,6 +234,27 @@ def test_source_weighted_sample_broadcasts_counts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_vocab_topn_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_vocab_topn")
+    # the top-500 cut must collapse to TakeOrderedAndProject so the
+    # global id window runs over 500 rows, never the whole vocabulary
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_funnel")
+    # the whole 3-stage funnel must reduce to one exchange on user_id —
+    # the naive formulation scans and joins events three times
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sessionize_lag_cumsum")
+    # lag window, cumsum window, and per-session aggregate all share the
+    # user_id partitioning: exactly one exchange end to end
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_join_strategy_hints_override_catalyst(spark, sf_dir):
     """The join-hint API surface: each strategy hint must win over
     Catalyst's default pick (the escape hatch when statistics mislead
