@@ -278,3 +278,67 @@ def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u32") < thr)
         .select("doc_id", "source", "n_src")
     )
+
+
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def _zvalue():
+    """Morton (z-order) key: interleave the low 16 bits of user_id with
+    the low 16 bits of the hour index — pure integer expression work."""
+    hour = F.floor(
+        (F.unix_micros("ts") - F.lit(_EPOCH_2024_US)) / F.lit(3.6e9)
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("user_id"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = z + F.shiftleft(F.shiftright(hour, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+@register(
+    "layout_zorder",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id BETWEEN 3 AND 6
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY user_id
+""",
+    tags=("scan", "layout"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout optimization, multi-dimension: rewrite events
+    clustered on a Morton (z-order) key interleaving user_id and
+    hour-of-range bits (what Delta's OPTIMIZE ZORDER BY does), then run
+    a query selective on BOTH dimensions. Because z-sorting co-locates
+    rows close in (user_id, ts) space, each row group's min/max stats
+    are tight on BOTH columns simultaneously — the pushed user_id range
+    AND ts range each skip row groups, which one-dimensional range
+    clustering (layout_range_cluster) can only do for its single sort
+    key. The z key is sort-only scaffolding: result values come from
+    the real columns, so the layout cannot affect correctness."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="layout_"), "events_zorder")
+    (
+        ev.withColumn("z", _zvalue())
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("user_id") >= 3)
+            & (F.col("user_id") <= 6)
+            & (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )

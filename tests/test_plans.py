@@ -255,6 +255,22 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_zorder_pushes_both_dims_to_scan(spark, sf_dir):
+    # toString() truncates long filter lists; formatted mode prints the
+    # full PushedFilters line
+    df = REGISTRY["layout_zorder"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # both dimensions' predicates must reach the parquet reader — the
+    # z-ordered layout makes row-group min/max tight on BOTH columns,
+    # so each pushed range independently skips row groups
+    assert "GreaterThanOrEqual(user_id,3)" in plan
+    assert "LessThanOrEqual(user_id,6)" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+    assert "LessThan(ts" in plan
+
+
 def test_join_strategy_hints_override_catalyst(spark, sf_dir):
     """The join-hint API surface: each strategy hint must win over
     Catalyst's default pick (the escape hatch when statistics mislead
