@@ -326,3 +326,58 @@ def odns_cidr_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_checked"),
         F.count(in_prefix).alias("n_in_prefix"),
     )
+
+
+@register(
+    "odns_cidr_rollup",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE}),
+o AS (SELECT CAST(split_part(ip_request, '.', 1) AS BIGINT) AS o1,
+             CAST(split_part(ip_request, '.', 2) AS BIGINT) AS o2,
+             ip_response
+      FROM ingested WHERE ip_request IS NOT NULL)
+SELECT CASE WHEN GROUPING(o2) = 1
+            THEN CAST(o1 AS VARCHAR) || '.0.0.0/8'
+            ELSE CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.0.0/16'
+       END AS prefix,
+       CAST(CASE WHEN GROUPING(o2) = 1 THEN 8 ELSE 16 END AS BIGINT) AS masklen,
+       COUNT(*) AS n_requests,
+       COUNT(DISTINCT ip_response) AS n_resolvers
+FROM o GROUP BY GROUPING SETS ((o1), (o1, o2))
+""",
+    tags=("odns", "analytics"),
+)
+def odns_cidr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical CIDR aggregation over the scan: requests and distinct
+    responding resolvers per /8 and /16 prefix in ONE scan via GROUPING
+    SETS (one Expand ×2 + one shuffle, partial-aggregated map-side) —
+    the network-level rollup an ODNS measurement study reports
+    (resolvers per prefix), generalized from the reference's flat
+    per-protocol counts. GROUPING() distinguishes the levels, never
+    NULL-sentinels (a real NULL octet would corrupt those)."""
+    ing = _ingest_both(spark).filter(F.col("ip_request").isNotNull())
+    parts = F.split("ip_request", "\\.")
+    o = ing.select(
+        parts.getItem(0).cast("long").alias("o1"),
+        parts.getItem(1).cast("long").alias("o2"),
+        "ip_response",
+    )
+    g = o.groupingSets([["o1"], ["o1", "o2"]], "o1", "o2").agg(
+        F.count("*").alias("n_requests"),
+        F.countDistinct("ip_response").alias("n_resolvers"),
+        F.grouping("o2").alias("g2"),
+    )
+    is8 = F.col("g2") == 1
+    return g.select(
+        F.when(is8, F.concat(F.col("o1").cast("string"), F.lit(".0.0.0/8"))).otherwise(
+            F.concat(
+                F.col("o1").cast("string"),
+                F.lit("."),
+                F.col("o2").cast("string"),
+                F.lit(".0.0/16"),
+            )
+        ).alias("prefix"),
+        F.when(is8, 8).otherwise(16).cast("long").alias("masklen"),
+        "n_requests",
+        "n_resolvers",
+    )
