@@ -372,3 +372,59 @@ def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occ",
         "n_docs",
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+e AS (SELECT doc_id, toks[i] AS token, i AS pos
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+j AS (SELECT e.doc_id, e.pos,
+             ln(CAST(v.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)) AS lp
+      FROM e JOIN v USING (token) CROSS JOIN n),
+a AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       floor(-list_reduce(lps, (x, y) -> x + y) * 1e6 / n_tokens) / 1e6
+         AS avg_nll_q6
+FROM a
+""",
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring with an in-corpus
+    unigram LM: each document's average negative log-likelihood under
+    the corpus token distribution (perplexity's monotone equivalent —
+    exp() is deliberately not applied, keeping the statistic inside the
+    cross-engine-exact ln/division/fold toolbox). Low = typical text,
+    high = rare-token soup; CCNet buckets the corpus by exactly this
+    signal. Two shuffles: the vocabulary aggregate (tiny; broadcast
+    back — even a 50k BPE vocab broadcasts) and the per-doc regroup.
+    The per-doc fold runs in token-position order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    e = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    )
+    v = e.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    n = v.agg(F.sum("cnt").alias("n"))
+    j = e.join(F.broadcast(v), "token").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "pos",
+        F.log(F.col("cnt").cast("double") / F.col("n").cast("double")).alias("lp"),
+    )
+    a = j.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("lps"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    s = F.aggregate(F.col("lps"), F.lit(0.0), lambda acc, x: acc + x["lp"])
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(-s * 1e6 / F.col("n_tokens")) / 1e6).alias("avg_nll_q6"),
+    )
