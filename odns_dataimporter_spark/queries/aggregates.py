@@ -306,3 +306,44 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 1e6) AS BIGINT)
+           AS bin_id
+  FROM orders),
+c AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_orders FROM b GROUP BY 1),
+m AS (SELECT MAX(bin_id) AS mx FROM b),
+s AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), mx)) AS bin_id FROM m)
+SELECT s.bin_id, s.bin_id * 1e4 AS bin_lo,
+       CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders
+FROM s LEFT JOIN c USING (bin_id)
+""",
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals ($10,000 bins) on a dense
+    bin spine — empty bins appear with a zero count, so the output is
+    directly plottable (the `width_bucket` / `histogram()` analog).
+    Binning goes through exact integer cents (round once, floor the
+    cent-quotient) so boundary values land in the same bin on both
+    engines. Scale shape: the per-bin count is one map-side-combined
+    shuffle of bin ids only; the spine comes from a scalar max and is
+    broadcast — histogram over 100 TB moves kilobytes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    binned = orders.select(F.floor(cents / F.lit(1e6)).cast("long").alias("bin_id"))
+    counts = binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    spine = binned.agg(F.max("bin_id").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mx"))).alias("bin_id")
+    )
+    return spine.join(counts, "bin_id", "left").select(
+        "bin_id",
+        (F.col("bin_id") * 10000.0).alias("bin_lo"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )

@@ -428,3 +428,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.floor(-s * 1e6 / F.col("n_tokens")) / 1e6).alias("avg_nll_q6"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents))
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM p GROUP BY token HAVING COUNT(*) >= 5
+""",
+    tags=("llm", "text"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine/BM25 substrate: token →
+    sorted posting list of the documents containing it, restricted to
+    tokens appearing in ≥5 documents. Within-document dedup happens
+    map-side via array_distinct BEFORE the explode, so the single
+    shuffle carries only distinct (token, doc_id) pairs — no second
+    distinct exchange. At 100 TB the posting lists for stop-word-grade
+    tokens skew; production would range-split postings per token (the
+    HAVING floor here is the inverse guard: it drops the hapax tail
+    that dominates token cardinality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .select("token", "n_docs", "postings")
+    )

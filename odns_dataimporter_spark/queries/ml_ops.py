@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
@@ -141,4 +142,93 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
         (F.floor(chi2 * 1e6) / 1e6).alias("chi2_q6"),
+    )
+
+
+@register(
+    "ml_kmeans_step",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+           - 2 * list_dot_product(e.v, c.cv) AS dist2
+  FROM e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d) WHERE rn = 1),
+m AS (
+  SELECT cid, vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS val FROM (
+    SELECT a.cid, e.vec_id, e.v, unnest(range(1, len(e.v) + 1)) AS i
+    FROM a JOIN e USING (vec_id))),
+g AS (
+  SELECT cid, dim, list(val ORDER BY vec_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM m GROUP BY cid, dim)
+SELECT cid, dim, n_members,
+       floor(list_reduce(vs, (x, y) -> x + y) * 1e6 / n_members) / 1e6
+         AS centroid_q6
+FROM g
+""",
+    tags=("ml", "llm"),
+)
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k=8, centroids seeded
+    deterministically from vec_id 0–7): assign every embedding to its
+    nearest centroid by squared L2 — expanded as x·x + c·c − 2·x·c so
+    all three terms are the bit-identical sequential-fold dot product —
+    ties broken toward the lower centroid id, then recompute each
+    centroid as the per-dimension member mean. The mean uses a
+    vec_id-ordered fold (order-fixed double sum on both engines) with
+    the floor-quantized scale-before-divide convention. Scale shape:
+    the k×64-float centroid table broadcasts, so assignment is
+    shuffle-free; only the (cid, dim) regroup exchanges — at 100 TB the
+    production swap is per-partition vector partial sums
+    (treeAggregate-style, what spark.ml KMeans does) at the cost of the
+    sum's bit-reproducibility; iterate this op to convergence."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    x, c = F.col("embedding"), F.col("cvec")
+    pairs = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (dot(x, x) + dot(c, c) - 2 * dot(x, c)).alias("dist2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    member = assign.join(emb, "vec_id").select(
+        "cid",
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cells = member.groupBy("cid", F.col("dim").cast("long").alias("dim")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("vec_id", F.col("val").cast("double").alias("val")))
+        ).alias("vs"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    total = F.aggregate(
+        F.col("vs"), F.lit(0.0), lambda acc, s: acc + s["val"]
+    )
+    return cells.select(
+        "cid",
+        "dim",
+        "n_members",
+        (F.floor(total * 1e6 / F.col("n_members")) / 1e6).alias("centroid_q6"),
     )

@@ -370,3 +370,50 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").bitwiseXOR(F.lit(255)).alias("xored"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+@register(
+    "fn_levenshtein_block",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun FROM part)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 5
+""",
+    tags=("scalar", "llm"),
+)
+def fn_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with blocking — the entity-
+    resolution primitive: candidate part-name pairs that share a
+    blocking key (last name token) within Levenshtein distance ≤ 5.
+    Blocking turns the O(n²) all-pairs problem into an equi-join whose
+    quadratic blowup is confined to each block — the same
+    block-then-score shape as `dedup_near_minhash`, with an exact
+    string metric instead of a signature. levenshtein() runs JVM-side
+    (no UDF); the int32 result is widened to match DuckDB's BIGINT."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 5)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )

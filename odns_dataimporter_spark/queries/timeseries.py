@@ -1,0 +1,206 @@
+"""Time-series operators over the `events` table: dense time-spine
+gap-filling with last-observation-carried-forward interpolation (the
+TimescaleDB `time_bucket_gapfill` + `locf` analog), SCD Type 2
+effective-range construction (gaps-and-islands), and per-group OLS
+trend fitting from integer sufficient statistics.
+
+The reference (`/root/reference/dataimporter.py`) has no temporal
+analytics at all — its only time handling is the strict timestamp cast
+(`fieldtypers.py:13-17`) and the filename-derived `scan_date`
+(`zipFileUtils.py:25-35`). These are EXT operators mandated by the
+north star's "complete pipeline" surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from odns_dataimporter_spark.queries._helpers import (
+    money_sum,
+    money_sum_sql,
+    ts_str,
+    ts_str_sql,
+)
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {money_sum_sql("value")} AS val_sum
+  FROM events GROUP BY 1, 2),
+b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+grid AS (SELECT t.event_type, s.hour
+         FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s)
+SELECT g.event_type, {ts_str_sql("g.hour")} AS hour,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       last_value(a.val_sum IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_locf
+FROM grid g
+LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+""",
+    tags=("timeseries",),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time spine with gap-filling: every (event_type,
+    hour) cell over the table's full span exists in the output, absent
+    cells get a zero count, and the per-hour value sum is interpolated
+    by carrying the last observed value forward (TimescaleDB's
+    `time_bucket_gapfill` + `locf`). Scale shape: the hourly aggregate
+    is the only big shuffle; the spine is hours × types (tiny even for
+    a decade — ~90k cells/type), built from one scalar min/max agg and
+    cross-joined broadcast-side, and the LOCF window rides the same
+    event_type partitioning. Leading cells before a type's first
+    observation stay NULL on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        money_sum("value").alias("val_sum"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        ts_str("hour").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("val_sum", ignorenulls=True).over(w).alias("val_locf"),
+    )
+
+
+@register(
+    "scd2_build",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MAX(event_type) AS state
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                   OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS is_new
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+i AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM c)
+SELECT user_id, version, state,
+       MIN(day) AS valid_from, MAX(day) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM i GROUP BY user_id, version, state
+""",
+    tags=("timeseries", "etl"),
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: collapse each user's
+    daily state (deterministically the lexicographic max event_type per
+    day) into versioned effective ranges [valid_from, valid_to] via the
+    gaps-and-islands construction — lag to flag state changes, running
+    sum to number versions, then one group-by per island. This is the
+    warehouse-dimension twin of `cdc_snapshot_diff`. Everything after
+    the daily rollup rides a single user_id shuffle: both windows and
+    the final aggregate reuse the same partitioning, so Catalyst plans
+    exactly one exchange after the first."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max("event_type").alias("state"))
+    w = W.partitionBy("user_id").orderBy("day")
+    lagged = F.lag("state").over(w)
+    chg = daily.withColumn(
+        "is_new",
+        F.when(lagged.isNull() | (lagged != F.col("state")), 1).otherwise(0),
+    )
+    isl = chg.withColumn(
+        "version",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return isl.groupBy("user_id", "version", "state").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+
+
+@register(
+    "stats_linear_trend",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(date_diff('day', DATE '2024-01-01', day)) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(date_diff('day', DATE '2024-01-01', day) * y) AS BIGINT) AS sxy,
+         CAST(SUM(date_diff('day', DATE '2024-01-01', day)
+                  * date_diff('day', DATE '2024-01-01', day)) AS BIGINT) AS sxx
+  FROM daily GROUP BY user_id)
+SELECT user_id, n,
+       floor(CAST(n*sxy - sx*sy AS DOUBLE) * 1e6
+             / CAST(n*sxx - sx*sx AS DOUBLE)) / 1e6 AS slope_q6,
+       floor(CAST(sy*sxx - sx*sxy AS DOUBLE) * 1e6
+             / CAST(n*sxx - sx*sx AS DOUBLE)) / 1e6 AS icept_q6
+FROM s WHERE n*sxx - sx*sx <> 0
+""",
+    tags=("timeseries", "stats"),
+)
+def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordinary-least-squares activity trend: slope and
+    intercept of daily event counts regressed on the day index, from
+    integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) so the sums are
+    exact int64 and order-independent; the single float division per
+    user is floor-quantized to 1e-6 on both engines. Users active on
+    only one day (zero variance in x) are excluded. Scale shape: the
+    two aggregates share the user_id key prefix — Catalyst plans one
+    shuffle on (user_id, day) and a map-side partial for the second;
+    regression over billions of rows reduces to five numbers per key,
+    the textbook sketch-style aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    x = F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long")
+    s = daily.select("user_id", x.alias("x"), "y").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    icept_num = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
+    return s.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
+    ).select(
+        "user_id",
+        "n",
+        (F.floor(slope_num * 1e6 / den) / 1e6).alias("slope_q6"),
+        (F.floor(icept_num * 1e6 / den) / 1e6).alias("icept_q6"),
+    )
