@@ -204,3 +204,175 @@ def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope_num * 1e6 / den) / 1e6).alias("slope_q6"),
         (F.floor(icept_num * 1e6 / den) / 1e6).alias("icept_q6"),
     )
+
+
+_SCD_SQL = """
+  daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, MAX(event_type) AS state
+    FROM events GROUP BY 1, 2),
+  chg AS (
+    SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                     OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS is_new
+    FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+  isl AS (
+    SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+    FROM chg),
+  scd AS (
+    SELECT user_id, version, state,
+           MIN(day) AS valid_from, MAX(day) AS valid_to
+    FROM isl GROUP BY user_id, version, state)
+"""
+
+
+@register(
+    "scd2_lookup",
+    oracle=f"""
+WITH {_SCD_SQL}
+SELECT s.state, s.version, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS day FROM events) e
+JOIN scd s ON e.user_id = s.user_id
+          AND e.day BETWEEN s.valid_from AND s.valid_to
+GROUP BY s.state, s.version
+""",
+    tags=("timeseries", "etl"),
+)
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the consumer side of
+    `scd2_build`: join every fact row to the dimension version that was
+    effective on the fact's date (equi-key on user_id + range residual
+    on the validity interval), then roll up events/users per (state,
+    version). This is the temporal-join shape every warehouse needs for
+    as-was reporting. Scale shape: the join carries the user_id
+    equi-key, so Catalyst plans a hash/sort-merge join on user_id
+    (broadcast at small scale) with the BETWEEN as a post-join residual
+    — never a nested loop; dimension versions per user are few, so the
+    residual fan-out is bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_build(spark, sf_dir).select(
+        "user_id", "version", "state", "valid_from", "valid_to"
+    )
+    facts = ev.select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.user_id)
+            & F.col("day").between(F.col("valid_from"), F.col("valid_to")),
+        )
+        .groupBy("state", "version")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct(facts.user_id).cast("long").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_markov",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events),
+c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE src IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n_trans,
+       floor(CAST(n_trans AS DOUBLE) * 1e6
+             / CAST(SUM(n_trans) OVER (PARTITION BY src) AS DOUBLE)) / 1e6
+         AS p_q6
+FROM c
+""",
+    tags=("timeseries", "stats"),
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    consecutive event pairs per user (ordered by ts with event_id as
+    the unique tiebreaker), counted per (src, dst) and row-normalized
+    into transition probabilities (floor-quantized, scale-before-divide).
+    The journey-analysis primitive behind next-action prediction and
+    funnel discovery. Scale shape: one user_id shuffle for the lag, a
+    map-side-combined count to a transition matrix of |types|² cells,
+    and the normalizing sum is a window over that tiny matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n_trans"))
+    tot = F.sum("n_trans").over(W.partitionBy("src"))
+    return c.select(
+        "src",
+        "dst",
+        "n_trans",
+        (
+            F.floor(F.col("n_trans").cast("double") * 1e6 / tot.cast("double"))
+            / 1e6
+        ).alias("p_q6"),
+    )
+
+
+@register(
+    "stats_mad_outliers",
+    oracle="""
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+st AS (
+  SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1, 2),
+o AS (
+  SELECT e.event_type, s.med, s.mad,
+         CAST(SUM(CASE WHEN abs(e.value - s.med) > 3 * s.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN st s USING (event_type) GROUP BY 1, 2, 3)
+SELECT event_type, floor(med * 1e6) / 1e6 AS med_q6,
+       floor(mad * 1e6) / 1e6 AS mad_q6, n_outliers, n
+FROM o
+""",
+    tags=("timeseries", "stats"),
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type via the median absolute
+    deviation: med = exact median, mad = median(|x − med|), outliers =
+    values beyond 3·MAD — the standard robust alternative to z-scores
+    when the value distribution has heavy tails. Exact medians keep the
+    oracle bit-checkable (both engines linearly interpolate even-count
+    medians over identical doubles); the 100 TB swap is
+    approx_percentile sketches, one pass instead of three. Scale shape:
+    three scans but every aggregate keys on the tiny event_type domain,
+    and the per-type med/mad tables broadcast back — no large shuffle
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    st = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    o = (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return o.select(
+        "event_type",
+        (F.floor(F.col("med") * 1e6) / 1e6).alias("med_q6"),
+        (F.floor(F.col("mad") * 1e6) / 1e6).alias("mad_q6"),
+        "n_outliers",
+        "n",
+    )

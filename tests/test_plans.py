@@ -287,3 +287,57 @@ def test_join_strategy_hints_override_catalyst(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of("broadcast")
     assert "ShuffledHashJoin" in plan_of("shuffle_hash")
     assert "SortMergeJoin" in plan_of("merge")
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    # within-doc dedup happens map-side (array_distinct before explode):
+    # exactly one exchange, carrying distinct (token, doc_id) pairs
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_scd2_build_reuses_user_partitioning(spark, sf_dir):
+    # combined (user, day) rollup + ONE user_id exchange shared by the
+    # lag window, the running-sum window, and the island aggregate
+    plan = _plan(spark, sf_dir, "scd2_build")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_scd2_lookup_range_residual_stays_equi(spark, sf_dir):
+    # the validity-interval BETWEEN must ride the user_id equi-join as a
+    # residual — a nested-loop here explodes at scale
+    plan = _plan(spark, sf_dir, "scd2_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_broadcast(spark, sf_dir):
+    # the k×64-float centroid table broadcasts: assignment adds no
+    # shuffle; only the (cid, dim) regroup exchanges
+    plan = _plan(spark, sf_dir, "ml_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_spine_never_shuffles(spark, sf_dir):
+    # the hour×type grid is built broadcast-side (spine from a scalar
+    # min/max agg); only the hourly aggregate and LOCF window exchange
+    plan = _plan(spark, sf_dir, "ts_gapfill_locf")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    # per-bin counts are one map-side-combined exchange; the dense bin
+    # spine joins broadcast-side
+    plan = _plan(spark, sf_dir, "agg_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_levenshtein_block_is_equi_join(spark, sf_dir):
+    # blocking key turns all-pairs fuzzy matching into an equi-join
+    plan = _plan(spark, sf_dir, "fn_levenshtein_block")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
