@@ -347,3 +347,44 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin_id") * 10000.0).alias("bin_lo"),
         F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n_orders
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+WHERE rn = 1
+""",
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value, ties to the lexicographically
+    first) — the categorical summary statistic SQL lacks natively:
+    count the (group, value) matrix map-side, then a row_number over
+    the tiny aggregate picks each group's winner. The shuffle carries
+    |groups × values| cells, never raw rows."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n_orders").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n_orders",
+        )
+    )

@@ -469,3 +469,67 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 5)
         .select("token", "n_docs", "postings")
     )
+
+
+@register(
+    "text_keywords_topk",
+    oracle="""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY token)
+SELECT r.doc_id, r.token, r.tf,
+       floor(r.tf * ln(r.n / r.doc_freq) * 1e6) / 1e6 AS score_q6
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq, nn.n,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(nn.n / df.doc_freq) DESC, tf.token) AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN nn) r
+WHERE r.rn <= 3
+""",
+    tags=("llm", "text"),
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF·IDF (raw
+    term count × ln(N/df), ties broken by token) — the summarization /
+    tagging primitive layered on `text_tfidf`'s statistics. Scale
+    shape: term frequencies and document frequencies are two
+    map-side-combined aggregates off one tokenization; the vocabulary
+    joins back broadcast-side and the per-doc top-3 is a window on the
+    doc_id partitioning the TF aggregate already produced. The score
+    is a single multiply of two identically-derived doubles, floor-
+    quantized at output."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale a broadcast scalar subquery
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq")
+    )
+    score = F.col("tf") * F.log(F.lit(n_docs) / F.col("doc_freq"))
+    ranked = (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.floor(score * 1e6) / 1e6).alias("score_q6"),
+    )

@@ -381,3 +381,48 @@ def odns_cidr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_requests",
         "n_resolvers",
     )
+
+
+_CHURN_ORACLE = f"""
+WITH tcp AS (
+  SELECT DISTINCT ip_request FROM ({_duck_typed_select("tcp", _TCP_FILE, "2026-01-15")})
+  WHERE ip_request IS NOT NULL),
+udp AS (
+  SELECT DISTINCT ip_request FROM ({_duck_typed_select("udp", _UDP_FILE, "2026-01-16")})
+  WHERE ip_request IS NOT NULL)
+SELECT ip_request, 'tcp_only' AS presence FROM tcp
+WHERE ip_request NOT IN (SELECT ip_request FROM udp)
+UNION ALL
+SELECT ip_request, 'udp_only' AS presence FROM udp
+WHERE ip_request NOT IN (SELECT ip_request FROM tcp)
+"""
+
+
+@register("odns_resolver_churn", oracle=_CHURN_ORACLE, tags=("odns",))
+def odns_resolver_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolver churn between the two protocol scans: open resolvers
+    (ip_request) answering on exactly one of tcp/udp — the
+    measurement-study question the reference's snapshot table exists to
+    answer (its users would run this as SQL on Postgres; here it is two
+    anti joins over the typed scans). At archive scale each side is a
+    distinct on the scan partition followed by a broadcast anti join —
+    no full-table shuffle of the wide rows."""
+    tcp = (
+        ingest_file(spark, _TCP_FILE, "tcp", "2026-01-15")
+        .select("ip_request")
+        .filter(F.col("ip_request").isNotNull())
+        .distinct()
+    )
+    udp = (
+        ingest_file(spark, _UDP_FILE, "udp", "2026-01-16")
+        .select("ip_request")
+        .filter(F.col("ip_request").isNotNull())
+        .distinct()
+    )
+    tcp_only = tcp.join(udp, "ip_request", "left_anti").select(
+        "ip_request", F.lit("tcp_only").alias("presence")
+    )
+    udp_only = udp.join(tcp, "ip_request", "left_anti").select(
+        "ip_request", F.lit("udp_only").alias("presence")
+    )
+    return tcp_only.unionByName(udp_only)
