@@ -400,3 +400,87 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "dq_constraint_check",
+    oracle="""
+SELECT 'orders_pk_unique' AS constraint_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'customer_acctbal_not_null',
+       CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+""",
+    tags=("etl",),
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite: one row per
+    constraint (primary-key uniqueness, referential integrity via anti
+    join, not-null, value domain, range) with violation and checked
+    counts — the validation gate an ingest pipeline runs before
+    publishing a snapshot, and the natural guard in front of the
+    reference's delete-then-reload sink (a bad file would otherwise
+    replace a good snapshot, reference dataimporter.py:187-200). Scale
+    shape: each check is an aggregate or anti join that Catalyst plans
+    independently; the FK check broadcasts the orders key set at small
+    scale and sort-merges at large — never a nested loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name, n_violations, n_checked):
+        return n_violations.crossJoin(n_checked).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("c").cast("long").alias("n_checked"),
+        )
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("v"))
+    )
+    fk_orphans = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    null_bal = cust.agg(
+        F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("v")
+    )
+    bad_status = orders.agg(
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("v")
+    )
+    bad_qty = li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("v"))
+
+    n_orders = orders.agg(F.count("*").alias("c"))
+    n_li = li.agg(F.count("*").alias("c"))
+    n_cust = cust.agg(F.count("*").alias("c"))
+
+    return (
+        one("orders_pk_unique", pk_dups, n_orders)
+        .unionByName(one("lineitem_fk_orders", fk_orphans, n_li))
+        .unionByName(one("customer_acctbal_not_null", null_bal, n_cust))
+        .unionByName(one("orders_status_domain", bad_status, n_orders))
+        .unionByName(one("lineitem_qty_positive", bad_qty, n_li))
+    )

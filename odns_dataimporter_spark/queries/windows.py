@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
@@ -269,4 +270,59 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("long").alias("start_us"),
         F.max("us").cast("long").alias("end_us"),
         (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name,
+         {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 1000000)} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name)
+SELECT n_name, revenue,
+       floor(revenue * 1e6 / SUM(revenue) OVER ()) / 1e6 AS share_q6,
+       CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS rev_rank
+FROM rev
+""",
+    tags=("window",),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue via an
+    unpartitioned window sum over the aggregate — the classic BI
+    percent-of-total, plus a global revenue rank. The whole-table
+    window runs on the tiny post-aggregate (|nations| rows collapsed to
+    a single partition), never on raw lineitem; revenue itself is the
+    exact integer-micros sum, so the share division is one IEEE op on
+    identical doubles, floor-quantized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 1_000_000
+            ).alias("revenue")
+        )
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return rev.select(
+        "n_name",
+        "revenue",
+        (F.floor(F.col("revenue") * 1e6 / F.sum("revenue").over(w_all)) / 1e6).alias(
+            "share_q6"
+        ),
+        F.rank()
+        .over(W.orderBy(F.col("revenue").desc(), "n_name"))
+        .cast("long")
+        .alias("rev_rank"),
     )
