@@ -44,6 +44,10 @@ HEADLINE = [
     "join_range_binned",
     "join_skew_salted",
     "dedup_embedding_cosine",
+    "ts_gapfill_locf",
+    "scd2_lookup",
+    "graph_pagerank",
+    "text_inverted_index",
 ]
 
 
