@@ -533,3 +533,66 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         (F.floor(score * 1e6) / 1e6).alias("score_q6"),
     )
+
+
+@register(
+    "text_quality_buckets",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+e AS (SELECT doc_id, toks[i] AS token, i AS pos
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+j AS (SELECT e.doc_id, e.pos,
+             ln(CAST(v.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)) AS lp
+      FROM e JOIN v USING (token) CROSS JOIN n),
+a AS (SELECT doc_id, list(lp ORDER BY pos) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id),
+s AS (SELECT doc_id, n_tokens,
+             floor(-list_reduce(lps, (x, y) -> x + y) * 1e6 / n_tokens) / 1e6
+               AS nll
+      FROM a),
+b AS (SELECT s.doc_id, t.lang, s.n_tokens,
+             CAST(ntile(3) OVER (ORDER BY s.nll, s.doc_id) AS BIGINT) AS tercile
+      FROM s JOIN t USING (doc_id))
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY lang, bucket
+""",
+    tags=("llm", "text"),
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus split made actionable: rank every document by its
+    unigram-LM negative log-likelihood (composing
+    `text_unigram_logprob`'s quantized score), cut the corpus into
+    head/middle/tail terciles (ntile over (score, doc_id) so ties are
+    deterministic), and report docs + token mass per (lang, bucket) —
+    exactly the table a pretraining-data curator reads before choosing
+    which terciles to keep. Scale note: the global ntile is a
+    single-partition sort of (doc_id, score) pairs only — at 100 TB
+    the swap is approx-percentile cutpoints broadcast back, same
+    downstream shape."""
+    from pyspark.sql.window import Window as W
+
+    scored = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("avg_nll_q6").alias("nll")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = scored.join(docs, "doc_id").withColumn(
+        "tercile",
+        F.ntile(3).over(W.orderBy("nll", "doc_id")).cast("long"),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
