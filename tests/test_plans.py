@@ -341,3 +341,26 @@ def test_levenshtein_block_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_levenshtein_block")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_never_cartesian(spark, sf_dir):
+    # unrolled iterations are equi-joins over |event types|-row tables;
+    # a cartesian here would explode on a bigger node set
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_keywords_vocab_joins_broadcast(spark, sf_dir):
+    # the doc-frequency (vocabulary) side joins broadcast onto the TF
+    # aggregate; the per-doc top-3 window rides the doc_id partitioning
+    plan = _plan(spark, sf_dir, "text_keywords_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_fk_check_is_anti_join(spark, sf_dir):
+    # referential-integrity probe must be an anti join, never a
+    # nested-loop NOT EXISTS
+    plan = _plan(spark, sf_dir, "dq_constraint_check")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
