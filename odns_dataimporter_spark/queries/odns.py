@@ -426,3 +426,66 @@ def odns_resolver_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ip_request", F.lit("udp_only").alias("presence")
     )
     return tcp_only.unionByName(udp_only)
+
+
+_HHI_ORACLE = f"""
+WITH both_scans AS (
+  SELECT protocol, asn_request
+  FROM ({_duck_typed_select("tcp", _TCP_FILE, "2026-01-15")})
+  UNION ALL BY NAME
+  SELECT protocol, asn_request
+  FROM ({_duck_typed_select("udp", _UDP_FILE, "2026-01-16")})),
+c AS (
+  SELECT protocol, asn_request, CAST(COUNT(*) AS BIGINT) AS n
+  FROM both_scans WHERE asn_request IS NOT NULL
+  GROUP BY protocol, asn_request),
+s AS (
+  SELECT protocol,
+         CAST(COUNT(*) AS BIGINT) AS n_asns,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+  FROM c GROUP BY protocol)
+SELECT protocol, n_asns, total,
+       floor(CAST(sum_sq AS DOUBLE) * 1e6
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))) / 1e6
+         AS hhi_q6
+FROM s
+"""
+
+
+@register("odns_asn_concentration", oracle=_HHI_ORACLE, tags=("odns",))
+def odns_asn_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of open resolvers across
+    origin ASNs, per protocol — the centralization metric ODNS
+    measurement studies report (how much of the open-resolver
+    population sits in a few networks). HHI = Σ(nᵢ/N)² computed as
+    Σnᵢ²/N²: both sums stay exact int64, so the only float op is one
+    final division, floor-quantized. Scale shape: a map-side-combined
+    (protocol, asn) count, then a per-protocol rollup of the tiny ASN
+    table — the same two-level aggregate as `stats_linear_trend`."""
+    tcp = ingest_file(spark, _TCP_FILE, "tcp", "2026-01-15")
+    udp = ingest_file(spark, _UDP_FILE, "udp", "2026-01-16")
+    both = tcp.unionByName(udp).select("protocol", "asn_request").filter(
+        F.col("asn_request").isNotNull()
+    )
+    c = both.groupBy("protocol", "asn_request").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    s = c.groupBy("protocol").agg(
+        F.count("*").cast("long").alias("n_asns"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    return s.select(
+        "protocol",
+        "n_asns",
+        "total",
+        (
+            F.floor(
+                F.col("sum_sq").cast("double")
+                * 1e6
+                / (F.col("total").cast("double") * F.col("total").cast("double"))
+            )
+            / 1e6
+        ).alias("hhi_q6"),
+    )
