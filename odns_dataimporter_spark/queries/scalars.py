@@ -376,24 +376,37 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_levenshtein_block",
     oracle="""
 WITH p AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun FROM part)
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 5
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun FROM part),
+pairs AS (
+  SELECT a.noun,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+  FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey)
+SELECT noun,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       floor(CAST(SUM(dist) AS DOUBLE) * 1e6 / CAST(COUNT(*) AS DOUBLE)) / 1e6
+         AS avg_dist_q6
+FROM pairs GROUP BY noun
 """,
     tags=("scalar", "llm"),
 )
 def fn_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching with blocking — the entity-
-    resolution primitive: candidate part-name pairs that share a
-    blocking key (last name token) within Levenshtein distance ≤ 5.
-    Blocking turns the O(n²) all-pairs problem into an equi-join whose
-    quadratic blowup is confined to each block — the same
-    block-then-score shape as `dedup_near_minhash`, with an exact
-    string metric instead of a signature. levenshtein() runs JVM-side
-    (no UDF); the int32 result is widened to match DuckDB's BIGINT."""
+    resolution primitive: candidate part-name pairs share a blocking
+    key (last name token), get scored with exact Levenshtein distance
+    JVM-side (no UDF), and the result is the per-block match profile
+    (pair count, near-matches within distance 2, exact int64 distance
+    sum, quantized mean). Blocking turns all-pairs O(n²) into
+    per-block quadratic work, and the aggregate output keeps the
+    result |blocks|-sized no matter the input — the raw pair stream
+    stays distributed (at sf0.1 it is ~25M pairs; materializing it was
+    a driver-collect bomb, which is exactly why entity resolution at
+    scale reports block statistics and emits only accepted matches).
+    At 100 TB the blocking key must be tightened (noun+brand or an
+    LSH bucket, cf. `dedup_near_minhash`) so block sizes stay bounded;
+    the plan shape — equi-join, never a cartesian — is pinned by
+    test."""
     part = load_table(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
@@ -402,18 +415,22 @@ def fn_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.noun") == F.col("b.noun"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .filter(dist <= 5)
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.cast("long").alias("dist"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(F.col("a.noun").alias("noun"), dist.cast("long").alias("dist"))
+    return pairs.groupBy("noun").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close"),
+        F.sum("dist").alias("sum_dist"),
+        (
+            F.floor(
+                F.sum("dist").cast("double") * 1e6
+                / F.count("*").cast("double")
+            )
+            / 1e6
+        ).alias("avg_dist_q6"),
     )
