@@ -376,3 +376,66 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "n",
     )
+
+
+@register(
+    "stats_winsorize",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_type, q.p05, q.p95,
+         least(greatest(e.value, q.p05), q.p95) AS clipped,
+         e.value
+  FROM events e JOIN q USING (event_type))
+SELECT event_type,
+       floor(p05 * 1e6) / 1e6 AS p05_q6,
+       floor(p95 * 1e6) / 1e6 AS p95_q6,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {money_sum_sql("value", 1000000)} AS sum_raw,
+       {money_sum_sql("clipped", 1000000)} AS sum_winsorized
+FROM w GROUP BY event_type, p05, p95
+""",
+    tags=("timeseries", "stats"),
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization per event_type: clip values to the exact
+    [p05, p95] band and report raw vs clipped totals — the standard
+    tail-taming transform before mean-based metrics (the clipping twin
+    of `stats_mad_outliers`' detection). Percentiles are exact
+    interpolated quantiles (identical IEEE interpolation on identical
+    doubles, cf. `agg_percentile`); clipping is least/greatest on
+    bit-identical bounds; totals go through the exact integer-micros
+    sum. Scale shape: one tiny per-type percentile aggregate broadcast
+    back onto the scan, then one map-side-combined rollup — two scans,
+    no large shuffle; at 100 TB swap exact quantiles for
+    approx_percentile sketches, same downstream shape."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    w = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "clipped"
+        ),
+    )
+    return w.groupBy("event_type", "p05", "p95").agg(
+        F.count("*").cast("long").alias("n"),
+        money_sum("value", 1_000_000).alias("sum_raw"),
+        money_sum("clipped", 1_000_000).alias("sum_winsorized"),
+    ).select(
+        "event_type",
+        (F.floor(F.col("p05") * 1e6) / 1e6).alias("p05_q6"),
+        (F.floor(F.col("p95") * 1e6) / 1e6).alias("p95_q6"),
+        "n",
+        "sum_raw",
+        "sum_winsorized",
+    )
