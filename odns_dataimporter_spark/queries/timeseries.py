@@ -439,3 +439,50 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_raw",
         "sum_winsorized",
     )
+
+
+@register(
+    "ts_interarrival_pcts",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+g AS (SELECT event_type, gap_us FROM d WHERE gap_us IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       floor(quantile_cont(gap_us, 0.50) * 1e2) / 1e2 AS p50_us_q2,
+       floor(quantile_cont(gap_us, 0.95) * 1e2) / 1e2 AS p95_us_q2,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us
+FROM g GROUP BY event_type
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_interarrival_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency percentiles: per-user event gaps (exact
+    integer microseconds via unix_micros, lag ordered by (ts, event_id))
+    rolled up into p50/p95/max per event_type — the observability
+    staple for burstiness and session cadence. The percentile
+    interpolation runs over exact int64 gaps so both engines
+    interpolate the same values (quantized defensively at 1e-2 µs).
+    Scale shape: one user_id shuffle for the lag, then a
+    map-side-combined rollup onto the tiny event_type domain; at
+    100 TB the exact percentile swaps for approx_percentile, same
+    plan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        (F.floor(F.percentile("gap_us", F.lit(0.50)) * 1e2) / 1e2).alias(
+            "p50_us_q2"
+        ),
+        (F.floor(F.percentile("gap_us", F.lit(0.95)) * 1e2) / 1e2).alias(
+            "p95_us_q2"
+        ),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
