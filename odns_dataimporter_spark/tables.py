@@ -2,19 +2,24 @@
 
 All tables are plain parquet scans — Catalyst pushes filters and prunes
 columns at the scan (verify with ``df.explain``: ``PushedFilters`` /
-``ReadSchema``). The one wrinkle is ``events``: its ``ts`` column is
-INT64(TIMESTAMP_NANOS), which Spark 4 cannot read natively. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long
-nanosecond count which we convert to a microsecond timestamp with exact
-integer arithmetic (``DIV 1000`` — float division would lose precision
-above 2^53). DuckDB truncates ns→µs the same way, so both engines see
-identical values.
+``ReadSchema``). Timestamp normalization: the testdata parquet stores
+naive ``timestamp[us]`` (no UTC adjustment), which Spark 4 infers as
+``TIMESTAMP_NTZ`` while DuckDB reads it as its (naive) ``TIMESTAMP``.
+NTZ breaks instant-based functions (``unix_micros``, ``to_utc_timestamp``)
+and its comparison/arithmetic semantics differ subtly from LTZ, so we
+pin the session timezone to UTC and cast every NTZ column to
+``TIMESTAMP`` (LTZ) at load: under UTC the wall-clock digits are
+preserved bit-for-bit, every downstream op works, and rendered values
+match the DuckDB oracle exactly. Older generations of the testdata used
+INT64(TIMESTAMP_NANOS); the ``nanosAsLong`` + ``DIV 1000`` fallback for
+that layout is kept (exact integer truncation, matching DuckDB's ns→µs).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -49,8 +54,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return _ntz_to_utc_ltz(df)
+    return _ntz_to_utc_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_utc_ltz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is UTC)."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
