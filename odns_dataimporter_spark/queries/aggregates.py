@@ -388,3 +388,65 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue_exact,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL revenue aggregation: money arithmetic in fixed-point
+    instead of floats. Both engines cast the double inputs to
+    DECIMAL(18,2) (correctly-rounded conversion of identical doubles),
+    multiply exactly in decimal (scale 2+2=4), sum exactly (decimal
+    accumulation never loses ulps, so the result is independent of
+    partial-aggregation order — the property that makes this safe under
+    Spark's two-phase aggregate at any scale), and only then convert
+    once to DOUBLE. Complements money_sum (integer-cents) with the
+    native decimal-typed path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(rev).cast("double").alias("revenue_exact"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@register("agg_hll_sketch", oracle=None, tags=("agg", "sketch", "rows-only"))
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, built into
+    Spark 4): per-group binary sketches estimate distinct customers per
+    order status, and hll_union_agg merges the group sketches into a
+    grand total WITHOUT rescanning the data — the pattern that matters
+    at 100 TB, where sketches roll up across partitions/days for free.
+    Rows-only check (estimates are sketch-parameter specific, no SQL
+    oracle); the test asserts estimates within rsd of exact counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("estimate"),
+        F.sum(F.lit(None).cast("long")).alias("exact_nd"),
+    ).select(F.lit("__all_statuses__").alias("o_orderstatus"), "estimate", "exact_nd")
+    return (
+        per.select(
+            "o_orderstatus",
+            F.hll_sketch_estimate("sk").cast("long").alias("estimate"),
+            "exact_nd",
+        )
+        .unionByName(merged)
+    )

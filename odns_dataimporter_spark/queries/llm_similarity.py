@@ -333,3 +333,120 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", qv)).alias("q_digest"),
         (F.floor(sum_err * 1e9 / F.col("n_dim")) / 1e9).alias("mse_q9"),
     )
+
+
+_KNN_K = 5
+_KNN_BLOCKS = 4
+_KNN_SCALE = 1048576.0  # 2^20: float32 * 2^20 floored => exact int in f64
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_KNN_SCALE})) AS qe
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+)
+SELECT src_id, nbr_id,
+       floor(cos * 1000000.0) / 1000000.0 AS score,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cos DESC, nbr_id) AS rn
+      FROM scored)
+WHERE rn <= {_KNN_K}
+""",
+    tags=("llm", "similarity"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global k-NN graph over ALL embeddings (k={_KNN_K}) — the
+    building block for embedding-dedup graphs and retrieval indexes.
+
+    Scale shape (block nested loop, no driver collect, no broadcast):
+    vectors are hashed into B={_KNN_BLOCKS} blocks; every (src-block,
+    cand-block) pair becomes one `applyInPandas` group via a role-tagged
+    union (each row is shuffled 2B times — bounded, tunable memory per
+    task since a task only ever holds two blocks). Inside a group one
+    numpy matmul scores block×block and keeps a block-local top-k, so
+    only B·k candidates per source survive to the final global window —
+    the shuffle after scoring is k·B rows per vector, not n². At 100 TB
+    B grows with the corpus and an IVF/LSH prefilter (sim_ann_ivf /
+    sim_ann_lsh) culls block pairs; this exact formulation stays the
+    recall oracle.
+
+    Determinism (bit-exact vs the oracle): embeddings are quantized to
+    integers (floor(x·2^20) — exact for float32 inputs), so every dot
+    product is a sum of integers < 2^52 and is EXACT in float64 matmul
+    regardless of summation order; sqrt/product/division are single
+    correctly-rounded IEEE ops evaluated in the same order as the SQL,
+    and ties rank by nbr_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = (F.col("vec_id") % _KNN_BLOCKS).cast("int")
+    all_b = F.array(*[F.lit(i) for i in range(_KNN_BLOCKS)])
+    # role 0 = source member of group (ga=own, gb=j); role 1 = candidate
+    # member of group (ga=i, gb=own). Each (src, cand) pair meets in
+    # exactly one group: (src.blk, cand.blk).
+    left = emb.select(
+        "vec_id", "embedding", F.lit(0).alias("role"),
+        blk.alias("ga"), F.explode(all_b).alias("gb"),
+    )
+    right = emb.select(
+        "vec_id", "embedding", F.lit(1).alias("role"),
+        F.explode(all_b).alias("ga"), blk.alias("gb"),
+    )
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf[pdf["role"] == 0].sort_values("vec_id")
+        cand = pdf[pdf["role"] == 1].sort_values("vec_id")
+        if src.empty or cand.empty:
+            return pd.DataFrame({"src_id": [], "nbr_id": [], "cos": []})
+        qs = np.floor(np.stack(src["embedding"].to_numpy()).astype("float64") * _KNN_SCALE)
+        qc = np.floor(np.stack(cand["embedding"].to_numpy()).astype("float64") * _KNN_SCALE)
+        sid = src["vec_id"].to_numpy()
+        cid = cand["vec_id"].to_numpy()
+        g = qs @ qc.T  # exact: integer-valued f64, |cell| < 2^52
+        cos = g / (
+            np.sqrt((qs * qs).sum(axis=1))[:, None]
+            * np.sqrt((qc * qc).sum(axis=1))[None, :]
+        )
+        out_s, out_c, out_v = [], [], []
+        k = min(_KNN_K, len(cid))
+        for i in range(len(sid)):
+            row = cos[i]
+            mask = cid != sid[i]
+            ids, vals = cid[mask], row[mask]
+            # block-local top-k, ties to lower nbr_id (lexsort is stable)
+            order = np.lexsort((ids, -vals))[:k]
+            out_s.extend([sid[i]] * len(order))
+            out_c.extend(ids[order])
+            out_v.extend(vals[order])
+        return pd.DataFrame({"src_id": out_s, "nbr_id": out_c, "cos": out_v})
+
+    scored = (
+        left.unionByName(right)
+        .groupBy("ga", "gb")
+        .applyInPandas(_score_block, "src_id long, nbr_id long, cos double")
+    )
+    w = W.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select(
+            "src_id",
+            "nbr_id",
+            (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

@@ -489,3 +489,41 @@ def odns_asn_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("hhi_q6"),
     )
+
+
+@register(
+    "odns_geo_mismatch",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT org_response,
+       CAST(COUNT(*) AS BIGINT) AS n_geolocated,
+       CAST(COUNT(CASE WHEN country_response != country_arecord THEN 1 END)
+            AS BIGINT) AS n_mismatch,
+       floor(COUNT(CASE WHEN country_response != country_arecord THEN 1 END)
+             * 10000.0 / COUNT(*)) / 10000.0 AS mismatch_rate_q4
+FROM ingested
+WHERE org_response IS NOT NULL
+  AND country_response IS NOT NULL AND country_arecord IS NOT NULL
+GROUP BY org_response
+""",
+    tags=("odns", "ref", "domain"),
+)
+def odns_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain analytics: per resolver organisation, the share of answers
+    whose A record geolocates to a different country than the resolver
+    itself — the aggregate view of the hijack indicator, normalised per
+    org. Rate is exact integer counts with one floored float division,
+    so both engines quantize identically."""
+    df = _ingest_both(spark).filter(
+        F.col("org_response").isNotNull()
+        & F.col("country_response").isNotNull()
+        & F.col("country_arecord").isNotNull()
+    )
+    mism = F.when(F.col("country_response") != F.col("country_arecord"), 1)
+    return df.groupBy("org_response").agg(
+        F.count("*").cast("long").alias("n_geolocated"),
+        F.count(mism).cast("long").alias("n_mismatch"),
+        (F.floor(F.count(mism) * 10000.0 / F.count("*")) / 10000.0).alias(
+            "mismatch_rate_q4"
+        ),
+    )

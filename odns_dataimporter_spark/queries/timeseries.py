@@ -486,3 +486,60 @@ def ts_interarrival_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS b, event_type, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events
+)
+SELECT strftime(b, '%Y-%m-%d %H:%M') AS bucket, event_type,
+       arg_min(value, ord_key) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       arg_max(value, ord_key) AS close_v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY b, event_type
+""",
+    tags=("timeseries",),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample of the event value stream per event_type —
+    the canonical downsampling operator for metrics/financial rollups.
+
+    open/close are min_by/max_by over a fixed-width sortable string key
+    (microsecond timestamp | zero-padded event_id), so first/last are
+    total-order deterministic without a window pass: ONE map-side-
+    combinable aggregation, no shuffle beyond the (bucket, type)
+    groupBy — at 100 TB this is a single partial+final HashAggregate,
+    and the string key trick keeps it a pure aggregate (a window
+    formulation would force a full sort per partition key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+                "bucket"
+            ),
+            "event_type",
+            "value",
+            key.alias("ord_key"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min_by("value", "ord_key").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ord_key").alias("close_v"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

@@ -59,3 +59,18 @@ def test_count_min_sketch_estimates_bound_exact_counts(spark, sf_dir):
             est = cms.estimateCount(t)
             assert est >= exact[(d, t)]
             assert est - exact[(d, t)] <= 0.01 * r.n_events + 1
+
+
+def test_hll_sketch_estimates_near_exact(spark, sf_dir):
+    """HLL estimates must land within ~3x the default-precision rsd of
+    the exact distinct counts, and the merged sketch must estimate the
+    union (>= the largest group, <= sum of groups)."""
+    rows = {r.o_orderstatus: r for r in REGISTRY["agg_hll_sketch"].fn(spark, sf_dir).collect()}
+    merged = rows.pop("__all_statuses__")
+    assert merged.exact_nd is None
+    per_estimates = []
+    for r in rows.values():
+        assert r.exact_nd > 0
+        assert abs(r.estimate - r.exact_nd) <= max(3, 0.1 * r.exact_nd)
+        per_estimates.append(r.estimate)
+    assert max(per_estimates) * 0.8 <= merged.estimate <= sum(per_estimates) * 1.1
