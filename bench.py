@@ -44,6 +44,7 @@ HEADLINE = [
     "join_range_binned",
     "join_skew_salted",
     "dedup_embedding_cosine",
+    "sim_knn_graph",
     "ts_gapfill_locf",
     "scd2_lookup",
     "graph_pagerank",

@@ -332,3 +332,79 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("signup_id")
         .agg(F.count("*").alias("n_in_window"))
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS signup_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + 7200000000 AS hi
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id AS purchase_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + 7200000000 AS hi
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, p.purchase_id,
+       least(s.hi, p.hi) - greatest(s.lo, p.lo) AS overlap_us
+FROM s JOIN p ON s.lo < p.hi AND p.lo < s.hi
+""",
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (both sides big, neither a
+    point): every (signup-window, purchase-window) pair of 2 h windows
+    that overlap in time, with the exact overlap length.
+
+    Scale shape — the bin trick generalized to two interval sets: each
+    interval explodes to every fixed-width bin it touches (bin width =
+    interval width ⇒ ≤2 bins/side), the join is EQUI on bin, the true
+    overlap predicate runs as a residual, and a pair that overlaps in
+    two shared bins is kept once by attributing each pair to the bin of
+    max(lo_a, lo_b) — a pure-arithmetic dedup (no distinct shuffle).
+    Overlap arithmetic is exact integer microseconds on both engines.
+    """
+    width = 7_200_000_000  # 2 h in µs; also the bin width
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(etype: str, idname: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(idname),
+                F.unix_micros("ts").alias(f"{idname}_lo"),
+                (F.unix_micros("ts") + width).alias(f"{idname}_hi"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{idname}_lo div {width}"),
+                        F.expr(f"({idname}_hi - 1) div {width}"),
+                    )
+                ),
+            )
+        )
+
+    s, p = side("signup", "signup_id"), side("purchase", "purchase_id")
+    return (
+        s.join(p, "bin")
+        .filter(
+            (F.col("signup_id_lo") < F.col("purchase_id_hi"))
+            & (F.col("purchase_id_lo") < F.col("signup_id_hi"))
+            # keep the pair only in its attribution bin => exactly once
+            & (
+                F.expr(f"greatest(signup_id_lo, purchase_id_lo) div {width}")
+                == F.col("bin")
+            )
+        )
+        .select(
+            "signup_id",
+            "purchase_id",
+            (
+                F.least("signup_id_hi", "purchase_id_hi")
+                - F.greatest("signup_id_lo", "purchase_id_lo")
+            ).alias("overlap_us"),
+        )
+    )

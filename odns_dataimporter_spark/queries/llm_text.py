@@ -596,3 +596,57 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS n FROM words WHERE w != '' GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, n
+  FROM wc
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair LIMIT 20
+""",
+    tags=("llm", "text"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training: corpus-weighted
+    frequencies of adjacent character pairs, top-20 merge candidates.
+
+    Scale shape: the corpus first collapses to the DISTINCT-WORD table
+    with counts (shuffle keyed on word — the vocabulary, not the
+    corpus), then character pairs explode from that tiny table only.
+    At 100 TB of text the word-count shuffle is the whole cost and is
+    map-side combined; the pair stage is vocabulary-sized (~millions),
+    which is why real BPE trainers iterate on exactly this layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # NB: 1-char words must be dropped BEFORE sequence(): Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )
