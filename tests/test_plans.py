@@ -364,3 +364,42 @@ def test_dq_fk_check_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_constraint_check")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_partial_then_final_aggregate(spark, sf_dir):
+    # min_by over the string order key falls back to SortAggregate, but
+    # it must still be two-phase: map-side partial, shuffle at |buckets|
+    plan = _plan(spark, sf_dir, "ts_resample_ohlc")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decimal_agg_is_hash_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_decimal_exact")
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_pairs_explode_from_vocab_not_corpus(spark, sf_dir):
+    # two Generates is wrong (pairs would explode from the corpus);
+    # the pair Generate must sit ABOVE the word-count aggregate
+    plan = _plan(spark, sf_dir, "text_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # word count + pair count
+
+
+def test_interval_overlap_no_cartesian(spark, sf_dir):
+    # the bin trick must keep this an equi join (hash or broadcast-hash),
+    # never a nested-loop over the cross product
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_single_scored_shuffle(spark, sf_dir):
+    # block-pair scoring shuffles on (ga, gb); the global merge window
+    # shuffles the k*B survivors on src_id — nothing else
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
