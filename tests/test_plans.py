@@ -403,3 +403,40 @@ def test_knn_graph_single_scored_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_knn_graph")
     assert "CartesianProduct" not in plan
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+# Ops whose BroadcastNestedLoopJoin is the INTENDED scale shape: a
+# broadcast single-row aggregate (corpus totals / thresholds / spine
+# bounds), a broadcast centroid/band table, or an explicit bounded
+# cross join. Everything else must stay hash/sort-merge equi.
+_BNLJ_ALLOWED = {
+    "dq_constraint_check",
+    "join_cross",
+    "join_global_sales_q22",
+    "join_theta_range",
+    "ml_kmeans_step",
+    "sim_ann_ivf",
+    "sim_topk_cosine",
+    "sql_api_q11",
+    "stats_chi_square",
+    "stream_watermark_late",
+    "text_quality_buckets",
+    "text_unigram_logprob",
+    "ts_gapfill_locf",
+}
+
+
+def test_registry_wide_join_hygiene(spark, sf_dir):
+    """Every registered query's physical plan: no CartesianProduct,
+    and BroadcastNestedLoopJoin only where a tiny broadcast side makes
+    it the correct 100 TB shape (allowlist above). Catches the classic
+    silent regression where a mistyped join key degrades an equi join
+    into a nested loop that 'works' at test scale."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
