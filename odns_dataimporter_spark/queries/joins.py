@@ -408,3 +408,73 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id, p.user_id, n.signup_id, n.offset_us
+FROM p LEFT JOIN LATERAL (
+  SELECT s.event_id AS signup_id,
+         epoch_us(s.ts) - epoch_us(p.ts) AS offset_us
+  FROM s WHERE s.user_id = p.user_id
+  ORDER BY abs(epoch_us(s.ts) - epoch_us(p.ts)), s.ts, s.event_id
+  LIMIT 1
+) n ON TRUE
+""",
+    tags=("join",),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (either direction): for each purchase,
+    the temporally CLOSEST signup of the same user — before or after —
+    with the signed offset. Completes the asof family (join_asof is the
+    backward-only variant); equidistant ties resolve to the earlier
+    signup on both engines.
+
+    Same scalable construction as join_asof, one extra window pass:
+    tag + union both streams, carry the last signup forward (backward
+    candidate) AND the first signup backward (forward candidate) over
+    the same per-user ordering, then pick the closer one — still
+    exactly ONE shuffle on user_id (both window frames and the final
+    projection share the partitioning), no correlated subquery, no
+    join explosion. The DuckDB LATERAL oracle is the O(n·m)
+    formulation this replaces at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"), F.lit(0).alias("is_probe")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_probe")
+    )
+    unioned = signups.unionByName(purchases, allowMissingColumns=True)
+    order = [F.col("ts"), F.col("is_probe")]
+    back = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    sig_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    c = (
+        unioned.withColumn("b_id", F.last("signup_id", ignorenulls=True).over(back))
+        .withColumn("b_ts", F.last(sig_ts, ignorenulls=True).over(back))
+        .withColumn("f_id", F.first("signup_id", ignorenulls=True).over(fwd))
+        .withColumn("f_ts", F.first(sig_ts, ignorenulls=True).over(fwd))
+        .filter(F.col("is_probe") == 1)
+    )
+    b_diff = F.unix_micros("ts") - F.unix_micros("b_ts")  # >= 0
+    f_diff = F.unix_micros("f_ts") - F.unix_micros("ts")  # > 0
+    take_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (b_diff <= f_diff)
+    )
+    return c.select(
+        "purchase_id",
+        "user_id",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias("signup_id"),
+        F.when(take_back, -b_diff)
+        .otherwise(F.unix_micros("f_ts") - F.unix_micros("ts"))
+        .alias("offset_us"),
+    )
