@@ -450,3 +450,33 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(merged)
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("agg",),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP, Spark 4) — the
+    SQL-standard way to collapse a group into one delimited string.
+    Deterministic because the within-group ORDER BY pins element order
+    on both engines. Broadcast dim join, map-side partial aggregation."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations_csv"
+            ),
+        )
+    )

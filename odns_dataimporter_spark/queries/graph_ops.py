@@ -112,3 +112,71 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select("node", (F.floor(F.col("pr") * 1e6) / 1e6).alias("pr_q6"))
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), bi AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), seeds AS (
+  SELECT DISTINCT 'c' || c_custkey AS node FROM customer WHERE c_nationkey = 0
+), bfs(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT b.dst, bfs.hop + 1 FROM bfs JOIN bi b ON b.src = bfs.node
+  WHERE bfs.hop < 2
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM bfs GROUP BY node
+""",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (2 hops) over the customer—supplier bipartite
+    trade graph, seeded from nation 0's customers: minimum hop count
+    per reachable node.
+
+    Spark side is frontier-deduplicated iteration — each round expands
+    ONLY the newly discovered frontier, dedups it, and anti-joins the
+    visited set before unioning, with localCheckpoint truncating the
+    lineage per round. The oracle is DuckDB's recursive CTE, which
+    enumerates every PATH and min-aggregates at the end — fine at
+    oracle scale, explosive at 100 TB (path count grows with the
+    product of degrees); the frontier formulation's per-round work is
+    bounded by |frontier| x avg-degree, which is why distributed BFS
+    engines (Pregel and descendants) all dedup frontiers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    bi = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    visited = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), "c_custkey").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for hop in (1, 2):
+        nxt = (
+            frontier.join(bi, frontier.node == bi.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("hop").cast("long").alias("hop"))

@@ -434,3 +434,37 @@ def fn_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("avg_dist_q6"),
     )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+       strftime(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE),
+                '%Y-%m-%d') AS quarter_start,
+       (year(o_orderdate) * 12 + month(o_orderdate)) AS month_index
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+    tags=("fn", "date"),
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic: month addition (with end-of-month
+    clamping — 2024-01-31 + 1 month = 2024-02-29 on BOTH engines),
+    last_day, day differences, quarter truncation, and a linear month
+    index (year*12+month — the portable alternative to the
+    engine-specific months_between fraction rules). Dates render as
+    strings so type plumbing can't perturb the hash."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).cast("long").alias("days_to_2025"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
+        (F.year(d) * 12 + F.month(d)).cast("long").alias("month_index"),
+    )
