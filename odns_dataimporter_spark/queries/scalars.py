@@ -468,3 +468,34 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
         (F.year(d) * 12 + F.month(d)).cast("long").alias("month_index"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("fn", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed path extraction
+    with try_variant_get — the modern replacement for repeated
+    get_json_object string re-parsing (VARIANT parses once and pushes
+    typed access into the engine, the right cost model when a 100 TB
+    events table is probed for a handful of keys). Oracle mirrors with
+    DuckDB's json_extract + cast.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
