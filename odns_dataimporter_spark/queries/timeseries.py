@@ -543,3 +543,75 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "ts_rolling_zscore",
+    oracle="""
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), stats AS (
+  SELECT event_type, ts, event_id, cents,
+         SUM(cents) OVER w AS s,
+         SUM(cents * cents) OVER w AS ss,
+         COUNT(*) OVER w AS n
+  FROM v
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type,
+         (cents - CAST(s AS DOUBLE) / n)
+           / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS zval
+  FROM stats WHERE n >= 30
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(CASE WHEN abs(zval) > 3 THEN 1 END) AS BIGINT) AS n_anomalies,
+       floor(MAX(abs(zval)) * 10000.0) / 10000.0 AS max_absz_q4
+FROM z GROUP BY event_type
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/std of the preceding 100 same-type events (trailing window,
+    excludes self — no leakage), flagged at |z| > 3.
+
+    Determinism at float level: the rolling moments are windowed SUMs
+    of EXACT integer cents (and their squares) — associative, so
+    Spark's frame evaluation and DuckDB's segment-tree accumulation
+    cannot diverge — and mean/variance/z are then derived with the
+    same explicit arithmetic in both engines (never the built-in
+    stddev, whose internal summation order is engine-specific). One
+    event_type shuffle; the window and the final rollup share it."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    stats = v.select(
+        "event_type",
+        "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+        F.count("*").over(w).alias("n"),
+    ).filter(F.col("n") >= 30)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = stats.select(
+        "event_type", ((F.col("cents") - mean) / F.sqrt(var)).alias("zval")
+    )
+    return z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.count(F.when(F.abs("zval") > 3, 1)).cast("long").alias("n_anomalies"),
+        (F.floor(F.max(F.abs("zval")) * 10000.0) / 10000.0).alias("max_absz_q4"),
+    )

@@ -326,3 +326,43 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_rank"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), anch AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS anchor
+  FROM days
+), islands AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM anch GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+""",
+    tags=("window",),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (streak analytics). The classic O(n) window formulation —
+    date minus row_number is constant within a run, so one window pass
+    plus two aggregates finds every island without self-joins; all
+    arithmetic is integer dates, so both engines agree exactly. One
+    user_id shuffle shared by the window and both aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    anch = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    islands = anch.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
