@@ -480,3 +480,42 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS price_qty_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       floor(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 * 10000.0) / 10000.0
+         AS wavg_price_q4
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price — the common weighted-mean
+    aggregate, computed order-independently: integer-cents × integer
+    quantity sums (exact at any aggregation tree shape), one float
+    division at the end, floor-quantized. The naive
+    sum(price*qty)/sum(qty) over doubles is partial-aggregation-order
+    dependent and can't hash-match across engines at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(pq).cast("long").alias("price_qty_cents"),
+        F.sum(qty).cast("long").alias("total_qty"),
+        (
+            F.floor(
+                F.sum(pq) / F.sum(qty).cast("double") / 100.0 * 10000.0
+            )
+            / 10000.0
+        ).alias("wavg_price_q4"),
+    )

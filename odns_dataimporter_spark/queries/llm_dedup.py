@@ -436,3 +436,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         survivors.withColumnRenamed("vec_id", "doc_id"), "doc_id"
     ).select("doc_id", "lang", "n_chars", "label")
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS small_id, b.doc_id AS big_id,
+       floor(len(list_intersect(a.toks, b.toks)) * 1000000.0 / len(a.toks))
+         / 1000000.0 AS containment
+FROM t a JOIN t b
+  ON a.lang = b.lang
+ AND (a.n_chars < b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+WHERE len(list_intersect(a.toks, b.toks)) * 1000000.0 / len(a.toks) >= 800000.0
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A→B) = |A∩B| / |A| ≥ 0.8 with
+    A the smaller doc — catches a document EMBEDDED in a larger one,
+    which symmetric Jaccard misses (a 100-token doc inside a 10k-token
+    doc has Jaccard ≈ 0.01 but containment 1.0). Size-ordered pairing
+    within lang blocks halves the candidate space; at 100 TB the
+    blocked self-join swaps for an inverted-index join with
+    document-frequency prefix pruning (text_inverted_index is that
+    building block), same containment arithmetic — exact integer
+    counts, one floored division."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    cont = inter * F.lit(1_000_000.0) / F.size(F.col("a.toks"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (
+                (F.col("a.n_chars") < F.col("b.n_chars"))
+                | (
+                    (F.col("a.n_chars") == F.col("b.n_chars"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .filter(cont >= 800_000.0)
+        .select(
+            F.col("a.doc_id").alias("small_id"),
+            F.col("b.doc_id").alias("big_id"),
+            (F.floor(cont) / 1_000_000.0).alias("containment"),
+        )
+    )
