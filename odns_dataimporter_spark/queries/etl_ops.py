@@ -484,3 +484,51 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_status_domain", bad_status, n_orders))
         .unionByName(one("lineitem_qty_positive", bad_qty, n_li))
     )
+
+
+@register(
+    "profile_join_keys",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       floor(MAX(n) * 1000000.0 / SUM(n)) / 1000000.0 AS top1_share_q6,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_key_rows,
+       floor(SUM(n * n) * 1000000.0 / (SUM(n) * SUM(n))) / 1000000.0
+         AS collision_index_q6
+FROM per_key
+""",
+    tags=("etl", "profiling"),
+)
+def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics for a shuffle key — the report to run
+    BEFORE joining two facts at 100 TB: total rows, distinct keys,
+    hottest-key row count and share, p99 per-key cardinality, and the
+    collision index Σn²/N² (the probability two random rows share a
+    key — also the expected blow-up factor of a self-join). Drives the
+    choice between plain shuffle join, AQE skew splitting, salting
+    (join_skew_salted), or a broadcast. Two map-side-combined
+    aggregations; exact integer arithmetic throughout, discrete (not
+    interpolated) p99 so both engines pick the same element."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        (F.floor(F.max("n") * 1_000_000.0 / F.sum("n")) / 1_000_000.0).alias(
+            "top1_share_q6"
+        ),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p99_key_rows"),
+        (
+            F.floor(
+                F.sum(F.col("n") * F.col("n")) * 1_000_000.0 / (F.sum("n") * F.sum("n"))
+            )
+            / 1_000_000.0
+        ).alias("collision_index_q6"),
+    )
