@@ -519,3 +519,40 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("wavg_price_q4"),
     )
+
+
+@register(
+    "agg_geometric_mean",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(ln(l_extendedprice) * 1000000000) AS BIGINT) AS lq
+  FROM lineitem WHERE l_extendedprice > 0
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor(exp(CAST(SUM(lq) AS DOUBLE) / COUNT(*) / 1000000000.0) * 100.0)
+         / 100.0 AS geo_mean_q2
+FROM q GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean price per return flag via exp(mean(ln x)) — the
+    multiplicative average (right for ratios/growth factors, robust to
+    heavy right tails). A plain float SUM of logs is
+    aggregation-order-dependent; here each log is quantized to integer
+    nano-units first so the sum is exact int64 under any partial-agg
+    tree, then one exp and one floor — hash-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    lq = F.round(F.log("l_extendedprice") * 1_000_000_000).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.floor(
+                F.exp(F.sum(lq).cast("double") / F.count("*") / 1_000_000_000.0)
+                * 100.0
+            )
+            / 100.0
+        ).alias("geo_mean_q2"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
@@ -649,4 +650,67 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("freq"))
         .orderBy(F.col("freq").desc(), "pair")
         .limit(20)
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH wc AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w != '' GROUP BY w
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, w) AS rank, freq
+  FROM wc
+), pts AS (
+  SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(freq) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE rank <= 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       floor((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000.0
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) / 1000000.0
+         AS zipf_slope_q6
+FROM pts
+""",
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) for the top-100 words (a healthy natural-language corpus
+    slopes near -1; a synthetic or boilerplate-heavy one doesn't — a
+    cheap corpus-health check for training-data pipelines).
+
+    Determinism: ln() of identical integers is correctly rounded on
+    both engines; the log points are quantized to integer micro-units
+    BEFORE the OLS sums (micro, not nano: the OLS cross-products of
+    nano-units overflow int64), so every Σ is exact int64 arithmetic
+    and the single closed-form division is floored. One word-count
+    shuffle (map-side combined), a parallel top-100
+    (TakeOrderedAndProject), one scalar output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # TakeOrderedAndProject trims the vocab to 100 rows in parallel
+    # BEFORE the (single-partition) global rank window ever runs
+    top = wc.orderBy(F.col("freq").desc(), "w").limit(100)
+    ranked = top.select(
+        F.row_number().over(W.orderBy(F.col("freq").desc(), "w")).alias("rank"),
+        "freq",
+    )
+    pts = ranked.select(
+        F.round(F.log("rank") * 1_000_000).cast("long").alias("x"),
+        F.round(F.log("freq") * 1_000_000).cast("long").alias("y"),
+    )
+    n = F.count("*")
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        (F.floor(num * 1_000_000.0 / den) / 1_000_000.0).alias("zipf_slope_q6"),
     )
