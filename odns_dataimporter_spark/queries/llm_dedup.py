@@ -493,3 +493,92 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cont) / 1_000_000.0).alias("containment"),
         )
     )
+
+
+_JACCARD_TRUTH_SQL = """
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, lang, n_chars // 100 AS lenbucket,
+               list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+  JOIN (SELECT doc_id, lang, n_chars // 100 AS lenbucket,
+               list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+    ON a.lang = b.lang AND a.lenbucket = b.lenbucket AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 1000000.0
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 500000.0
+)
+"""
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=_CAND_PAIRS_SQL + "," + _JACCARD_TRUTH_SQL + """
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM truth t
+             JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT)
+         AS n_hits,
+       floor((SELECT COUNT(*) FROM truth t
+              JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+             * 10000.0 / GREATEST((SELECT COUNT(*) FROM truth), 1)) / 10000.0
+         AS recall_q4
+""",
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality evaluation: MinHash-LSH candidate pairs scored
+    against exact blocked-Jaccard (≥ 0.5) ground truth — the
+    'measure, don't guess' check every probabilistic dedup deploy
+    needs before trusting its parameters (bands × rows trade recall
+    against candidate volume). Output: truth/candidate/hit counts and
+    floored recall. On this synthetic word-soup corpus the measured
+    recall is intentionally revealing: truth is TOKEN-set similarity
+    while the signatures hash 3-word SHINGLES (order-sensitive), so
+    the number quantifies exactly the granularity gap + band-parameter
+    loss a production tuning pass would be closing. At 100 TB this runs on a hash-sampled corpus slice
+    (sample_hash_deterministic) rather than the full corpus; both
+    inputs here reuse the production pipelines, so the measured recall
+    is the deployed recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _candidate_pairs(docs)
+    t = docs.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lenbucket"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    truth = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lenbucket") == F.col("b.lenbucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter * F.lit(1_000_000.0) / union >= 500_000.0)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    # one lazy plan, no driver-side actions: three tiny single-row
+    # aggregates cross-joined (broadcast scalars), recall derived inline
+    t_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    c_n = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    h_n = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        t_n.crossJoin(c_n)
+        .crossJoin(h_n)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (
+                F.floor(
+                    F.col("n_hits") * 10_000.0 / F.greatest(F.col("n_truth"), F.lit(1))
+                )
+                / 10_000.0
+            ).alias("recall_q4"),
+        )
+    )
