@@ -532,3 +532,69 @@ def profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("collision_index_q6"),
     )
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), spine AS (
+  SELECT DISTINCT d FROM du
+), wau_x AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS target_d, user_id
+  FROM du
+), mau_x AS (
+  SELECT unnest(generate_series(d, d + INTERVAL 29 DAY, INTERVAL 1 DAY))::DATE
+           AS target_d, user_id
+  FROM du
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM du WHERE du.d = s.d) AS BIGINT) AS dau,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM wau_x w WHERE w.target_d = s.d) AS BIGINT) AS wau,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM mau_x m WHERE m.target_d = s.d) AS BIGINT) AS mau
+FROM spine s
+""",
+    tags=("etl", "events"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — daily, trailing-7-day and trailing-30-day
+    exact distinct active users per day, the canonical engagement
+    metrics.
+
+    Scale shape: the classic rolling-COUNT-DISTINCT trap is a
+    window-frame distinct (unsupported) or a day×day range self-join;
+    instead each (day, user) activity row EXPLODES to the ≤7/≤30
+    target days it contributes to, turning both rolling metrics into
+    plain equi-keyed count-distinct aggregations — shuffle ∝ activity
+    × window, partial-aggregated, no range join, no frame state. The
+    day spine inner-joins so only observed days are reported (trailing
+    windows past the horizon never materialize).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    spine = du.select("d").distinct()
+
+    def rolled(width: int, name: str) -> DataFrame:
+        x = du.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), width - 1))
+            ).alias("target_d"),
+            "user_id",
+        )
+        return x.groupBy("target_d").agg(
+            F.countDistinct("user_id").cast("long").alias(name)
+        )
+
+    dau = du.groupBy("d").agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    wau = rolled(7, "wau").withColumnRenamed("target_d", "d")
+    mau = rolled(30, "mau").withColumnRenamed("target_d", "d")
+    return (
+        spine.join(dau, "d")
+        .join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau"
+        )
+    )
