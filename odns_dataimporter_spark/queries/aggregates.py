@@ -556,3 +556,60 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("geo_mean_q2"),
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+WITH q AS (
+  SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+         quantile_disc(o_totalprice, 0.50) AS q2,
+         quantile_disc(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice <= q1 THEN 0
+              WHEN o_totalprice <= q2 THEN 1
+              WHEN o_totalprice <= q3 THEN 2
+              ELSE 3 END AS bucket
+  FROM orders, q
+)
+GROUP BY bucket
+""",
+    tags=("agg", "stats"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order totals — the
+    histogram shape query optimizers keep as column statistics (equal
+    row mass per bucket resists skew that equal-width bins hide;
+    agg_histogram is the equal-width twin). DISCRETE quantiles are
+    actual data values, so boundaries are identical doubles on both
+    engines and the CASE bucketing cannot diverge. Plan: one aggregate
+    for the three boundaries, broadcast as a scalar row into the
+    bucketing scan, one final groupBy — two passes, both
+    map-side-combined, no sort of the full table."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)").alias(n)
+            for p, n in ((0.25, "q1"), (0.50, "q2"), (0.75, "q3"))
+        ]
+    )
+    bucketed = orders.crossJoin(F.broadcast(q)).select(
+        "o_totalprice",
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -410,6 +410,7 @@ def test_knn_graph_single_scored_shuffle(spark, sf_dir):
 # bounds), a broadcast centroid/band table, or an explicit bounded
 # cross join. Everything else must stay hash/sort-merge equi.
 _BNLJ_ALLOWED = {
+    "agg_histogram_equidepth",  # broadcast single-row quantile boundaries
     "dedup_minhash_recall",  # cross join of three single-row count aggregates
     "dq_constraint_check",
     "join_cross",
