@@ -598,3 +598,64 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau"
         )
     )
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(path) - 1),
+                i -> path[i] || '>' || path[i+1] || '>' || path[i+2])) AS trigram
+  FROM seqs WHERE len(path) >= 3
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY trigram
+ORDER BY n_occurrences DESC, trigram
+LIMIT 5
+""",
+    tags=("etl", "events"),
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 5 most common 3-step event-type
+    sequences across all user journeys (the "what do users actually do"
+    query behind funnel design).
+
+    Scale shape: one user_id shuffle collects each user's ordered path
+    (sort_array over (ts, event_id, type) structs — total-order
+    deterministic); trigrams then explode via the same
+    arrays_zip-of-shifted-slices construction as the MinHash shingles
+    (plain codegen, no higher-order lambdas), and the count lands on
+    the tiny trigram domain with map-side combine + TakeOrderedAndProject.
+    Per-user state is one path array — bounded by the per-user event
+    count, never the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("path")
+        )
+        .filter(F.size("path") >= 3)
+        .select("path", F.size("path").alias("_n"))
+    )
+    grams = seqs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("path", 1, F.col("_n") - 2),
+                F.slice("path", 2, F.col("_n") - 2),
+                F.slice("path", 3, F.col("_n") - 2),
+            )
+        ).alias("z")
+    ).select(F.concat_ws(">", "z.0", "z.1", "z.2").alias("trigram"))
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(5)
+    )
