@@ -527,3 +527,46 @@ def odns_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mismatch_rate_q4"
         ),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE}),
+t AS (SELECT country_request AS c, COUNT(*) AS n_tcp
+      FROM ingested WHERE protocol = 'tcp' GROUP BY country_request),
+u AS (SELECT country_request AS c, COUNT(*) AS n_udp
+      FROM ingested WHERE protocol = 'udp' GROUP BY country_request)
+SELECT COALESCE(t.c, u.c, '<null>') AS country_label,
+       (t.c IS NULL AND u.c IS NULL) AS is_null_key,
+       COALESCE(n_tcp, 0) AS n_tcp,
+       COALESCE(n_udp, 0) AS n_udp
+FROM t FULL JOIN u ON t.c IS NOT DISTINCT FROM u.c
+""",
+    tags=("odns", "join"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): tcp vs udp
+    resolver counts per request country where the UNKNOWN country
+    (NULL, from the reference's ''→NULL rule) is a real matchable key
+    instead of silently dropping from the equi join. Spark's eqNullSafe
+    stays a hash-partitionable join key (NULLs hash to one partition —
+    at 100 TB a heavy null key would take the salting path like any
+    other hot key)."""
+    df = _ingest_both(spark)
+    t = (
+        df.filter(F.col("protocol") == "tcp")
+        .groupBy(F.col("country_request").alias("tc"))
+        .agg(F.count("*").alias("n_tcp_raw"))
+    )
+    u = (
+        df.filter(F.col("protocol") == "udp")
+        .groupBy(F.col("country_request").alias("uc"))
+        .agg(F.count("*").alias("n_udp_raw"))
+    )
+    return t.join(u, t.tc.eqNullSafe(u.uc), "full").select(
+        F.coalesce("tc", "uc", F.lit("<null>")).alias("country_label"),
+        (F.col("tc").isNull() & F.col("uc").isNull()).alias("is_null_key"),
+        F.coalesce("n_tcp_raw", F.lit(0)).alias("n_tcp"),
+        F.coalesce("n_udp_raw", F.lit(0)).alias("n_udp"),
+    )
