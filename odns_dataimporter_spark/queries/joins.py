@@ -450,13 +450,19 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_probe")
     )
     unioned = signups.unionByName(purchases, allowMissingColumns=True)
-    order = [F.col("ts"), F.col("is_probe")]
-    back = W.partitionBy("user_id").orderBy(*order).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    fwd = W.partitionBy("user_id").orderBy(*order).rowsBetween(
-        W.currentRow, W.unboundedFollowing
-    )
+    # Deterministic tie rule, aligned with the oracle's ORDER BY
+    # abs(offset), ts, event_id: among signups tied on ts, pick the
+    # smallest signup_id. last() reads the LAST row in frame order, so
+    # the backward window sorts signup_id DESC (min id lands last);
+    # first() reads the FIRST row, so the forward window sorts ASC.
+    # Both windows share the user_id partitioning — still one shuffle,
+    # just two sorts.
+    back = W.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("is_probe"), F.col("signup_id").desc_nulls_last()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = W.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("is_probe"), F.col("signup_id").asc_nulls_last()
+    ).rowsBetween(W.currentRow, W.unboundedFollowing)
     sig_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
     c = (
         unioned.withColumn("b_id", F.last("signup_id", ignorenulls=True).over(back))

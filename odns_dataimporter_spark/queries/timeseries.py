@@ -564,7 +564,7 @@ WITH v AS (
   SELECT event_type,
          (cents - CAST(s AS DOUBLE) / n)
            / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS zval
-  FROM stats WHERE n >= 30
+  FROM stats WHERE n >= 30 AND (ss - CAST(s AS DOUBLE) * s / n) > 0
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
@@ -602,7 +602,15 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("s"),
         F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
         F.count("*").over(w).alias("n"),
-    ).filter(F.col("n") >= 30)
+    ).filter(
+        # n >= 30 AND positive variance numerator: a flat window
+        # (all cents identical) has var == 0 and would raise
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode; such
+        # events are unscoreable, so both engines exclude them with
+        # the same exact-arithmetic predicate.
+        (F.col("n") >= 30)
+        & (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n") > 0)
+    )
     mean = F.col("s").cast("double") / F.col("n")
     var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
         F.col("n") - 1

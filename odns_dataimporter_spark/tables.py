@@ -37,14 +37,18 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame."""
-    try:
-        # timestamp rendering (date_format / cast-to-date) is session-tz
-        # dependent; pin UTC so results match the (naive-timestamp)
-        # DuckDB oracle even under a host with a non-UTC default
-        if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # timestamp rendering (date_format / cast-to-date) is session-tz
+    # dependent; pin UTC so results match the (naive-timestamp) DuckDB
+    # oracle even under a host with a non-UTC default. The conf is
+    # runtime-settable, so set it unconditionally and verify: silently
+    # proceeding with a non-UTC zone would skew every NTZ->LTZ cast.
+    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got = spark.conf.get("spark.sql.session.timeZone")
+        if got not in ("UTC", "Etc/UTC"):
+            raise RuntimeError(
+                f"session timezone must be UTC for NTZ normalization, got {got!r}"
+            )
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         try:  # runtime conf; harmless if already set by the session factory
