@@ -93,9 +93,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("out_n").cast("double")).alias("w"),
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    n_nodes = nodes.count()  # |event types| — a scalar, not a data scan
+    # |nodes| folded into the plan as a broadcast 1-row aggregate — no
+    # driver-side count() / pre-action; 1.0/n and 0.15/n are the same
+    # IEEE double ops as before, just evaluated executor-side
+    nn = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n_nodes")))
 
-    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    pr = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
     for _ in range(_ITERS):
         contrib = ew.join(pr, ew.src == pr.node).select(
             "dst", "src", (F.col("w") * F.col("pr")).alias("c")
@@ -104,12 +109,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("src", "c"))).alias("cs")
         )
         fold = F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"])
-        pr = nodes.join(summed, nodes.node == summed.dst, "left").select(
-            "node",
-            (
-                F.lit(0.15 / n_nodes)
-                + F.lit(_DAMP) * F.coalesce(fold, F.lit(0.0))
-            ).alias("pr"),
+        pr = (
+            nodes.join(summed, nodes.node == summed.dst, "left")
+            .crossJoin(nn)
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(_DAMP) * F.coalesce(fold, F.lit(0.0))
+                ).alias("pr"),
+            )
         )
     return pr.select("node", (F.floor(F.col("pr") * 1e6) / 1e6).alias("pr_q6"))
 

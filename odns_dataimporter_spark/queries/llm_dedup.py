@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
@@ -460,36 +461,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: C(A→B) = |A∩B| / |A| ≥ 0.8 with
     A the smaller doc — catches a document EMBEDDED in a larger one,
     which symmetric Jaccard misses (a 100-token doc inside a 10k-token
-    doc has Jaccard ≈ 0.01 but containment 1.0). Size-ordered pairing
-    within lang blocks halves the candidate space; at 100 TB the
-    blocked self-join swaps for an inverted-index join with
-    document-frequency prefix pruning (text_inverted_index is that
-    building block), same containment arithmetic — exact integer
-    counts, one floored division."""
+    doc has Jaccard ≈ 0.01 but containment 1.0).
+
+    Scale-safe candidate generation: an INVERTED-INDEX join with
+    document-frequency prefix pruning (PPJoin-style), not a blocked
+    self-join — a lang block at 100 TB is nearly the whole corpus, so
+    any block-keyed self-join degenerates to O(n²). Here:
+
+    1. tokens are globally ordered by (document frequency asc, token) —
+       rarest first;
+    2. a pair can reach overlap o = ⌈0.8·|A|⌉ only if B shares at
+       least one of A's first |A| − o + 1 tokens in that order
+       (pigeonhole), so only that PREFIX of each probe doc is posted;
+    3. the full index side joins probe postings on the TOKEN key —
+       shuffle is keyed on token, pair volume is Σ_t df(t)·probe(t)
+       with probe(t) concentrated on rare tokens;
+    4. surviving candidate pairs (a tiny set) are verified exactly via
+       array_intersect, same integer arithmetic as the oracle.
+
+    The prefix bound uses integer math ((4·sz+4) DIV 5), not
+    ceil(0.8·sz) in doubles, so the bound is exact for every size."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", "n_chars",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    tok = t.select(
+        "doc_id", "lang", "n_chars", "sz", F.explode("toks").alias("token")
     )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    cont = inter * F.lit(1_000_000.0) / F.size(F.col("a.toks"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
+    # global token order: document frequency ascending, then token
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = tok.join(dfreq, "token").withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "token")),
+    )
+    # min overlap o = ceil(0.8*sz) == (4*sz+4) DIV 5; prefix = sz-o+1
+    prefix_len = F.col("sz") - F.expr("(4 * sz + 4) DIV 5") + 1
+    probe = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("doc_id").alias("small_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_nc"),
+        "token",
+    )
+    index = tok.select(
+        F.col("doc_id").alias("big_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_nc"),
+        "token",
+    )
+    cand = (
+        probe.join(
+            index,
+            (probe["token"] == index["token"])
+            & (F.col("a_lang") == F.col("b_lang"))
             & (
-                (F.col("a.n_chars") < F.col("b.n_chars"))
+                (F.col("a_nc") < F.col("b_nc"))
                 | (
-                    (F.col("a.n_chars") == F.col("b.n_chars"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                    (F.col("a_nc") == F.col("b_nc"))
+                    & (F.col("small_id") < F.col("big_id"))
                 )
             ),
         )
+        .select("small_id", "big_id")
+        .distinct()
+    )
+    # exact verification of the (tiny) candidate set
+    a_side = t.select(
+        F.col("doc_id").alias("small_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("sz").alias("a_sz"),
+    )
+    b_side = t.select(F.col("doc_id").alias("big_id"), F.col("toks").alias("b_toks"))
+    inter = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    cont = inter * F.lit(1_000_000.0) / F.col("a_sz")
+    return (
+        cand.join(a_side, "small_id")
+        .join(b_side, "big_id")
         .filter(cont >= 800_000.0)
         .select(
-            F.col("a.doc_id").alias("small_id"),
-            F.col("b.doc_id").alias("big_id"),
+            "small_id",
+            "big_id",
             (F.floor(cont) / 1_000_000.0).alias("containment"),
         )
     )

@@ -202,15 +202,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc TF join is a plain broadcast of this output). Explode of
     distinct tokens keeps the shuffle at |vocab|, not |corpus|."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    # corpus size as a 1-row aggregate folded into the SAME plan via a
+    # broadcast cross join — no driver-side count(), no extra full scan
+    nn = docs.agg(F.count("*").alias("n_docs"))
     terms = docs.select(F.explode(F.array_distinct(_toks())).alias("term"))
     return (
         terms.groupBy("term")
         .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(nn))
         .select(
             "term",
             "doc_freq",
-            F.round(F.log(F.lit(n_docs) / F.col("doc_freq")), 6).alias("idf"),
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
         )
         .orderBy(F.col("doc_freq").desc(), "term")
         .limit(100)
@@ -509,7 +512,9 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale a broadcast scalar subquery
+    # corpus size folded into the plan as a broadcast 1-row aggregate —
+    # no driver-side count(), no extra full scan / sync point
+    nn = docs.agg(F.count("*").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
@@ -517,9 +522,10 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("long").alias("doc_freq")
     )
-    score = F.col("tf") * F.log(F.lit(n_docs) / F.col("doc_freq"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq"))
     ranked = (
         tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(nn))
         .withColumn(
             "rn",
             F.row_number().over(

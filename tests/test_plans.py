@@ -107,6 +107,46 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert "Exchange" not in below_join
 
 
+def test_scalar_folding_runs_no_driver_action(spark, sf_dir):
+    # corpus-size scalars must be broadcast 1-row aggregates INSIDE the
+    # plan, not driver-side count() pre-actions: at 100 TB a pre-action
+    # is an extra full scan plus a driver sync point per query
+    # the only jobs allowed during plan CONSTRUCTION are the 1-task
+    # parquet footer/schema reads each spark.read.parquet issues (stage
+    # name "parquet at ..."); a driver-side count() would surface as a
+    # "count at ..." / "collect at ..." stage
+    tracker = spark.sparkContext.statusTracker()
+
+    for name in ("text_tfidf", "text_keywords_topk", "graph_pagerank"):
+        before = set(tracker.getJobIdsForGroup())
+        REGISTRY[name].fn(spark, sf_dir)  # plan construction only
+        for job_id in set(tracker.getJobIdsForGroup()) - before:
+            info = tracker.getJobInfo(job_id)
+            for stage_id in info.stageIds if info else ():
+                stage = tracker.getStageInfo(stage_id)
+                assert stage is None or stage.name.startswith("parquet at"), (
+                    f"{name} ran a non-scan-setup job during plan build: "
+                    f"{stage.name}"
+                )
+
+
+def test_containment_pairs_are_token_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    # candidate generation must be the inverted-index join keyed on the
+    # TOKEN posting, never a lang-blocked self-join: one lang block at
+    # 100 TB is nearly the whole corpus, i.e. O(n^2) pair expansion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # every equi-join keyed on lang alone is forbidden; the candidate
+    # join's hash keys must include the token column
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]", plan):
+        keys = m.group(2)
+        if "lang" in keys:
+            assert "token" in keys, f"lang-keyed join without token key: {m.group(0)}"
+
+
 def test_embedding_dedup_is_blocked_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
     # pair generation must stay keyed on the label block — an unkeyed
