@@ -70,8 +70,10 @@ def write_jdbc_batched(
     reference's snapshot-replace (same non-atomicity caveat applies —
     prefer a staging-table swap in production).
 
-    Untestable in this container (no JDBC driver jar / database
-    server); exercised only through its SQL-composition unit tests.
+    Exercised END TO END against embedded Derby (the JDBC driver the
+    Spark distribution ships for its metastore) in
+    tests/test_jdbc_roundtrip.py: write → partitioned scan-back →
+    DELETE-by-protocol → re-append, the reference's full sink lifecycle.
     """
     writer = (
         df.coalesce(num_partitions)
@@ -87,13 +89,20 @@ def write_jdbc_batched(
     _timed_write(writer.save, rows)
 
 
-def delete_by_protocol_sql(table: str, protocol: str) -> tuple[str, tuple[str, ...]]:
+def delete_by_protocol_sql(
+    table: str, protocol: str, paramstyle: str = "format"
+) -> tuple[str, tuple[str, ...]]:
     """Parameterized DELETE matching the reference's snapshot clear
     (dataimporter.py:187-200). Returned as (sql, params) for execution
-    through any DB-API/JDBC connection as the pre-action of a reload;
-    identifier safety via quoting rather than interpolation."""
+    through any DB-API (``format``: ``%s``) or JDBC (``qmark``: ``?``)
+    connection as the pre-action of a reload; identifier safety via
+    quoting rather than interpolation."""
     safe_table = '"' + table.replace('"', '""') + '"'
-    return f"DELETE FROM {safe_table} WHERE protocol = %s", (protocol,)
+    ph = {"format": "%s", "qmark": "?"}[paramstyle]
+    # the column is quoted too: Spark's JDBC table-create quotes column
+    # identifiers, so case-folding databases (Derby: upper, Postgres:
+    # lower) store it case-sensitively as written
+    return f'DELETE FROM {safe_table} WHERE "protocol" = {ph}', (protocol,)
 
 
 def healthcheck_paths(spark: SparkSession, archive_root: str) -> bool:

@@ -252,3 +252,36 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("v_ts").alias("view_ts"),
         ts_str("p_ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "stream_stateful_custom",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the arbitrary-stateful streaming operator
+    (streaming/jobs.stream_stateful_custom, applyInPandasWithState;
+    plus the Spark 4 transformWithStateInPandas variant): running
+    per-user event count, whose FINAL state equals a plain per-key
+    count. The twin runs the same grouped Arrow-batched Pandas worker
+    shape (groupBy(user_id).applyInPandas) the stateful operator uses
+    per micro-batch, so the oracle row certifies the exact pipeline —
+    schema, grouping, Arrow batch handling — that the streaming tests
+    (tests/test_streaming.py) assert equivalent on the stream path."""
+    import pandas as pd
+
+    def _final_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [len(pdf)]}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id")
+        .groupBy("user_id")
+        .applyInPandas(_final_count, "user_id long, n_events long")
+    )

@@ -1,10 +1,10 @@
 """Non-parquet sources (SURVEY §2.1 EXT rows).
 
 ``scan_jdbc_partitioned`` is the read-back path for the Postgres sink:
-partitioned parallel JDBC extraction. There is no database server or
-JDBC driver jar in this container, so the function is exercised only
-through its option-construction unit tests; the options themselves are
-the standard public Spark JDBC surface.
+partitioned parallel JDBC extraction. Exercised end to end against
+embedded Derby (shipped in the Spark distribution) in
+tests/test_jdbc_roundtrip.py, including the 4-way range-partitioned
+read; the options are the standard public Spark JDBC surface.
 """
 
 from __future__ import annotations

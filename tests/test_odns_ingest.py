@@ -113,7 +113,7 @@ def test_full_pipeline_run(spark, tmp_path):
 
 def test_delete_sql_composition():
     sql, params = delete_by_protocol_sql('odns"entries', "tcp")
-    assert sql == 'DELETE FROM "odns""entries" WHERE protocol = %s'
+    assert sql == 'DELETE FROM "odns""entries" WHERE "protocol" = %s'
     assert params == ("tcp",)
 
 
