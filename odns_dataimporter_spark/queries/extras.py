@@ -219,37 +219,74 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(zscore, schema=schema)
 
 
-@register("pandas_udf_norm", oracle=None, tags=("python", "rows-only"))
+@register(
+    "pandas_udf_norm",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qe
+  FROM embeddings
+)
+SELECT vec_id,
+       floor(sqrt(list_dot_product(qe, qe)) / 1048576.0 * 1000000.0)
+         / 1000000.0 AS l2_q6
+FROM q
+""",
+    tags=("python", "udf"),
+)
 def pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar Pandas UDF (Arrow-batched): L2 norm of the
-    embedding column via numpy. Rows-only check here; the JVM
-    higher-order-function twin is oracle-verified in fn_array_core, and
-    tests assert this matches it to float tolerance. The point of the
-    pair: the Arrow path is ~10-100x a row-at-a-time Python UDF, but
-    still loses to the fold expression — so the engine's default is the
-    JVM path and this is the documented escape hatch for numpy-only
-    math."""
+    embedding column via numpy, now under a FULL value-hash oracle.
+    Determinism via the repo's input-quantization discipline (as in
+    sim_knn_graph): floor(x*2^20) makes every element integer-valued,
+    so the dot product is a sum of integers < 2^52 — exact in float64
+    regardless of summation order (numpy pairwise vs DuckDB sequential)
+    — and sqrt/divide/floor are then identical single-rounded IEEE ops
+    on both engines. Tests additionally pin exact equality against the
+    JVM fold twin on the same quantized input. The point of the pair:
+    the Arrow path is ~10-100x a row-at-a-time Python UDF, but still
+    loses to the fold expression — so the engine's default is the JVM
+    path and this is the documented escape hatch for numpy-only math."""
+    import math
+
     import numpy as np
 
     @F.pandas_udf("double")
-    def l2norm(s: pd.Series) -> pd.Series:
-        # promote float32 -> float64 BEFORE the dot product, matching the
-        # JVM fold's cast-then-accumulate order
-        return s.apply(lambda v: float(np.sqrt(np.dot(v.astype("float64"), v.astype("float64")))))
+    def l2norm_q6(s: pd.Series) -> pd.Series:
+        def one(v) -> float:
+            q = np.floor(v.astype("float64") * 1048576.0)
+            return math.floor(math.sqrt(float(np.dot(q, q))) / 1048576.0 * 1000000.0) / 1000000.0
+
+        return s.apply(one)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", l2norm("embedding").alias("l2"))
+    return emb.select("vec_id", l2norm_q6("embedding").alias("l2_q6"))
 
 
 _UDTF_SCHEMA = "pos INT, token STRING, token_len INT"
 
 
-@register("udtf_token_explode", oracle=None, tags=("python", "rows-only"))
+@register(
+    "udtf_token_explode",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10
+), e AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token,
+       CAST(len(toks[i]) AS INT) AS token_len
+FROM e
+""",
+    tags=("python", "udtf"),
+)
 def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (PySpark 4 @udtf): one input document row → many
     (pos, token, len) rows with metadata — the table-generating surface
-    (SURVEY §2.9 item 4). Demonstrated on a bounded slice; the pure-DF
-    twin (posexplode) is what production uses, asserted equal in tests."""
+    (SURVEY §2.9 item 4), under a full value-hash oracle (DuckDB's
+    unnest-with-ordinality formulation). Demonstrated on a bounded
+    slice; the pure-DF twin (posexplode) is what production uses,
+    asserted equal in tests."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=_UDTF_SCHEMA)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.size_hints import derived_knn_blocks, derived_lsh_planes
 from odns_dataimporter_spark.tables import load_table
 
 _N_PROBES = 10
@@ -106,11 +107,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check: approximate recall is data-dependent, so there is
     no SQL oracle; tests assert bucket determinism and recall > 0
-    against the exact result.
+    against the exact result (at more than one plane count).
+
+    The plane count is DERIVED from the corpus size (size_hints.
+    derived_lsh_planes: 2^planes buckets of ~64 expected vectors,
+    clamped [4, 24]) — a constant tuned at sf0.1 would leave 100x the
+    data in 100x-bigger buckets, i.e. O(bucket^2) blowup.
     """
+    return _ann_lsh(spark, sf_dir, derived_lsh_planes(sf_dir))
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dims = 64
-    n_planes = 8
 
     # deterministic "random" hyperplanes: plane p, dim d -> sin(p*64+d)
     # (fixed analytic sequence, identical on every run/executor)
@@ -336,7 +345,6 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 5
-_KNN_BLOCKS = 4
 _KNN_SCALE = 1048576.0  # 2^20: float32 * 2^20 floored => exact int in f64
 
 
@@ -371,7 +379,11 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block for embedding-dedup graphs and retrieval indexes.
 
     Scale shape (block nested loop, no driver collect, no broadcast):
-    vectors are hashed into B={_KNN_BLOCKS} blocks; every (src-block,
+    vectors are hashed into B blocks — DERIVED from the corpus size
+    (size_hints.derived_knn_blocks: two ~64 MB blocks per task,
+    clamped [2, 256]), never a constant tuned at test scale, and the
+    RESULT is invariant in B (tests/test_ann.py runs B=2/4/8 and pins
+    identical output); every (src-block,
     cand-block) pair becomes one `applyInPandas` group via a role-tagged
     union (each row is shuffled 2B times — bounded, tunable memory per
     task since a task only ever holds two blocks). Inside a group one
@@ -389,12 +401,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded IEEE ops evaluated in the same order as the SQL,
     and ties rank by nbr_id.
     """
+    return _knn_graph(spark, sf_dir, derived_knn_blocks(sf_dir))
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str, blocks: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    blk = (F.col("vec_id") % _KNN_BLOCKS).cast("int")
-    all_b = F.array(*[F.lit(i) for i in range(_KNN_BLOCKS)])
+    blk = (F.col("vec_id") % blocks).cast("int")
+    all_b = F.array(*[F.lit(i) for i in range(blocks)])
     # role 0 = source member of group (ga=own, gb=j); role 1 = candidate
     # member of group (ga=i, gb=own). Each (src, cand) pair meets in
     # exactly one group: (src.blk, cand.blk).

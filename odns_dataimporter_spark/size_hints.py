@@ -1,0 +1,70 @@
+"""Data-size heuristics from file bytes — no Spark job, no count().
+
+The ANN/kNN family needs tuning constants (block counts, hyperplane
+counts) that must GROW with the corpus: a constant chosen for sf0.1
+either overflows task memory or under-parallelizes at 100 TB. Deriving
+them from a `df.count()` would cost a full scan before the plan even
+builds, so these helpers read the INPUT FILE BYTES instead — free on
+the driver, proportional to the data, available before any job runs.
+
+On a real cluster the same interface is fed from the catalog's table
+statistics or `FileSystem.getContentSummary` instead of os.stat; the
+derivations and clamps below are the part that transfers unchanged.
+All outputs are deterministic in the input size, and the exact
+operators (sim_knn_graph) are RESULT-INVARIANT in them by construction
+(tests/test_ann.py pins that), so a resize only moves performance,
+never answers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+# a kNN scoring task materializes two blocks as numpy matrices; parquet
+# float-array columns are near-incompressible, so file bytes ~ raw bytes
+_KNN_TARGET_BLOCK_BYTES = 64 << 20  # two 64 MB blocks per task
+# rough parquet footprint of one embedding row (64 x float32 + ids)
+_EMBEDDING_ROW_BYTES = 300
+_LSH_TARGET_BUCKET = 64  # aim for ~64 vectors per LSH bucket
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Best-effort on-disk size of one table (0 if not locally statable)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+                if os.path.isfile(p)
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def derived_knn_blocks(sf_dir: str) -> int:
+    """Block count B for the exact kNN block-nested-loop: enough blocks
+    that a task's two-block working set stays ~under 2x64 MB, at least
+    2 (the pairing construction needs >=1 src and cand block), at most
+    256 (B^2 group pairs; beyond that an ANN prefilter is the answer,
+    not more exact blocks)."""
+    b = table_bytes(sf_dir, "embeddings")
+    if b <= 0:
+        return 4
+    return max(2, min(256, -(-b // _KNN_TARGET_BLOCK_BYTES)))
+
+
+def derived_lsh_planes(sf_dir: str) -> int:
+    """Hyperplane count for random-hyperplane LSH: 2^planes buckets
+    sized so the expected bucket holds ~_LSH_TARGET_BUCKET vectors
+    (candidate generation is O(bucket^2) summed over buckets). Clamped
+    to [4, 24]: fewer than 4 planes stops discriminating, more than 24
+    means buckets of one vector and zero recall."""
+    b = table_bytes(sf_dir, "embeddings")
+    if b <= 0:
+        return 8
+    est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
+    n_buckets = max(2, est_rows // _LSH_TARGET_BUCKET)
+    return max(4, min(24, (n_buckets - 1).bit_length()))

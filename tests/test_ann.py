@@ -74,3 +74,35 @@ def test_hll_sketch_estimates_near_exact(spark, sf_dir):
         assert abs(r.estimate - r.exact_nd) <= max(3, 0.1 * r.exact_nd)
         per_estimates.append(r.estimate)
     assert max(per_estimates) * 0.8 <= merged.estimate <= sum(per_estimates) * 1.1
+
+
+def test_knn_graph_invariant_in_block_count(spark, sf_dir):
+    """sim_knn_graph is EXACT: the block count only tiles the work, so
+    the result must be identical for any B (the size-derived value
+    included) — the guarantee that lets derived_knn_blocks scale B
+    with the corpus without touching answers."""
+    from odns_dataimporter_spark.queries.llm_similarity import _knn_graph
+    from odns_dataimporter_spark.size_hints import derived_knn_blocks
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = rows(_knn_graph(spark, sf_dir, 2))
+    for b in (4, 8, derived_knn_blocks(sf_dir)):
+        assert rows(_knn_graph(spark, sf_dir, b)) == base, f"B={b}"
+
+
+def test_lsh_recall_positive_across_plane_counts(spark, sf_dir):
+    """The LSH pipeline contract (deterministic buckets, recall > 0 vs
+    the exact top-k) must hold at multiple plane counts around the
+    size-derived one — resizing the corpus only moves the
+    recall/candidate-volume trade, never breaks the pipeline."""
+    from odns_dataimporter_spark.queries.llm_similarity import _ann_lsh
+    from odns_dataimporter_spark.size_hints import derived_lsh_planes
+
+    exact = _pairs(_run("sim_topk_cosine", spark, sf_dir))
+    derived = derived_lsh_planes(sf_dir)
+    assert 4 <= derived <= 24
+    for planes in {4, derived, derived + 2}:
+        approx = _pairs(_ann_lsh(spark, sf_dir, planes))
+        assert len(exact & approx) > 0, f"planes={planes}: zero recall"

@@ -16,23 +16,33 @@ from pyspark.sql import functions as F
 
 
 def test_pandas_udf_matches_jvm_fold(spark, sf_dir):
-    """The Arrow-batched numpy norm must agree with the JVM higher-order
-    fold (fn_array_core's sq_norm) to float tolerance."""
-    got = {r.vec_id: r.l2 for r in pandas_udf_norm(spark, sf_dir).collect()}
+    """The Arrow-batched numpy norm must agree EXACTLY with the JVM
+    higher-order fold on the same quantized input: floor(x*2^20) makes
+    every term integer-valued, so both engines' sums are exact in
+    float64 and the final sqrt/divide/floor are identical IEEE ops —
+    bit equality, not tolerance."""
+    got = {r.vec_id: r.l2_q6 for r in pandas_udf_norm(spark, sf_dir).collect()}
     emb = load_table(spark, sf_dir, "embeddings")
+    qx = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1048576.0).cast("double"))
     fold = emb.select(
         "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        (
+            F.floor(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(qx, lambda q: q * q),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+                / 1048576.0
+                * 1000000.0
             )
-        ).alias("l2"),
+            / 1000000.0
+        ).alias("l2_q6"),
     )
-    want = {r.vec_id: r.l2 for r in fold.collect()}
-    assert got.keys() == want.keys()
-    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+    want = {r.vec_id: r.l2_q6 for r in fold.collect()}
+    assert got == want
 
 
 def test_udtf_matches_posexplode(spark, sf_dir):
