@@ -773,3 +773,144 @@ def _minhash_recall(
             ).alias("recall_q4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 60-bit SimHash with Hamming-distance pairing (the production simhash
+# near-dup design: wide signature + pigeonhole chunk LSH + exact
+# Hamming verify — cf. the 64-bit/d<=3 web-dedup configuration).
+# 60 bits (15 md5 hex digits x 4 bits) keeps every shift/assemble in
+# positive signed-int64 territory on both engines.
+
+_SH64_BITS = 60
+_SH64_DIGITS = _SH64_BITS // 4  # md5 hex digits consumed
+_SH64_CHUNKS = 4  # pigeonhole: hamming <= 3 => >= 1 intact chunk
+_SH64_CHUNK_BITS = _SH64_BITS // _SH64_CHUNKS  # 15
+_SH64_MAXD = 3
+
+
+def _simhash64_sql() -> str:
+    """DuckDB CTEs ending in sig(doc_id, sim)."""
+    sums = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
+        f"{j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SH64_BITS)
+    )
+    assemble = " + ".join(
+        f"CAST(s{j} >= 0 AS BIGINT) * {1 << j}" for j in range(_SH64_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(token) AS h FROM tok
+), votes AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {assemble} AS sim FROM votes
+)
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=_simhash64_sql()
+    + f"""
+, e AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, sim, {k} AS ci, (sim >> {k * _SH64_CHUNK_BITS}) & "
+      f"{(1 << _SH64_CHUNK_BITS) - 1} AS cv FROM sig"
+      for k in range(_SH64_CHUNKS)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM e a JOIN e b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_SH64_MAXD}
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 3 over a
+    60-bit signature — the production simhash design (wide signature,
+    NOT the 16-bit exact-match toy in `dedup_simhash`):
+
+    1. signature: bit j votes ±1 per distinct token by bit (j%4) of
+       md5 hex digit (j//4); the per-doc vote sums are ONE map-side-
+       combined groupBy (60 integer sums), shuffle = |docs|;
+    2. candidates: pigeonhole chunk LSH — any pair within Hamming 3
+       of a 4-chunk split shares at least one intact 15-bit chunk, so
+       docs bucket by (chunk_idx, chunk_value) and only same-bucket
+       pairs are generated (O(bucket²), 2^15 buckets per chunk —
+       never all-pairs);
+    3. verify: exact bit_count(sim_a XOR sim_b) ≤ 3 on the candidate
+       set.
+
+    Integer arithmetic end to end ⇒ bit-identical with the DuckDB
+    oracle including every signature. At 100 TB the signature width
+    and chunk count scale the same way (k+1 chunks for distance k).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("h", F.md5("token"))
+    # d_i = value of md5 hex digit i (0..15)
+    d_cols = {
+        f"d{i}": F.expr(
+            f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1"
+        )
+        for i in range(_SH64_DIGITS)
+    }
+    voted = tok.withColumns(d_cols)
+    votes = voted.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(d{j // 4} >> {j % 4}) & 1") == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(_SH64_BITS)
+        ]
+    )
+    sim = None
+    for j in range(_SH64_BITS):
+        term = (F.col(f"s{j}") >= 0).cast("long") * F.lit(1 << j)
+        sim = term if sim is None else sim + term
+    sig = votes.select("doc_id", sim.alias("sim"))
+
+    mask = (1 << _SH64_CHUNK_BITS) - 1
+    e = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ci"),
+                        F.expr(f"(sim >> {k * _SH64_CHUNK_BITS}) & {mask}").alias("cv"),
+                    )
+                    for k in range(_SH64_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sim", "c.ci", "c.cv")
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "ci", "cv"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= _SH64_MAXD).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )

@@ -720,3 +720,89 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_points"),
         (F.floor(num * 1_000_000.0 / den) / 1_000_000.0).alias("zipf_slope_q6"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+  SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+pc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cp FROM bi GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vs
+      FROM (SELECT unnest(toks) AS token FROM t)),
+j AS (
+  SELECT bi.doc_id, bi.i,
+         ln((CAST(bc.cb AS DOUBLE) + 1.0) / (CAST(pc.cp AS DOUBLE) + CAST(v.vs AS DOUBLE))) AS lp
+  FROM bi JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v
+),
+a AS (SELECT doc_id, list(lp ORDER BY i) AS lps,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       floor(-list_reduce(lps, (x, y) -> x + y) * 1e6 / n_bigrams) / 1e6
+         AS avg_nll_q6
+FROM a
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with add-one smoothing: each document's
+    average negative conditional log-likelihood ln P(w_i | w_{i-1})
+    under the in-corpus bigram model — one order up from
+    `text_unigram_logprob`, and the statistic that separates
+    plausible-sequence text from bag-of-frequent-words soup (a doc of
+    common tokens in impossible orders scores well under a unigram LM
+    and badly here).
+
+    Scale shape: the bigram stream is an explode of zipped shifted
+    slices (pure codegen, as in MinHash shingling); bigram counts and
+    prefix counts are two map-side-combined aggregates over it, both
+    vocabulary²-bounded and broadcast back; the per-doc fold runs in
+    position order on both engines (associativity-proof determinism).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = docs.select("doc_id", words.alias("_w"), F.size(words).alias("_n"))
+    bi = (
+        base.filter(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("_w", 1, F.col("_n") - 1),
+                    F.slice("_w", 2, F.col("_n") - 1),
+                )
+            ).alias("pos", "_z"),
+        )
+        .select("doc_id", "pos", F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    pc = bi.groupBy("w1").agg(F.count("*").cast("long").alias("cp"))
+    vs = (
+        base.select(F.explode("_w").alias("token"))
+        .agg(F.countDistinct("token").cast("long").alias("vs"))
+    )
+    lp = F.log(
+        (F.col("cb").cast("double") + F.lit(1.0))
+        / (F.col("cp").cast("double") + F.col("vs").cast("double"))
+    )
+    j = (
+        bi.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(pc), ["w1"])
+        .crossJoin(F.broadcast(vs))
+        .select("doc_id", "pos", lp.alias("lp"))
+    )
+    a = j.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("lps"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+    s = F.aggregate(F.col("lps"), F.lit(0.0), lambda acc, x: acc + x["lp"])
+    return a.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(-s * 1e6 / F.col("n_bigrams")) / 1e6).alias("avg_nll_q6"),
+    )

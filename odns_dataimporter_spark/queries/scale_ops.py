@@ -342,3 +342,40 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+@register(
+    "sample_reservoir_per_key",
+    oracle="""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+""",
+    tags=("llm", "sampling"),
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key reservoir sample (k=5 docs per source):
+    rank by md5 of the key column — a uniform-but-reproducible draw,
+    which is what a distributed 'reservoir' actually is at rest (the
+    classic streaming reservoir is order-dependent and therefore
+    unreproducible across retries; hash-rank sampling commutes with
+    partitioning, survives task retries, and is auditable). One
+    shuffle on source; at 100 TB the same plan with a pre-aggregated
+    per-key count would switch to TakeOrderedAndProject per key via
+    window + filter exactly as here."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )

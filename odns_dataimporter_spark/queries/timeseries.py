@@ -623,3 +623,79 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.abs("zval") > 3, 1)).cast("long").alias("n_anomalies"),
         (F.floor(F.max(F.abs("zval")) * 10000.0) / 10000.0).alias("max_absz_q4"),
     )
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+c AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN epoch_us(ts) <= mid THEN 1 END) AS BIGINT) AS n_early,
+         CAST(COUNT(CASE WHEN epoch_us(ts) > mid THEN 1 END) AS BIGINT) AS n_late
+  FROM events, b GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_early) AS BIGINT) AS te, CAST(SUM(n_late) AS BIGINT) AS tl,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM c
+)
+SELECT event_type, n_early, n_late,
+       floor((
+         (CAST(n_early + 1 AS DOUBLE) / CAST(te + k AS DOUBLE)
+          - CAST(n_late + 1 AS DOUBLE) / CAST(tl + k AS DOUBLE))
+         * ln((CAST(n_early + 1 AS DOUBLE) / CAST(te + k AS DOUBLE))
+              / (CAST(n_late + 1 AS DOUBLE) / CAST(tl + k AS DOUBLE)))
+       ) * 1e9) / 1e9 AS psi_term_q9
+FROM c, tot
+""",
+    tags=("timeseries", "stats"),
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms per event_type between the early
+    and late halves of the time range — THE standard drift monitor for
+    a continuously-fed training pipeline (PSI > 0.2 on any category =
+    the upstream distribution moved; investigate before training).
+    Laplace-smoothed (add-1 per category) so categories absent from one
+    half stay finite.
+
+    Deterministic: the split point is exact integer-microsecond
+    midpoint arithmetic; counts are integers; the PSI term is the same
+    left-to-right sequence of IEEE double ops on both engines, floored
+    at 1e-9. One events-scale shuffle (the per-type counts); the
+    midpoint and totals are broadcast 1-row aggregates folded into the
+    plan (no driver pre-action)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias("mid")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.unix_micros("ts") <= F.col("mid"), 1))
+            .cast("long")
+            .alias("n_early"),
+            F.count(F.when(F.unix_micros("ts") > F.col("mid"), 1))
+            .cast("long")
+            .alias("n_late"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n_early").cast("long").alias("te"),
+        F.sum("n_late").cast("long").alias("tl"),
+        F.count("*").cast("long").alias("k"),
+    )
+    p = (F.col("n_early") + 1).cast("double") / (F.col("te") + F.col("k")).cast("double")
+    q = (F.col("n_late") + 1).cast("double") / (F.col("tl") + F.col("k")).cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            (F.floor(((p - q) * F.log(p / q)) * 1e9) / 1e9).alias("psi_term_q9"),
+        )
+    )

@@ -106,3 +106,14 @@ def test_lsh_recall_positive_across_plane_counts(spark, sf_dir):
     for planes in {4, derived, derived + 2}:
         approx = _pairs(_ann_lsh(spark, sf_dir, planes))
         assert len(exact & approx) > 0, f"planes={planes}: zero recall"
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
+    """nprobe=2 candidates are a superset of nprobe=1's, and a true
+    global-top-k member in the candidate set always survives the final
+    per-probe top-k (it outscores every non-member), so recall must be
+    monotone in nprobe."""
+    exact = _pairs(_run("sim_topk_cosine", spark, sf_dir))
+    r1 = len(exact & _pairs(_run("sim_ann_ivf", spark, sf_dir)))
+    r2 = len(exact & _pairs(_run("sim_ann_ivf_multiprobe", spark, sf_dir)))
+    assert r2 >= r1 > 0

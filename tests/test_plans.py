@@ -462,6 +462,9 @@ _BNLJ_ALLOWED = {
     "join_theta_range",
     "ml_kmeans_step",
     "sim_ann_ivf",
+    "sim_ann_ivf_multiprobe",  # broadcast centroid table (tiny)
+    "stats_psi_drift",  # broadcast 1-row midpoint + totals aggregates
+    "text_bigram_logprob",  # broadcast single-row vocab-size aggregate
     "sim_topk_cosine",
     "sql_api_q11",
     "stats_chi_square",
