@@ -49,6 +49,10 @@ HEADLINE = [
     "scd2_lookup",
     "graph_pagerank",
     "text_inverted_index",
+    "dedup_simhash_hamming",
+    "stats_psi_drift",
+    "text_bigram_logprob",
+    "dedup_containment",
 ]
 
 
