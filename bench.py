@@ -52,7 +52,11 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "stats_psi_drift",
     "text_bigram_logprob",
-    "dedup_containment",
+    # dedup_containment is deliberately NOT a headline entry: on this
+    # synthetic corpus (31-token vocabulary) the op's OUTPUT is
+    # near-quadratic by semantics (2.55M qualifying pairs from 5k docs
+    # at sf0.1), so a bench row would measure result materialization,
+    # not operator efficiency.
 ]
 
 

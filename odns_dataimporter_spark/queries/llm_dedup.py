@@ -604,12 +604,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("small_id"),
         F.col("lang").alias("a_lang"),
         F.col("n_chars").alias("a_nc"),
+        F.col("sz").alias("a_sz"),
         "token",
     )
     index = tok.select(
         F.col("doc_id").alias("big_id"),
         F.col("lang").alias("b_lang"),
         F.col("n_chars").alias("b_nc"),
+        F.col("sz").alias("b_sz"),
         "token",
     )
     cand = (
@@ -623,7 +625,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("a_nc") == F.col("b_nc"))
                     & (F.col("small_id") < F.col("big_id"))
                 )
-            ),
+            )
+            # PPJoin length filter: |A∩B| <= |B|, so B needs at least
+            # o = ceil(0.8*|A|) distinct tokens to possibly qualify
+            & (F.col("b_sz") * 5 >= F.col("a_sz") * 4),
         )
         .select("small_id", "big_id")
         .distinct()
