@@ -455,6 +455,7 @@ _BNLJ_ALLOWED = {
     "dedup_minhash_recall_prod",  # same, at the production LSH preset
     "dq_constraint_check",
     "graph_pagerank",  # broadcast single-row |nodes| aggregate (folded scalar)
+    "graph_triangle_count",  # cross join of three single-row count aggregates
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
     "join_cross",
