@@ -1,0 +1,494 @@
+"""Statistical-monitoring operators for a continuously-fed pipeline:
+lag autocorrelation and truncated EWMA smoothing over dense hourly
+series, a two-sample Kolmogorov-Smirnov drift test (the nonparametric
+companion to `stats_psi_drift`), Welch's t-test across corpus sources,
+MATCH_RECOGNIZE-style sequence-pattern counting over per-user event
+journeys, and incremental aggregate maintenance (partial-state merge —
+the 100 TB materialized-view refresh pattern).
+
+The reference (`/root/reference/dataimporter.py`) has no analytics at
+all; these are EXT operators on the north-star "complete pipeline"
+surface. Every float emitted here is derived from exact integer
+sufficient statistics with a single identical expression sequence on
+both engines, so the value-hash oracle is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from odns_dataimporter_spark.queries._helpers import ts_str, ts_str_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
+    """Zero-filled (event_type, hour, x) grid over the table's full
+    span — the shared spine for series ops (same shape as
+    `ts_gapfill_locf`: one events-scale shuffle, spine built from a
+    broadcast 1-row min/max aggregate)."""
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    return (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+        )
+    )
+
+
+_DENSE_HOURLY_SQL = """
+  agg AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2),
+  b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi FROM events),
+  spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+  grid AS (SELECT t.event_type, s.hour
+           FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s),
+  series AS (
+    SELECT g.event_type, g.hour, CAST(COALESCE(a.n, 0) AS BIGINT) AS x
+    FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour)
+"""
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+pairs AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY hour) AS y
+  FROM series
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e9) / 1e9
+         AS acf1_q9
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per
+    event_type — the seasonality/burstiness probe over the dense
+    (zero-filled) hourly spine, so silent hours count as 0 instead of
+    being skipped (skipping them would splice non-adjacent hours into
+    fake lag pairs).
+
+    Determinism: counts are integers, so the six sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) are exact 64-bit sums (associative —
+    partial-aggregation order cannot perturb them); Pearson r is then
+    one identical float expression on both engines, floored at 1e-9.
+    Scale shape: one events-scale shuffle (the hourly aggregate); the
+    spine is broadcast-built from a 1-row bounds aggregate; the lag
+    window and the final per-type rollup ride the same event_type
+    partitioning. Degenerate (constant) series are excluded by an
+    exact integer predicate on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    w = W.partitionBy("event_type").orderBy("hour")
+    pairs = series.select(
+        "event_type", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return s.filter(
+        (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+    ).select("event_type", "n", (F.floor((num / den) * 1e9) / 1e9).alias("acf1_q9"))
+
+
+# Truncated EWMA: y_t = Σ_{j=0..15} 2^{-(j+1)} · x_{t-j}, i.e. α=1/2
+# cut at 16 terms (the tail beyond 16 halvings is < 2^-16 of the
+# signal). Dyadic weights make the numerator an exact integer:
+# num_t = Σ_j 2^{15-j} · x_{t-j}, y_t = num_t / 2^16.
+_EWMA_TERMS = 16
+
+
+def _ewma_num_sql() -> str:
+    terms = [
+        f"lag(x, {j}) OVER w * {1 << (_EWMA_TERMS - 1 - j)}"
+        for j in range(_EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "ts_ewma_dyadic",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+num AS (
+  SELECT event_type, hour, x,
+         {_ewma_num_sql()} AS ewma_num,
+         row_number() OVER w AS rn
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, {ts_str_sql("hour")} AS hour, x,
+       CAST(ewma_num AS BIGINT) AS ewma_num,
+       CAST(ewma_num AS DOUBLE) / {1 << _EWMA_TERMS} AS ewma
+FROM num WHERE rn >= {_EWMA_TERMS}
+""",
+    tags=("timeseries",),
+)
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event-count
+    series (α = 1/2), truncated at 16 terms so the weights are dyadic
+    rationals: the numerator Σ 2^(15-j)·x_(t-j) is an exact integer
+    and the smoothed value is one float division by 2^16 — the EWMA
+    recursion y_t = αx_t + (1-α)y_(t-1) made order-independent and
+    bit-exact across engines (a recursive formulation would accumulate
+    engine-specific float error and isn't expressible as a window
+    aggregate anyway; the dropped tail is < 2^-16 of the mass).
+
+    Scale shape: the 16 lag() calls share ONE window spec, so Spark
+    evaluates them in a single pass over the same event_type exchange
+    the spine aggregation already created; nothing rescans. Warm-up
+    rows (fewer than 16 observed hours) are excluded on both engines
+    by the same row_number predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    w = W.partitionBy("event_type").orderBy("hour")
+    num = None
+    for j in range(_EWMA_TERMS):
+        term = F.lag("x", j).over(w) * F.lit(1 << (_EWMA_TERMS - 1 - j))
+        num = term if num is None else num + term
+    out = series.select(
+        "event_type",
+        "hour",
+        "x",
+        num.alias("ewma_num"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= _EWMA_TERMS)
+    return out.select(
+        "event_type",
+        ts_str("hour").alias("hour"),
+        "x",
+        F.col("ewma_num").cast("long").alias("ewma_num"),
+        (F.col("ewma_num").cast("double") / F.lit(float(1 << _EWMA_TERMS))).alias(
+            "ewma"
+        ),
+    )
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END AS early
+  FROM events, b
+),
+c AS (
+  SELECT event_type, cents,
+         CAST(COUNT(CASE WHEN early = 1 THEN 1 END) AS BIGINT) AS a_cnt,
+         CAST(COUNT(CASE WHEN early = 0 THEN 1 END) AS BIGINT) AS b_cnt
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(a_cnt) OVER (PARTITION BY event_type) AS na,
+         SUM(b_cnt) OVER (PARTITION BY event_type) AS nb
+  FROM c
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_early, CAST(MAX(nb) AS BIGINT) AS n_late,
+       CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+       CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+         / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_stat
+FROM cum GROUP BY event_type
+HAVING MAX(na) > 0 AND MAX(nb) > 0
+""",
+    tags=("timeseries", "stats"),
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on `value` per
+    event_type between the early and late halves of the time range —
+    the nonparametric drift detector that catches continuous-
+    distribution shifts PSI's categorical binning smooths over (the
+    two are complementary monitors for a continuously-fed pipeline).
+
+    Exact arithmetic throughout: values are integer cents; the CDF gap
+    at each distinct value is the cross-multiplied integer
+    |ca·nb − cb·na| (max of integers is exact), and the statistic is
+    ONE terminal division. Scale shape: one events-scale shuffle (the
+    per-(type, cents) counts, map-side combined to the distinct-value
+    domain); the cumulative and full-partition windows plus the final
+    max ride that same event_type partitioning — no second exchange,
+    no per-type totals join. The split midpoint is a broadcast 1-row
+    aggregate folded into the plan (no driver pre-action)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2").alias("mid")
+    )
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), 1).otherwise(0).alias("early"),
+    )
+    c = v.groupBy("event_type", "cents").agg(
+        F.count(F.when(F.col("early") == 1, 1)).cast("long").alias("a_cnt"),
+        F.count(F.when(F.col("early") == 0, 1)).cast("long").alias("b_cnt"),
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("a_cnt").over(w_cum).alias("ca"),
+        F.sum("b_cnt").over(w_cum).alias("cb"),
+        F.sum("a_cnt").over(w_all).alias("na"),
+        F.sum("b_cnt").over(w_all).alias("nb"),
+    )
+    d = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    out = cum.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("n_early"),
+        F.max("nb").cast("long").alias("n_late"),
+        F.max(d).cast("long").alias("d_num"),
+        (
+            F.max(d).cast("double")
+            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+        ).alias("ks_stat"),
+    )
+    return out.filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source HAVING COUNT(*) >= 2
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS n1, b.n AS n2,
+         CAST(a.sx AS DOUBLE) / a.n AS m1, CAST(b.sx AS DOUBLE) / b.n AS m2,
+         (a.sxx - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) AS v1,
+         (b.sxx - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) AS v2
+  FROM s a JOIN s b ON a.source < b.source
+)
+SELECT source_a, source_b, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       floor(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 1e9) / 1e9 AS t_q9,
+       floor((
+         (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+       ) * 1e6) / 1e6 AS df_q6
+FROM p WHERE v1 / n1 + v2 / n2 > 0
+""",
+    tags=("stats", "llm"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on document length (n_chars)
+    between every pair of corpus sources — "does source X produce
+    systematically longer documents than source Y?", the first
+    question a data-mixing decision asks. Emits the t statistic and
+    the Welch-Satterthwaite degrees of freedom per source pair.
+
+    Scale shape: the corpus contributes ONE map-side-combined
+    aggregate down to |sources| rows of integer sufficient statistics
+    (n, Σx, Σx²); the pairwise join and all float math run on that
+    tiny table. Determinism: identical expression sequences on exact
+    integer inputs, floored at 1e-9 (t) / 1e-6 (df); single-document
+    sources are excluded (variance undefined), zero-variance pairs by
+    an exact predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    p = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        (F.col("a.sx").cast("double") / F.col("a.n")).alias("m1"),
+        (F.col("b.sx").cast("double") / F.col("b.n")).alias("m2"),
+        (
+            (F.col("a.sxx") - F.col("a.sx").cast("double") * F.col("a.sx") / F.col("a.n"))
+            / (F.col("a.n") - 1)
+        ).alias("v1"),
+        (
+            (F.col("b.sxx") - F.col("b.sx").cast("double") * F.col("b.sx") / F.col("b.n"))
+            / (F.col("b.n") - 1)
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return p.filter(se2 > 0).select(
+        "source_a",
+        "source_b",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.floor(t * 1e9) / 1e9).alias("t_q9"),
+        (F.floor(df * 1e6) / 1e6).alias("df_q6"),
+    )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(length(regexp_extract_all(s, 'v+p')) AS BIGINT) AS n_view_purchase,
+       CAST(length(regexp_extract_all(s, 'se')) AS BIGINT) AS n_signup_error,
+       CASE WHEN regexp_matches(s, 'svp') THEN 1 ELSE 0 END AS has_svp
+FROM seq
+""",
+    tags=("events", "etl"),
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern counting: each user's
+    event journey (ordered by ts with event_id tiebreak) is folded to
+    a string of event-type initials, and behavioral patterns become
+    regular expressions over it — non-overlapping counts of
+    "views then purchase" (v+p) and "signup immediately followed by
+    error" (se), plus a signup→view→purchase contiguity flag. This is
+    the Flink CEP / SQL MATCH_RECOGNIZE shape expressed as one
+    aggregate + codegen'd regex, with none of the NFA machinery.
+
+    Scale shape: ONE user_id shuffle; the per-user fold is a map-side-
+    combinable collect of (ts, event_id, initial) structs sorted
+    in-task (journeys are per-user bounded — the same assumption every
+    sessionizer makes), then all regex work is per-row. Determinism:
+    struct sort on (ts, event_id) is a total order; both regex engines
+    use leftmost non-overlapping matching, identical for these
+    alternation-free patterns."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda r: r["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.regexp_count("s", F.lit("v+p")).cast("long").alias("n_view_purchase"),
+        F.regexp_count("s", F.lit("se")).cast("long").alias("n_signup_error"),
+        F.when(F.col("s").rlike("svp"), 1).otherwise(0).alias("has_svp"),
+    )
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("etl",),
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-status order rollup
+    is computed as yesterday's materialized partial state (orders
+    before 1999-01-01) MERGED with the delta's partial state (orders
+    on/after), by re-aggregating the union of partial rows — sum of
+    sums, count of counts, min of mins, max of maxes. The oracle
+    recomputes from scratch, so the hash match PROVES merge ≡ full
+    recompute — the algebraic property that lets a 100 TB pipeline
+    refresh a materialized view by scanning only the new partition
+    while the historical state stays a few rows per group. (Exact
+    integer cents make the sum-merge associative; a float sum would
+    only match to ulps.)
+
+    Scale shape: each side is one map-side-combined aggregate over a
+    date-pruned scan (the predicate reaches parquet row groups); the
+    merge itself aggregates 2×|statuses| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderdate").alias("first_ts"),
+            F.max("o_orderdate").alias("last_ts"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = base.unionByName(delta).groupBy("o_orderstatus").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+        F.date_format(F.min("first_ts"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("last_ts"), "yyyy-MM-dd").alias("last_day"),
+    )
+    return merged

@@ -445,6 +445,49 @@ def test_knn_graph_single_scored_shuffle(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas") == 1
 
 
+def test_ks_drift_two_combined_shuffles(spark, sf_dir):
+    # per-(type, cents) counts (map-side combined to the distinct-value
+    # domain), then ONE event_type exchange shared by the cumulative
+    # window, the full-partition totals, and the final max — never a
+    # per-type totals join
+    plan = _plan(spark, sf_dir, "stats_ks_drift")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_lags_evaluate_in_one_window_pass(spark, sf_dir):
+    # all 16 lag() terms + row_number share one window spec => a single
+    # Window operator over a single event_type exchange
+    plan = _plan(spark, sf_dir, "ts_ewma_dyadic")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_match_single_shuffle(spark, sf_dir):
+    # journey fold is one map-side-combinable collect on user_id; all
+    # regex work is per-row above it
+    plan = _plan(spark, sf_dir, "events_sequence_match")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_welch_corpus_agg_is_partial_then_final(spark, sf_dir):
+    # the corpus contributes one partial+final aggregate down to
+    # |sources| rows; the pairwise join runs on that tiny table
+    plan = _plan(spark, sf_dir, "stats_welch_ttest")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rollup_incremental_prunes_both_scans(spark, sf_dir):
+    # base and delta date predicates must reach their parquet scans so
+    # the incremental refresh reads only the new partition's row groups
+    plan = _plan(spark, sf_dir, "rollup_incremental")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "partial_" in plan
+
+
 # Ops whose BroadcastNestedLoopJoin is the INTENDED scale shape: a
 # broadcast single-row aggregate (corpus totals / thresholds / spine
 # bounds), a broadcast centroid/band table, or an explicit bounded
@@ -464,7 +507,11 @@ _BNLJ_ALLOWED = {
     "ml_kmeans_step",
     "sim_ann_ivf",
     "sim_ann_ivf_multiprobe",  # broadcast centroid table (tiny)
+    "stats_ks_drift",  # broadcast 1-row split-midpoint aggregate
     "stats_psi_drift",  # broadcast 1-row midpoint + totals aggregates
+    "stats_welch_ttest",  # pairwise < join over the |sources|-row stats table
+    "ts_autocorr_lag",  # broadcast spine bounds (same shape as ts_gapfill_locf)
+    "ts_ewma_dyadic",  # broadcast spine bounds (same shape as ts_gapfill_locf)
     "text_bigram_logprob",  # broadcast single-row vocab-size aggregate
     "sim_topk_cosine",
     "sql_api_q11",
