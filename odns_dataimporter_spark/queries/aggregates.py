@@ -613,3 +613,24 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "sketch", "rows-only"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's Greenwald-Khanna quantile
+    summary (accuracy=1000 => rank error <= n/1000) — the quantile
+    member of the sketch family beside CMS (frequencies) and HLL
+    (cardinalities). At 100 TB exact percentiles need a full sort or a
+    two-pass count-then-select; the GK summary is one pass, mergeable
+    across partitions, and its error bound is a RANK bound, so the
+    test verifies it against exact per-group order statistics (the
+    measurable accuracy contract). Values are integer cents so the
+    exact rank check is itself exact. Rows-only: the summary's merge
+    order is engine-internal, so there is no cross-engine value
+    oracle; the exact twin `agg_percentile` carries the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile_approx(cents, [0.5, 0.95, 0.99], 1000).alias("approx_cents"),
+    )

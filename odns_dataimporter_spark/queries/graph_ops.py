@@ -268,3 +268,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+_LP_HUB_CAP = 64  # drop common-neighbor hubs with degree > this
+_LP_TOPN = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (
+  SELECT u AS c, v AS x FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+thin AS (
+  SELECT a.c, a.x FROM adj a JOIN deg ON deg.c = a.c
+  WHERE deg.d <= {_LP_HUB_CAP}
+),
+cn AS (
+  SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS common_n
+  FROM thin a JOIN thin b ON a.c = b.c AND a.x < b.x
+  GROUP BY a.x, b.x
+),
+cand AS (
+  SELECT cn.u, cn.v, cn.common_n, du.d AS deg_u, dv.d AS deg_v
+  FROM cn
+  JOIN deg du ON du.c = cn.u JOIN deg dv ON dv.c = cn.v
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = cn.u AND e.v = cn.v)
+)
+SELECT u, v, common_n, deg_u, deg_v,
+       floor(CAST(common_n AS DOUBLE)
+             / (deg_u + deg_v - common_n) * 1e9) / 1e9 AS jaccard_q9
+FROM cand
+ORDER BY common_n DESC, u, v
+LIMIT {_LP_TOPN}
+""",
+    tags=("graph", "stats"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Jaccard link prediction over the
+    parts-co-ordered-together graph: for part pairs NOT yet bought in
+    one order, how many shared co-purchase partners do they have —
+    the classic "customers who bought X also bought Y" candidate
+    generator, and the same wedge-join kernel recommendation pipelines
+    run at item-catalog scale.
+
+    Scale shape: wedge enumeration is inherently Σ_c deg(c)² over
+    common-neighbor hubs c, so hubs with degree > {_LP_HUB_CAP} are
+    DROPPED from the wedge side (the standard stop-node rule: a part
+    in half the orders predicts nothing — same reason similarity
+    mining drops stopwords — and the cap bounds every c's fan-out at
+    {_LP_HUB_CAP}²; the hub nodes still contribute to the degree
+    denominators). Existing edges are removed by a LEFT ANTI join on
+    the pair key; the top-{_LP_TOPN} cut is a TakeOrderedAndProject,
+    never a global sort. Determinism: counts/degrees are integers,
+    ties order by (u, v); Jaccard is one terminal division, floored at
+    1e-9."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("c"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("c").agg(F.count("*").cast("long").alias("d"))
+    thin = adj.join(deg, "c").filter(F.col("d") <= _LP_HUB_CAP).select("c", "x")
+    ta, tb = thin.alias("ta"), thin.alias("tb")
+    cn = (
+        ta.join(tb, (F.col("ta.c") == F.col("tb.c")) & (F.col("ta.x") < F.col("tb.x")))
+        .groupBy(F.col("ta.x").alias("u"), F.col("tb.x").alias("v"))
+        .agg(F.count("*").cast("long").alias("common_n"))
+    )
+    cand = cn.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("c").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("c").alias("v"), F.col("d").alias("deg_v"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_n",
+            "deg_u",
+            "deg_v",
+            (
+                F.floor(
+                    F.col("common_n").cast("double")
+                    / (F.col("deg_u") + F.col("deg_v") - F.col("common_n"))
+                    * 1e9
+                )
+                / 1e9
+            ).alias("jaccard_q9"),
+        )
+    )
+    return scored.orderBy(F.col("common_n").desc(), "u", "v").limit(_LP_TOPN)

@@ -232,3 +232,140 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.floor(total * 1e6 / F.col("n_members")) / 1e6).alias("centroid_q6"),
     )
+
+
+_KC_SCALE = 1048576.0  # 2^20: float32 -> exact integer grid
+_KC_ROUNDS = 7  # selections after the seed (8 total)
+
+
+def _kcenter_oracle() -> str:
+    dist = (
+        "(list_dot_product(d{i}.qe, d{i}.qe) + list_dot_product(p{n}.qe, p{n}.qe)"
+        " - 2 * list_dot_product(d{i}.qe, p{n}.qe))"
+    )
+    ctes = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_KC_SCALE})) AS qe
+  FROM embeddings),
+seed AS (
+  SELECT vec_id, qe FROM (
+    SELECT vec_id, qe, md5(CAST(vec_id AS VARCHAR)) AS h FROM v
+    ORDER BY h, vec_id LIMIT 1)),
+d0 AS (
+  SELECT v.vec_id, v.qe,
+         (list_dot_product(v.qe, v.qe) + list_dot_product(seed.qe, seed.qe)
+          - 2 * list_dot_product(v.qe, seed.qe)) AS dmin
+  FROM v, seed)"""
+    ]
+    for n in range(1, _KC_ROUNDS + 1):
+        i = n - 1
+        ctes.append(
+            f"""p{n} AS (
+  SELECT vec_id, qe, dmin FROM d{i} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        if n < _KC_ROUNDS:
+            ctes.append(
+                f"""d{n} AS (
+  SELECT d{i}.vec_id, d{i}.qe,
+         least(d{i}.dmin, {dist.format(i=i, n=n)}) AS dmin
+  FROM d{i}, p{n})"""
+            )
+    selects = [
+        "SELECT 0 AS sel_idx, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM seed"
+    ] + [
+        f"SELECT {n} AS sel_idx, vec_id, CAST(dmin AS BIGINT) AS d2_at_pick FROM p{n}"
+        for n in range(1, _KC_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("sample_coreset_kcenter", oracle=_kcenter_oracle(), tags=("llm", "sample"))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    the 2-approximation of Gonzalez 1985): start from a deterministic
+    seed, then repeatedly add the vector FARTHEST from everything
+    chosen so far — the classic diverse-subset selector for curating a
+    maximally-covering training sample from an embedding corpus (the
+    opposite lever from dedup: dedup removes redundancy, k-center
+    guarantees spread). Emits the selection order and each pick's
+    squared distance to the prior set — a decreasing sequence whose
+    value at k is the corpus' covering radius.
+
+    Scale shape: each round is ONE 1-row argmax aggregate
+    (max_by over (dmin, -vec_id) — distributed partial max, no sort)
+    broadcast back onto a running per-vector min-distance column; the
+    working set is localCheckpoint'ed per round (the same iterative
+    discipline as dedup_cluster_components) so round N never replays
+    rounds 1..N-1 — k rounds = k linear passes, each one job. At
+    100 TB, k-center runs on the ANN-sampled or deduped corpus tier,
+    not the raw stream; the per-round shape is unchanged.
+
+    Determinism (bit-exact): embeddings land on the floor(x·2^20)
+    integer grid, so every squared L2 (expanded as x·x + c·c − 2·x·c
+    with the sequential-fold dot) is an EXACT integer in float64 —
+    argmax ties break toward the smaller vec_id on both engines; the
+    md5-ordered seed carries no RNG."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * _KC_SCALE)
+        ).alias("qe"),
+    )
+
+    def dot(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    def d2(u, w):
+        return dot(u, u) + dot(w, w) - 2 * dot(u, w)
+
+    seed = (
+        v.select("vec_id", "qe", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("pid"), F.col("qe").alias("pqe"))
+    )
+    d = (
+        v.crossJoin(F.broadcast(seed))
+        .select("vec_id", "qe", d2(F.col("qe"), F.col("pqe")).alias("dmin"))
+        .localCheckpoint()
+    )
+    picks = [
+        seed.select(
+            F.lit(0).alias("sel_idx"),
+            F.col("pid").alias("vec_id"),
+            F.lit(0).cast("long").alias("d2_at_pick"),
+        )
+    ]
+    for n in range(1, _KC_ROUNDS + 1):
+        pick = d.agg(
+            F.expr("max_by(struct(vec_id, qe, dmin), struct(dmin, -vec_id))").alias("p")
+        ).select(
+            F.col("p.vec_id").alias("pid"),
+            F.col("p.qe").alias("pqe"),
+            F.col("p.dmin").alias("pdmin"),
+        )
+        picks.append(
+            pick.select(
+                F.lit(n).alias("sel_idx"),
+                F.col("pid").alias("vec_id"),
+                F.col("pdmin").cast("long").alias("d2_at_pick"),
+            )
+        )
+        if n < _KC_ROUNDS:
+            d = (
+                d.crossJoin(F.broadcast(pick))
+                .select(
+                    "vec_id",
+                    "qe",
+                    F.least(F.col("dmin"), d2(F.col("qe"), F.col("pqe"))).alias("dmin"),
+                )
+                .localCheckpoint()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

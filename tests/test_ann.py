@@ -117,3 +117,66 @@ def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
     r1 = len(exact & _pairs(_run("sim_ann_ivf", spark, sf_dir)))
     r2 = len(exact & _pairs(_run("sim_ann_ivf_multiprobe", spark, sf_dir)))
     assert r2 >= r1 > 0
+
+
+def test_pq_deterministic_and_recall(spark, sf_dir):
+    """sim_ann_pq: md5-seeded codebooks + exact-integer distance math
+    => identical output across runs; ADC recall must comfortably beat
+    chance (random 5-of-n ~ 1%; measured 0.36+ at the K=64 preset on
+    this worst-case uniform corpus)."""
+    a = _pairs(_run("sim_ann_pq", spark, sf_dir))
+    b = _pairs(_run("sim_ann_pq", spark, sf_dir))
+    assert a == b
+    exact = _pairs(_run("sim_topk_cosine", spark, sf_dir))
+    recall = len(a & exact) / len(exact)
+    assert recall >= 0.15, f"PQ ADC recall collapsed: {recall}"
+
+
+def test_pq_output_shape_and_plan(spark, sf_dir):
+    """Full per-probe top-k comes back (the ADC stage scored every
+    candidate through the code table), scores are valid cosines, and
+    the plan never degrades to a cartesian product — the broadcast
+    LUT join on (sub, code) is what makes ADC linear in the corpus."""
+    from odns_dataimporter_spark.queries.llm_similarity import _N_PROBES, _TOP_K
+
+    pq = _run("sim_ann_pq", spark, sf_dir)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = pq.collect()
+    assert len(rows) == _N_PROBES * _TOP_K
+    assert all(-1.001 <= r.score <= 1.001 for r in rows)
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r.probe_id, set()).add(r.cand_id)
+    assert all(len(c) == _TOP_K for c in per_probe.values())
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """GK summary contract: each approximate percentile's true RANK in
+    the group must be within n/accuracy of the requested rank (the
+    bound Greenwald-Khanna guarantees; accuracy=1000 in the op)."""
+    from odns_dataimporter_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.event_type: (r.n, r.approx_cents)
+        for r in _run("agg_approx_percentile", spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r.event_type, []).append(r.cents)
+    for et, (n, apx) in approx.items():
+        xs = sorted(vals[et])
+        assert n == len(xs)
+        for pct, a in zip((0.5, 0.95, 0.99), apx):
+            # rank of the returned value among the group's values
+            import bisect
+
+            lo = bisect.bisect_left(xs, a)
+            hi = bisect.bisect_right(xs, a)
+            target = pct * n
+            tol = n / 1000 + 1
+            assert lo - tol <= target <= hi + tol, (et, pct, a, lo, hi, target)

@@ -505,6 +505,7 @@ _BNLJ_ALLOWED = {
     "join_global_sales_q22",
     "join_theta_range",
     "ml_kmeans_step",
+    "sample_coreset_kcenter",  # broadcast 1-row argmax pick per round
     "sim_ann_ivf",
     "sim_ann_ivf_multiprobe",  # broadcast centroid table (tiny)
     "stats_ks_drift",  # broadcast 1-row split-midpoint aggregate
@@ -537,3 +538,12 @@ def test_registry_wide_join_hygiene(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_link_prediction_topn_is_take_ordered_anti_join(spark, sf_dir):
+    # candidate non-edges come from a LEFT ANTI join on the pair key;
+    # the top-N cut collapses to TakeOrderedAndProject (no global sort)
+    plan = _plan(spark, sf_dir, "graph_link_prediction")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
