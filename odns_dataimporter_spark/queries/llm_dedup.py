@@ -862,21 +862,22 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).withColumn("h", F.md5("token"))
-    # d_i = value of md5 hex digit i (0..15)
-    d_cols = {
-        f"d{i}": F.expr(
-            f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1"
-        )
-        for i in range(_SH64_DIGITS)
-    }
-    voted = tok.withColumns(d_cols)
-    votes = voted.groupBy("doc_id").agg(
+    ).withColumn(
+        # One base-16 conversion folds the leading 15 md5 hex digits into a
+        # single 60-bit long; each signature bit is then an integer shift
+        # instead of a per-digit substr/instr lookup (15 string ops -> 1).
+        "hv",
+        F.expr(f"CAST(conv(substr(md5(token), 1, {_SH64_DIGITS}), 16, 10) AS BIGINT)"),
+    )
+    # Bit j of the signature reads bit (j%4) of hex digit (j//4); digit i is
+    # the (14-i)-th nibble of hv (most-significant hex digit first), so the
+    # shift is 4*(14 - j//4) + j%4. Mapping matches the oracle bit-for-bit.
+    votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.expr(f"(d{j // 4} >> {j % 4}) & 1") == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
+                F.expr(
+                    f"((hv >> {4 * (_SH64_DIGITS - 1 - j // 4) + j % 4}) & 1) * 2 - 1"
+                )
             ).alias(f"s{j}")
             for j in range(_SH64_BITS)
         ]
@@ -909,13 +910,22 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "ci", "cv"
     )
-    cand = (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # A pair within Hamming 3 may share several intact chunks and would
+    # surface once per shared chunk; instead of a DISTINCT shuffle over the
+    # candidate set (2.6 M rows at sf0.1), emit each pair only from its
+    # LOWEST matching chunk — "all chunks below ci differ" is an integer
+    # predicate on (sim_a, sim_b), so dedup costs zero extra shuffles.
+    mask_l = F.lit(mask)
+    first_match = F.lit(True)
+    for k in range(_SH64_CHUNKS - 1):
+        chunk_differs = (
+            F.shiftright("sim_a", k * _SH64_CHUNK_BITS).bitwiseAND(mask_l)
+            != F.shiftright("sim_b", k * _SH64_CHUNK_BITS).bitwiseAND(mask_l)
+        )
+        first_match = first_match & ((F.col("ci") <= k) | chunk_differs)
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.filter(ham <= _SH64_MAXD).select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= _SH64_MAXD) & first_match)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
