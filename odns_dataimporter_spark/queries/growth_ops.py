@@ -1,0 +1,279 @@
+"""Growth-analytics operators over the events stream: marketing touch
+attribution, RFM segmentation, and conversion-latency percentiles.
+
+These are the query shapes a product-analytics user of the reference
+pipeline (clickstream rows loaded into a warehouse table,
+dataimporter.py:119-127 equivalent) runs downstream; here they are
+first-class distributed operators. All money math follows the exact
+integer-cents convention (queries/_helpers.py) so value hashes match
+the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odns_dataimporter_spark.queries._helpers import money_sum, money_sum_sql
+from odns_dataimporter_spark.registry import register
+from odns_dataimporter_spark.tables import load_table
+
+
+@register(
+    "events_attribution_touch",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type, value,
+         first_value(mk IGNORE NULLS) OVER w AS first_touch,
+         last_value(mk IGNORE NULLS) OVER w AS last_touch
+  FROM (SELECT *, CASE WHEN event_type IN ('click', 'view')
+                       THEN event_type END AS mk FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+s AS (
+  SELECT 'first_touch' AS model, coalesce(first_touch, 'direct') AS channel,
+         value FROM p
+  UNION ALL
+  SELECT 'last_touch', coalesce(last_touch, 'direct'), value FROM p
+)
+SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {money_sum_sql('value')} AS revenue
+FROM s GROUP BY model, channel
+""",
+    tags=("analytics", "events"),
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch marketing attribution: every purchase
+    is credited to the first (resp. most recent) click/view that
+    STRICTLY precedes it in the user's event stream; purchases with no
+    prior touch are 'direct'. One shuffle on user_id computes both
+    models (a single window pass with `first/last(..., ignorenulls)`
+    over an unbounded-preceding frame — running state, not a per-row
+    rescan), then the purchase rows stack into (model, channel) and
+    reduce to a channel-count/revenue table that is tiny regardless of
+    corpus size. Revenue is exact integer cents divided once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mk = F.when(F.col("event_type").isin("click", "view"), F.col("event_type"))
+    touched = ev.withColumn("mk", mk).select(
+        "event_type",
+        "value",
+        F.first("mk", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("mk", ignorenulls=True).over(w).alias("last_touch"),
+    )
+    pur = touched.filter(F.col("event_type") == "purchase")
+    stacked = pur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("first_touch", F.lit("direct")).alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("last_touch", F.lit("direct")).alias("channel"),
+                ),
+            )
+        ).alias("mc"),
+        "value",
+    ).select("mc.model", "mc.channel", "value")
+    return stacked.groupBy("model", "channel").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        money_sum("value").alias("revenue"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(date_diff('day',
+              CAST(date_trunc('day', max(ts)) AS DATE),
+              (SELECT CAST(date_trunc('day', max(ts)) AS DATE) FROM events))
+           AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT quantile_disc(recency_days, 0.25) AS r25,
+         quantile_disc(recency_days, 0.50) AS r50,
+         quantile_disc(recency_days, 0.75) AS r75,
+         quantile_disc(frequency, 0.25) AS f25,
+         quantile_disc(frequency, 0.50) AS f50,
+         quantile_disc(frequency, 0.75) AS f75,
+         quantile_disc(monetary_cents, 0.25) AS m25,
+         quantile_disc(monetary_cents, 0.50) AS m50,
+         quantile_disc(monetary_cents, 0.75) AS m75
+  FROM u
+), s AS (
+  SELECT u.*,
+    CAST(CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+              WHEN recency_days <= r75 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+    CAST(CASE WHEN frequency >= f75 THEN 4 WHEN frequency >= f50 THEN 3
+              WHEN frequency >= f25 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+    CAST(CASE WHEN monetary_cents >= m75 THEN 4 WHEN monetary_cents >= m50 THEN 3
+              WHEN monetary_cents >= m25 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+  FROM u CROSS JOIN q
+)
+SELECT user_id, recency_days, frequency, monetary_cents, r_score, f_score,
+       m_score,
+       CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+            ELSE 'other' END AS segment
+FROM s
+""",
+    tags=("analytics", "events"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+    Per-user metrics reduce events to |users| rows in one shuffle;
+    quartile cut points come from a 1-row `percentile_disc` aggregate
+    broadcast back (threshold-compare, NOT a global ntile sort — so no
+    single-partition window, and ties score identically on both
+    engines). Monetary stays in exact integer cents. At 100 TB the
+    pattern is unchanged: the only all-rows pass is the per-user
+    aggregate; the quantile aggregate runs over the already-reduced
+    user table (swap percentile_disc for approx_percentile if even
+    |users| is huge)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    anchor = ev.agg(F.max(day).alias("anchor_day"))
+    u = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("anchor_day", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    qexpr = {
+        f"{p}{int(q * 100)}": F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+        )
+        for p, col in (("r", "recency_days"), ("f", "frequency"), ("m", "monetary_cents"))
+        for q in (0.25, 0.50, 0.75)
+    }
+    q = u.agg(*[e.alias(k) for k, e in qexpr.items()])
+    s = u.crossJoin(F.broadcast(q))
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("r25"), 4)
+        .when(F.col("recency_days") <= F.col("r50"), 3)
+        .when(F.col("recency_days") <= F.col("r75"), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    f_score = (
+        F.when(F.col("frequency") >= F.col("f75"), 4)
+        .when(F.col("frequency") >= F.col("f50"), 3)
+        .when(F.col("frequency") >= F.col("f25"), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    m_score = (
+        F.when(F.col("monetary_cents") >= F.col("m75"), 4)
+        .when(F.col("monetary_cents") >= F.col("m50"), 3)
+        .when(F.col("monetary_cents") >= F.col("m25"), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    scored = s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "recent")
+        .otherwise("other")
+    )
+    return scored.withColumn("segment", segment)
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id,
+             epoch_us(min(e.ts)) - epoch_us(any_value(s.signup_ts)) AS delta_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY e.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(delta_us, 0.25) AS BIGINT) AS p25_us,
+       CAST(quantile_disc(delta_us, 0.50) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(delta_us, 0.75) AS BIGINT) AS p75_us,
+       CAST(quantile_disc(delta_us, 0.90) AS BIGINT) AS p90_us,
+       CAST(SUM(delta_us) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_us
+FROM p
+""",
+    tags=("analytics", "events"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency distribution: per user, the
+    first purchase strictly after the first signup, reported as exact
+    integer-microsecond deltas (p25/p50/p75/p90 discrete percentiles +
+    mean). Two user-keyed aggregates and one user-keyed join — AQE
+    coalesces onto one partitioning — then a single 1-row reduce; the
+    mean is an integer-sum ÷ count so it hashes identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.any_value("signup_ts"))
+            ).alias("delta_us")
+        )
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY delta_us)")
+        .cast("long")
+        .alias("p25_us"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY delta_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY delta_us)")
+        .cast("long")
+        .alias("p75_us"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY delta_us)")
+        .cast("long")
+        .alias("p90_us"),
+        (F.sum("delta_us").cast("long") / F.count("*").cast("long")).alias("mean_us"),
+    )

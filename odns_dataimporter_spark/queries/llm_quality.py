@@ -430,3 +430,72 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+_BP_PCT = 20  # trigram is boilerplate if present in >= 20% of docs
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), tri AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS ngram
+  FROM toks WHERE len(tk) >= 3
+), df AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs_with FROM tri GROUP BY ngram
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) FILTER (WHERE df.n_docs_with * 100 >= {_BP_PCT} * t.n_docs)
+            AS BIGINT) AS n_boiler,
+       floor(COUNT(*) FILTER (WHERE df.n_docs_with * 100 >= {_BP_PCT} * t.n_docs)
+             * 1e6 / COUNT(*)) / 1e6 AS boiler_ratio_q6
+FROM tri JOIN df USING (ngram) CROSS JOIN t
+GROUP BY tri.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4/RefinedWeb "remove
+    lines shared across many pages" step, adapted to trigram shingles
+    since this corpus has no line structure): a trigram occurring in
+    ≥ 20% of documents is boilerplate, and each document reports how
+    much of its distinct-trigram mass is boilerplate. Shape: one
+    explode → trigram-keyed document-frequency aggregate (map-side
+    combined; shuffle carries |distinct trigrams|), the corpus doc
+    count folds in as a broadcast 1-row aggregate (no driver action),
+    and the DF table joins back to the exploded shingles on the same
+    trigram key so AQE reuses the partitioning. The boilerplate test
+    is an integer cross-multiply (df·100 ≥ 20·N) — no float threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    tri_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+            ),
+        )
+    )
+    tri = (
+        docs.filter(F.size(tk) >= 3)
+        .select("doc_id", F.explode(tri_expr).alias("ngram"))
+    )
+    df = tri.groupBy("ngram").agg(F.count("*").cast("long").alias("n_docs_with"))
+    t = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    is_bp = F.col("n_docs_with") * 100 >= F.lit(_BP_PCT) * F.col("n_docs")
+    joined = tri.join(df, "ngram").crossJoin(F.broadcast(t))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.count_if(is_bp).cast("long").alias("n_boiler"),
+        (F.floor(F.count_if(is_bp) * 1e6 / F.count("*")) / 1e6).alias(
+            "boiler_ratio_q6"
+        ),
+    )

@@ -369,3 +369,63 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+_LR_SCALE = 1048576  # 2^20: float32 embeddings -> exact integer grid
+
+
+@register(
+    "ml_logreg_step",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label % 2 AS y, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT y, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(v[i] * {_LR_SCALE}) AS BIGINT) AS qx
+  FROM (SELECT y, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+), g AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN y = 0 THEN qx ELSE -qx END) AS BIGINT) AS s_signed
+  FROM m GROUP BY dim
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e)
+SELECT dim, s_signed, n_rows,
+       (0.5 * s_signed) / (n_rows * {_LR_SCALE}.0) AS grad,
+       -((0.5 * s_signed) / (n_rows * {_LR_SCALE}.0)) AS w_new
+FROM g, n
+""",
+    tags=("ml", "llm"),
+)
+def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact batch-gradient-descent step of logistic regression on
+    the embeddings table (target y = label parity, weights initialised
+    to zero, lr = 1): at w = 0 the per-row residual is (σ(0) − y) =
+    ±0.5, so the gradient per dimension is 0.5·(Σ_{{y=0}} x_j −
+    Σ_{{y=1}} x_j)/N. Embeddings snap to the 2^20 integer grid (same
+    trick as `sample_coreset_kcenter`) so the signed sums are exact
+    int64 and the single final division makes grad/w_new bit-identical
+    on both engines. Shape: posexplode → per-dimension map-side-
+    combined aggregate (shuffle carries D=|dims| keys per partition,
+    not rows) + a broadcast 1-row count — the treeAggregate pattern
+    spark.ml uses for its own LogisticRegression, expressed
+    declaratively; iterating with nonzero w costs one more broadcast
+    join per step."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") % 2).alias("y"), "embedding"
+    )
+    ex = emb.select("y", F.posexplode("embedding").alias("dim", "val"))
+    qx = F.floor(F.col("val").cast("double") * _LR_SCALE).cast("long")
+    g = (
+        ex.select(
+            F.col("dim").cast("long").alias("dim"),
+            F.when(F.col("y") == 0, qx).otherwise(-qx).alias("sq"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("sq").cast("long").alias("s_signed"))
+    )
+    n = emb.agg(F.count("*").cast("long").alias("n_rows"))
+    grad = (F.lit(0.5) * F.col("s_signed")) / (
+        F.col("n_rows") * F.lit(float(_LR_SCALE))
+    )
+    return g.crossJoin(F.broadcast(n)).select(
+        "dim", "s_signed", "n_rows", grad.alias("grad"), (-grad).alias("w_new")
+    )

@@ -492,3 +492,68 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("last_ts"), "yyyy-MM-dd").alias("last_day"),
     )
     return merged
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), precomputed
+# once in Python and injected as identical double literals into BOTH
+# engines — no runtime log10, so no libm-vs-JVM last-ulp risk.
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "stats_benford_digits",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice > 0
+), d AS (
+  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+SELECT digit, n, total,
+       CAST(n AS DOUBLE) / total AS obs_freq,
+       CAST(CASE digit {' '.join(f"WHEN '{k}' THEN {v!r}" for k, v in _BENFORD.items())} END
+            AS DOUBLE) AS exp_freq,
+       (CAST(n AS DOUBLE) / total) -
+       CAST(CASE digit {' '.join(f"WHEN '{k}' THEN {v!r}" for k, v in _BENFORD.items())} END
+            AS DOUBLE) AS deviation
+FROM d, t
+""",
+    tags=("stats", "analytics"),
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of `l_extendedprice` — the
+    classic fraud/data-quality screen for financial columns. The first
+    significant digit comes from the exact integer-cents string (never
+    from log10 of a double, whose floor can shift by an ulp at powers
+    of ten); observed frequencies are one integer division and the
+    expected frequencies are shared precomputed literals, so every
+    float hashes identically. Shape: full scan → 9-group map-side-
+    combined aggregate → 1-row total broadcast back; nothing here grows
+    with data size except the first scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = d.agg(F.sum("n").cast("long").alias("total"))
+    expr = None
+    for k, v in _BENFORD.items():
+        cond = F.col("digit") == str(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            "total",
+            obs.alias("obs_freq"),
+            expr.alias("exp_freq"),
+            (obs - expr).alias("deviation"),
+        )
+    )

@@ -699,3 +699,68 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(((p - q) * F.log(p / q)) * 1e9) / 1e9).alias("psi_term_q9"),
         )
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+c AS (
+  SELECT day, rev_cents,
+         CAST(SUM(rev_cents * n_days - total_cents)
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+  FROM d, t
+)
+SELECT day, rev_cents, cusum_scaled,
+       abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER () AS is_changepoint
+FROM c
+""",
+    tags=("timeseries", "analytics"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily purchase-revenue
+    series: the running sum of deviations from the series mean peaks at
+    the most likely level-shift day (Page's cumulative-sum statistic).
+    All math stays in exact integers — the deviation is scaled by
+    n_days (rev·n − total instead of rev − total/n) so the cumulative
+    sum never touches a float and hashes bit-identically. Shape: one
+    events-scale shuffle reduces to |days| rows; the 1-row totals
+    broadcast back; the ordered cumulative window runs over the tiny
+    aggregated series (|days| rows — at 100 TB this is still only
+    ~3.6 k rows/decade, so the single-partition window is free; the
+    expensive pass is the day aggregate, which is map-side combined)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("rev_cents"))
+    )
+    t = d.agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("rev_cents") * F.col("n_days") - F.col("total_cents")
+            )
+            .over(wcum)
+            .cast("long"),
+        )
+        .select("day", "rev_cents", "cusum_scaled")
+    )
+    wall = W.partitionBy()
+    return c.withColumn(
+        "is_changepoint",
+        F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(wall),
+    )
