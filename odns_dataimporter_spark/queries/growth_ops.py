@@ -277,3 +277,49 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         (F.sum("delta_us").cast("long") / F.count("*").cast("long")).alias("mean_us"),
     )
+
+
+@register(
+    "events_rolling_distinct_7d",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+    tags=("analytics", "events"),
+)
+def events_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric SQL
+    window functions cannot express (COUNT(DISTINCT) has no window
+    form). Instead of the oracle's range self-join (quadratic in
+    |days|), each distinct (user, day) activity row EXPLODES into the
+    ≤ 7 future days it contributes to, then a distinct + count per
+    target day: a bounded 7× row amplification of the already-
+    deduplicated per-user-day table, all equi-keyed shuffles — the
+    scale-safe formulation for years of data. Target days are
+    restricted to days with actual activity (broadcast semi-join) so
+    both engines emit the same day set."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "target_day")),
+            "target_day",
+            "left_semi",
+        )
+        .select(F.col("target_day").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )

@@ -499,3 +499,66 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boiler_ratio_q6"
         ),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), tri AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS ngram
+  FROM toks WHERE len(tk) >= 3
+), first_seen AS (
+  SELECT ngram, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tri GROUP BY ngram
+)
+SELECT tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) FILTER (WHERE first_seen.first_doc = tri.doc_id)
+            AS BIGINT) AS n_novel,
+       floor(COUNT(*) FILTER (WHERE first_seen.first_doc = tri.doc_id)
+             * 1e6 / COUNT(*)) / 1e6 AS novelty_q6
+FROM tri JOIN first_seen USING (ngram)
+GROUP BY tri.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each document (in doc_id ingest
+    order), the fraction of its distinct trigrams never seen in any
+    earlier document — the diminishing-returns signal a crawl pipeline
+    watches to decide when more data stops adding information. Shape
+    mirrors `text_boilerplate_ngrams`: trigram explode → min(doc_id)
+    per trigram (map-side combined, shuffle = |distinct trigrams|) →
+    join back on the same trigram key → per-doc integer ratio. No
+    driver actions, no float thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    tri_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+            ),
+        )
+    )
+    tri = (
+        docs.filter(F.size(tk) >= 3)
+        .select("doc_id", F.explode(tri_expr).alias("ngram"))
+    )
+    first_seen = tri.groupBy("ngram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    is_novel = F.col("first_doc") == F.col("doc_id")
+    return tri.join(first_seen, "ngram").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.count_if(is_novel).cast("long").alias("n_novel"),
+        (F.floor(F.count_if(is_novel) * 1e6 / F.count("*")) / 1e6).alias(
+            "novelty_q6"
+        ),
+    )

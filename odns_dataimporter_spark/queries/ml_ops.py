@@ -429,3 +429,54 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(n)).select(
         "dim", "s_signed", "n_rows", grad.alias("grad"), (-grad).alias("w_new")
     )
+
+
+_NB_TOPK = 20
+
+
+@register(
+    "ml_naive_bayes_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS t_c FROM cnt GROUP BY lang
+), vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok),
+ranked AS (
+  SELECT cnt.lang, cnt.token, cnt.n, totals.t_c, vocab.v,
+         row_number() OVER (PARTITION BY cnt.lang
+                            ORDER BY cnt.n DESC, cnt.token) AS rank
+  FROM cnt JOIN totals USING (lang) CROSS JOIN vocab
+)
+SELECT lang, token, n, CAST(rank AS BIGINT) AS rank,
+       round(ln((n + 1.0) / (t_c + v)), 6) AS logp_q6
+FROM ranked WHERE rank <= {_NB_TOPK}
+""",
+    tags=("ml", "llm", "text"),
+)
+def ml_naive_bayes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes fit for language classification: per
+    (lang, token) counts with add-one smoothing, reported as the top-20
+    tokens per class with log P(token | class) = ln((n+1)/(T_c+V)).
+    The fit is exactly the distributed shape spark.ml's NaiveBayes
+    aggregates internally: one token-keyed count (map-side combined),
+    a |langs|-row class-total rollup, and a broadcast 1-row vocabulary
+    size; the per-class top-k window runs over the already-reduced
+    count table. Counts are exact; the single ln-of-ratio is rounded
+    at 1e-6 (the `text_tfidf` idf precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("n"))
+    totals = cnt.groupBy("lang").agg(F.sum("n").cast("long").alias("t_c"))
+    vocab = tok.agg(F.countDistinct("token").cast("long").alias("v"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    ranked = (
+        cnt.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _NB_TOPK)
+    )
+    logp = F.round(F.log((F.col("n") + 1.0) / (F.col("t_c") + F.col("v"))), 6)
+    return ranked.select("lang", "token", "n", "rank", logp.alias("logp_q6"))

@@ -764,3 +764,39 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_changepoint",
         F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(wall),
     )
+
+
+@register(
+    "ts_seasonal_hourly_profile",
+    oracle="""
+WITH h AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM h
+         GROUP BY event_type)
+SELECT h.hod, h.event_type, h.n,
+       (24.0 * h.n) / t.total AS seasonal_idx
+FROM h JOIN t USING (event_type)
+""",
+    tags=("timeseries", "analytics"),
+)
+def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: the share of a
+    type's events landing in each clock hour, normalised so a flat
+    series scores 1.0 in every slot (seasonal index = 24·n_hod/total).
+    One events-scale map-side-combined aggregate reduces to ≤ 24·|types|
+    rows; the per-type totals are a second tiny rollup joined back
+    (broadcast — |types| rows). The index is a single division of
+    exact integers, bit-identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.hour("ts").cast("long").alias("hod"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "hod",
+        "event_type",
+        "n",
+        ((F.lit(24.0) * F.col("n")) / F.col("total")).alias("seasonal_idx"),
+    )
