@@ -497,7 +497,15 @@ _BNLJ_ALLOWED = {
     "dedup_minhash_recall",  # cross join of three single-row count aggregates
     "dedup_minhash_recall_prod",  # same, at the production LSH preset
     "dq_constraint_check",
+    "events_rfm_segments",  # broadcast 1-row anchor-day + quartile aggregates
+    "events_time_to_convert",  # final 1-row reduce
     "graph_pagerank",  # broadcast single-row |nodes| aggregate (folded scalar)
+    "ml_logreg_step",  # broadcast single-row |rows| count aggregate
+    "ml_naive_bayes_fit",  # broadcast single-row vocab-size aggregate
+    "stats_benford_digits",  # broadcast single-row total-count aggregate
+    "text_boilerplate_ngrams",  # broadcast single-row corpus-size aggregate
+    "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
+    "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
     "graph_triangle_count",  # cross join of three single-row count aggregates
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
@@ -547,3 +555,51 @@ def test_link_prediction_topn_is_take_ordered_anti_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    # first_touch and last_touch share one window spec => one user_id
+    # exchange and a single Window node computing both
+    plan = _plan(spark, sf_dir, "events_attribution_touch")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert plan.count("Window") == 1
+
+
+def test_rfm_quantiles_broadcast_not_sorted(spark, sf_dir):
+    # quartile thresholds join back as a broadcast 1-row aggregate;
+    # no global sort / single-partition window anywhere
+    plan = _plan(spark, sf_dir, "events_rfm_segments")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar crossJoin
+    assert "Window" not in plan
+    assert "Sort [recency_days" not in plan
+
+
+def test_boilerplate_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_partial_aggregate(spark, sf_dir):
+    # per-dimension gradient sums must be map-side combined: the
+    # shuffle carries |dims| keys per partition, not |rows × dims|
+    plan = _plan(spark, sf_dir, "ml_logreg_step")
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rolling_distinct_semi_join_broadcast(spark, sf_dir):
+    # the day-spine restriction is a broadcast semi join, and the 7x
+    # explode amplifies the deduped per-user-day table, not raw events
+    plan = _plan(spark, sf_dir, "events_rolling_distinct_7d")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_no_distinct_after_join(spark, sf_dir):
+    # pair dedup is the first-matching-chunk predicate, not a DISTINCT:
+    # after the bucket join there must be no further aggregate exchange
+    plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert join_pos >= 0
+    head = plan[:join_pos]  # executed-plan text lists downstream ops first
+    assert "Exchange hashpartitioning" not in head
