@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "stats_psi_drift",
     "text_bigram_logprob",
+    "events_attribution_touch",
+    "events_rolling_distinct_7d",
+    "ml_logreg_step",
+    "text_boilerplate_ngrams",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

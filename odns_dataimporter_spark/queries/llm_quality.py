@@ -432,6 +432,27 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distinct_trigrams(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, ngram) trigram shingles. Two perf rules
+    learned the hard way: (1) materialize the token array as a COLUMN
+    before the transform lambda — element_at on the raw split() expr
+    re-splits the string per element, O(len²) per doc (3.2 s → 0.5 s
+    at sf0.1); (2) no array_distinct — it is O(len²) interpreted
+    comparisons per row; explode and dedup relationally instead (a
+    map-side-combined aggregate, linear per row)."""
+    base = docs.withColumn("tk", F.split("text", " ")).filter(F.size("tk") >= 3)
+    tri_expr = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tk", i + 1),
+            F.element_at("tk", i + 2),
+            F.element_at("tk", i + 3),
+        ),
+    )
+    return base.select("doc_id", F.explode(tri_expr).alias("ngram")).distinct()
+
+
 _BP_PCT = 20  # trigram is boilerplate if present in >= 20% of docs
 
 
@@ -472,22 +493,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram key so AQE reuses the partitioning. The boilerplate test
     is an integer cross-multiply (df·100 ≥ 20·N) — no float threshold."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
-    tri_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tk, i + 1),
-                F.element_at(tk, i + 2),
-                F.element_at(tk, i + 3),
-            ),
-        )
-    )
-    tri = (
-        docs.filter(F.size(tk) >= 3)
-        .select("doc_id", F.explode(tri_expr).alias("ngram"))
-    )
+    tri = _distinct_trigrams(docs)
     df = tri.groupBy("ngram").agg(F.count("*").cast("long").alias("n_docs_with"))
     t = docs.agg(F.count("*").cast("long").alias("n_docs"))
     is_bp = F.col("n_docs_with") * 100 >= F.lit(_BP_PCT) * F.col("n_docs")
@@ -535,22 +541,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on the same trigram key → per-doc integer ratio. No
     driver actions, no float thresholds."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
-    tri_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tk, i + 1),
-                F.element_at(tk, i + 2),
-                F.element_at(tk, i + 3),
-            ),
-        )
-    )
-    tri = (
-        docs.filter(F.size(tk) >= 3)
-        .select("doc_id", F.explode(tri_expr).alias("ngram"))
-    )
+    tri = _distinct_trigrams(docs)
     first_seen = tri.groupBy("ngram").agg(
         F.min("doc_id").cast("long").alias("first_doc")
     )

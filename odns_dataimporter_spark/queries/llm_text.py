@@ -264,13 +264,15 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     under language models and contamination checks; explode keeps the
     shuffle at |bigram vocabulary|."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # Materialize the token array BEFORE the lambda: slicing the raw
+    # split() expression re-splits the string per element (O(len²)/doc)
+    base = docs.withColumn("words", F.split(F.col("text"), " "))
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        F.sequence(F.lit(1), F.size("words") - 1),
+        lambda i: F.concat_ws(" ", F.slice("words", i, 2)),
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), "bigram")
