@@ -557,3 +557,231 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs - expr).alias("deviation"),
         )
     )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(n_chars) AS BIGINT) AS s_g,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY source
+), f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS ss,
+         list_reduce(list(CAST(s_g AS DOUBLE) * s_g / n_g ORDER BY source),
+                     (x, y) -> x + y) AS sum_sq_over_n
+  FROM g
+)
+SELECT k, n,
+       floor((sum_sq_over_n - CAST(s AS DOUBLE) * s / n) * 1e6) / 1e6 AS ssb_q6,
+       floor((ss - sum_sq_over_n) * 1e6) / 1e6 AS ssw_q6,
+       floor(((sum_sq_over_n - CAST(s AS DOUBLE) * s / n) / (k - 1))
+             / ((ss - sum_sq_over_n) / (n - k)) * 1e6) / 1e6 AS f_stat_q6
+FROM f
+""",
+    tags=("stats", "analytics"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of document length across corpus sources —
+    the k-group companion to the pairwise `stats_welch_ttest`. Per-group
+    sufficient statistics (n, Σx, Σx²) are exact int64 sums; the
+    between/within decomposition needs Σ_g s_g²/n_g, whose float terms
+    are folded in SOURCE ORDER on both engines (the `stats_chi_square`
+    sorted-fold discipline) so the double accumulation is bit-identical.
+    Shape: one corpus-scale map-side-combined aggregate to |sources|
+    rows, then 1-row math."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(x).cast("long").alias("s_g"),
+        F.sum(x * x).cast("long").alias("ss_g"),
+    )
+    term = F.struct(
+        F.col("source").alias("src"),
+        (F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias("t"),
+    )
+    f = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, t: acc + t["t"],
+        ).alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_sq_over_n")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return f.select(
+        "k",
+        "n",
+        (F.floor(ssb * 1e6) / 1e6).alias("ssb_q6"),
+        (F.floor(ssw * 1e6) / 1e6).alias("ssw_q6"),
+        (F.floor(fstat * 1e6) / 1e6).alias("f_stat_q6"),
+    )
+
+
+@register(
+    "ts_error_budget_burn",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err,
+         CAST(COUNT(*) AS BIGINT) AS n_tot
+  FROM events GROUP BY 1
+), r AS (
+  SELECT hour, n_err, n_tot,
+         CAST(SUM(n_err) OVER w6 AS BIGINT) AS err_6h,
+         CAST(SUM(n_tot) OVER w6 AS BIGINT) AS tot_6h
+  FROM h
+  WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n_err, n_tot, err_6h, tot_6h,
+       floor(n_err * 1e8 / n_tot) / 1e6 AS burn_1h_q6,
+       floor(err_6h * 1e8 / tot_6h) / 1e6 AS burn_6h_q6,
+       (n_err * 1000 > 144 * n_tot AND err_6h * 1000 > 60 * tot_6h) AS page
+FROM r
+""",
+    tags=("timeseries", "stats", "analytics"),
+)
+def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the SRE-workbook
+    page rule): hourly error rate over a 1% SLO budget, alongside the
+    6-hour rolling rate; a page fires when the 1 h burn exceeds 14.4×
+    AND the 6 h burn exceeds 6× budget. Burn rates are integer-derived
+    (floor(n_err·1e8/n_tot)/1e6) and the page predicate is an integer
+    cross-multiply — no float thresholds anywhere. Shape: events reduce
+    to |hours| rows in one map-side-combined aggregate; the rolling
+    window runs over that tiny series (≈9 k rows/year — the ordered
+    window is free; at 100 TB the only full pass is the first
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_err"),
+        F.count("*").cast("long").alias("n_tot"),
+    )
+    w6 = W.orderBy("hour").rowsBetween(-5, W.currentRow)
+    r = h.select(
+        "hour",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(w6).cast("long").alias("err_6h"),
+        F.sum("n_tot").over(w6).cast("long").alias("tot_6h"),
+    )
+    return r.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_err",
+        "n_tot",
+        "err_6h",
+        "tot_6h",
+        (F.floor(F.col("n_err") * 1e8 / F.col("n_tot")) / 1e6).alias("burn_1h_q6"),
+        (F.floor(F.col("err_6h") * 1e8 / F.col("tot_6h")) / 1e6).alias("burn_6h_q6"),
+        (
+            (F.col("n_err") * 1000 > 144 * F.col("n_tot"))
+            & (F.col("err_6h") * 1000 > 60 * F.col("tot_6h"))
+        ).alias("page"),
+    )
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """Pearson r from the named HUGEINT sufficient-stat columns, cast
+    to DOUBLE late so both engines run the identical float sequence."""
+    return (
+        f"floor((CAST(n AS DOUBLE) * CAST(s_{a}{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / (sqrt(CAST(n AS DOUBLE) * CAST(s_{a}{a} AS DOUBLE)"
+        f"         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f"    * sqrt(CAST(n AS DOUBLE) * CAST(s_{b}{b} AS DOUBLE)"
+        f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        f" * 1e6) / 1e6"
+    )
+
+
+@register(
+    "stats_corr_matrix",
+    oracle=f"""
+WITH m AS (
+  SELECT l_quantity AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d,
+         SUM(q * q) AS s_qq, SUM(p * p) AS s_pp, SUM(d * d) AS s_dd,
+         SUM(q * p) AS s_qp, SUM(q * d) AS s_qd, SUM(p * d) AS s_pd
+  FROM m
+)
+SELECT 'quantity' AS measure_a, 'price' AS measure_b, n,
+       {_corr_pair_sql('q', 'p')} AS corr_q6 FROM s
+UNION ALL
+SELECT 'quantity', 'discount', n, {_corr_pair_sql('q', 'd')} FROM s
+UNION ALL
+SELECT 'price', 'discount', n, {_corr_pair_sql('p', 'd')} FROM s
+""",
+    tags=("stats", "analytics"),
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures
+    (quantity, price in exact cents, discount in basis points) from ONE
+    pass: ten sufficient statistics in a single map-side-combined
+    aggregate, then the three pairs unfold from that 1-row table with
+    no further scan. Sums accumulate exactly — Spark in decimal(38,0),
+    DuckDB in HUGEINT — and are cast to DOUBLE only inside the final
+    identical float expression, so r hashes bit-for-bit. The int128
+    headroom holds at 100 TB (Σcents² ≈ 1e13/row × 1e10 rows ≈ 1e23 ≪
+    1e38); a plain int64 would overflow there, which is why the sums
+    are NOT longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("d"),
+    )
+    dec = "decimal(38,0)"
+
+    def S(expr):
+        return F.sum(expr.cast(dec))
+
+    c = {x: F.col(x) for x in ("q", "p", "d")}
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        *[S(c[x]).alias(f"s_{x}") for x in ("q", "p", "d")],
+        *[
+            S(c[x] * c[y]).alias(f"s_{x}{y}")
+            for x, y in ("qq", "pp", "dd", "qp", "qd", "pd")
+        ],
+    )
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}{b}").cast("double")
+        saa, sbb = F.col(f"s_{a}{a}").cast("double"), F.col(f"s_{b}{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.floor(num / den * 1e6) / 1e6
+
+    names = {"q": "quantity", "p": "price", "d": "discount"}
+    # one explode from the single aggregate row — a 3-branch union would
+    # re-execute the aggregate (and the lineitem scan) per branch
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(names[a]).alias("measure_a"),
+                F.lit(names[b]).alias("measure_b"),
+                corr(a, b).alias("corr_q6"),
+            )
+            for a, b in (("q", "p"), ("q", "d"), ("p", "d"))
+        ]
+    )
+    return s.select(F.explode(pairs).alias("r"), "n").select(
+        "r.measure_a", "r.measure_b", "n", "r.corr_q6"
+    )

@@ -603,3 +603,11 @@ def test_simhash_no_distinct_after_join(spark, sf_dir):
     assert join_pos >= 0
     head = plan[:join_pos]  # executed-plan text lists downstream ops first
     assert "Exchange hashpartitioning" not in head
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    # the 3 correlation pairs unfold from ONE sufficient-stats aggregate;
+    # a per-pair union would triple the lineitem scan
+    plan = _plan(spark, sf_dir, "stats_corr_matrix")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
