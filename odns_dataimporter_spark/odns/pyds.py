@@ -278,7 +278,115 @@ class OdnsScanDataSource(DataSource):
     def simpleStreamReader(self, schema: T.StructType) -> OdnsScanStreamReader:
         return OdnsScanStreamReader(self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return OdnsScanWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(OdnsScanDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: DataFrame -> archive layout (the reverse of the reader), with a
+# two-phase commit so a failed job never leaves half-written scan files.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """(staged_path, protocol, scan_date) per file written by one task."""
+
+    files: list  # list[tuple[str, str, str]]
+
+
+def _fmt_cell(name: str, v) -> str:
+    if v is None:
+        return ""  # ''<->NULL round-trips (nullValue convention)
+    if name.startswith("timestamp_"):
+        return v.strftime(_TS_FMT)
+    return str(v)
+
+
+class OdnsScanWriter(DataSourceWriter):
+    """Writes rows back into ``<root>/<year>/<proto>/<proto>_scan_<date>
+    .part-*.csv.gz``. Each task stages its files under ``_staging/`` and
+    reports them in its commit message; the driver's ``commit()`` moves
+    everything into place atomically-per-file (rename within one
+    filesystem), and ``abort()`` removes the staging products — the
+    standard job-commit protocol, so concurrent readers never observe a
+    torn file and a failed job leaves the archive untouched."""
+
+    def __init__(self, options, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("odns_scan requires option 'path' (archive root)")
+        if overwrite:
+            raise ValueError(
+                "odns_scan writer is append-only (the reference archive is "
+                "immutable scan history; use the snapshot sink for replace)"
+            )
+
+    def write(self, iterator) -> _StagedFiles:
+        import uuid
+
+        stage_root = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        writers: dict[tuple[str, str], tuple] = {}
+        data_cols = [c for c in SINK_COLUMNS if c not in ("protocol", "scan_date")]
+        try:
+            for row in iterator:
+                d = row.asDict()
+                proto, date = d["protocol"], d["scan_date"]
+                key = (proto, date)
+                if key not in writers:
+                    os.makedirs(stage_root, exist_ok=True)
+                    path = os.path.join(stage_root, f"{proto}_scan_{date}.csv.gz")
+                    fh = gzip.open(path, "wt", encoding="utf-8", newline="")
+                    cw = csv.writer(fh, delimiter=";")
+                    cw.writerow(data_cols)
+                    writers[key] = (path, fh, cw)
+                path, fh, cw = writers[key]
+                cw.writerow([_fmt_cell(c, d.get(c)) for c in data_cols])
+            staged = []
+            for (proto, date), (path, fh, _) in writers.items():
+                fh.close()
+                staged.append((path, proto, date))
+            return _StagedFiles(files=staged)
+        except Exception:
+            for _, fh, _cw in writers.values():
+                try:
+                    fh.close()
+                except Exception:
+                    pass
+            raise
+
+    def commit(self, messages) -> None:
+        import shutil
+        import uuid
+
+        for msg in messages:
+            if msg is None:
+                continue
+            for staged, proto, date in msg.files:
+                year = date[:4]
+                final_dir = os.path.join(self.root, year, proto)
+                os.makedirs(final_dir, exist_ok=True)
+                final = os.path.join(
+                    final_dir, f"{proto}_scan_{date}.part-{uuid.uuid4().hex[:8]}.csv.gz"
+                )
+                shutil.move(staged, final)
+        self._clean_staging()
+
+    def abort(self, messages) -> None:
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        import shutil
+
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)

@@ -157,3 +157,30 @@ def test_stream_end_to_end_available_now(spark, tmp_path):
     want_tcp = ingest_file(spark, TCP_FILE, "tcp", "2026-01-15").count()
     want_udp = ingest_file(spark, UDP_FILE, "udp", "2026-01-16").count()
     assert got == {"tcp": want_tcp, "udp": want_udp}
+
+
+def test_writer_roundtrip(spark, tmp_path):
+    """df.write.format('odns_scan') stages per-task files and commit
+    moves them into the archive layout; reading the written archive
+    back yields the original typed rows."""
+    root = str(tmp_path / "out_archive")
+    src = spark.read.format("odns_scan").option("path", FIXTURES).load()
+    src.write.format("odns_scan").option("path", root).mode("append").save()
+
+    files = _discover(root)
+    assert {(proto, d) for _, proto, d in files} == {
+        ("tcp", "2026-01-15"),
+        ("udp", "2026-01-16"),
+    }
+    assert not os.path.isdir(os.path.join(root, "_staging"))
+
+    back = spark.read.format("odns_scan").option("path", root).load()
+    assert _canon(back) == _canon(src)
+
+
+def test_writer_rejects_overwrite(spark, tmp_path):
+    src = spark.read.format("odns_scan").option("path", FIXTURES).load()
+    with pytest.raises(Exception, match="append-only"):
+        src.write.format("odns_scan").option(
+            "path", str(tmp_path / "x")
+        ).mode("overwrite").save()
