@@ -484,3 +484,65 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.unix_micros("f_ts") - F.unix_micros("ts"))
         .alias("offset_us"),
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 h staleness bound
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+     signups  AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= {_ASOF_TOL_US}
+            THEN s.event_id END AS signup_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= {_ASOF_TOL_US}
+            THEN epoch_us(p.ts) - epoch_us(s.ts) END AS wait_us
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    tags=("join",),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (the market-data/sensor
+    semantics: a quote older than the bound is no quote at all): each
+    purchase matches its most recent prior signup only if that signup
+    is ≤ 1 hour old; staler matches become NULL instead of silently
+    joining ancient state. Same single-shuffle union+window
+    construction as `join_asof` — the tolerance is a post-carry
+    predicate, costing nothing extra. Oracle: DuckDB native ASOF LEFT
+    JOIN with the match aged out by the same integer-µs bound."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"), F.lit(0).alias("is_probe")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("is_probe")
+    )
+    unioned = signups.unionByName(purchases, allowMissingColumns=True)
+    w = W.partitionBy("user_id").orderBy("ts", "is_probe").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    carried = (
+        unioned.withColumn(
+            "last_signup_id", F.last("signup_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_signup_ts",
+            F.last(
+                F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    wait = F.unix_micros("ts") - F.unix_micros("last_signup_ts")
+    fresh = wait <= _ASOF_TOL_US
+    return carried.filter(F.col("is_probe") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.when(fresh, F.col("last_signup_id")).alias("signup_id"),
+        F.when(fresh, wait).alias("wait_us"),
+    )

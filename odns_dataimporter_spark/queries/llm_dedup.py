@@ -929,3 +929,71 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= _SH64_MAXD) & first_match)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle=_CAND_PAIRS_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM reach GROUP BY u),
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+k AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM allc) WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_id, k.keep_id, a.doc_id = k.keep_id AS is_kept
+FROM allc a JOIN k USING (cluster_id)
+""",
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION table — what a curation pipeline actually
+    writes out: every document mapped to its near-dup cluster (from
+    `dedup_cluster_components`' label propagation; singletons keep
+    their own id) with the cluster's canonical survivor chosen by
+    (longest text, then lowest doc_id). Downstream keeps `is_kept`
+    rows and drops the rest. Shape: the component labels join back to
+    the corpus on doc_id, the survivor pick is one row_number window
+    per cluster (cluster-keyed shuffle), and the keep table joins back
+    broadcast-small — no new corpus-scale passes beyond the cluster
+    step itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_cluster_components(spark, sf_dir)
+    allc = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    k = (
+        allc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_id"))
+    )
+    return allc.join(k, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )

@@ -366,3 +366,49 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS n_types_so_far
+FROM flagged
+""",
+    tags=("window",),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over time — the
+    window form SQL forbids (DISTINCT is not a window aggregate), via
+    the first-occurrence-flag rewrite: mark each (user, type)'s first
+    event with row_number, then a plain cumulative SUM of flags. Both
+    windows share the user_id partitioning (the second ordering rides
+    the same exchange), so the rewrite costs ONE shuffle — this is the
+    scale-safe form of a per-row distinct scan, which would be O(n²)
+    per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_first",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_cum).cast("long").alias("n_types_so_far"),
+    )
