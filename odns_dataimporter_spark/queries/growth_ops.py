@@ -323,3 +323,83 @@ def events_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
     )
+
+
+_AB_SALT = "exp1|"
+
+
+@register(
+    "events_ab_assignment_srm",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 'treatment' ELSE 'control' END AS variant,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM events GROUP BY user_id
+), arm AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM u GROUP BY variant
+), srm AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'treatment' THEN n_users END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN variant = 'control' THEN n_users END) AS BIGINT) AS nc
+  FROM arm
+)
+SELECT variant, n_users, n_converted,
+       floor(n_converted * 1e8 / n_users) / 1e6 AS cvr_pct_q6,
+       floor(CAST((nt - nc) * (nt - nc) AS DOUBLE) / (nt + nc) * 1e6) / 1e6
+         AS srm_chi2_q6
+FROM arm, srm
+""",
+    tags=("analytics", "events"),
+)
+def events_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucketing + sample-ratio-mismatch guard: users
+    hash into treatment/control by a salted md5 (the industry-standard
+    sticky assignment — same user, same arm, any engine, no state), each
+    arm reports its conversion rate, and the 2-cell chi-square
+    (n_t−n_c)²/(n_t+n_c) flags allocation bugs before anyone reads the
+    lift. Everything is integer-derived (the hash bucket, counts, the
+    cross-multiplied rates), so both engines hash-match bit-for-bit.
+    One user-keyed aggregate + a 2-row rollup; the SRM scalar folds in
+    as a broadcast 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    ).select(
+        F.when(bucket < 50, "treatment").otherwise("control").alias("variant"),
+        "converted",
+    )
+    arm = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    srm = arm.agg(
+        F.sum(F.when(F.col("variant") == "treatment", F.col("n_users")))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("variant") == "control", F.col("n_users")))
+        .cast("long")
+        .alias("nc"),
+    )
+    diff2 = ((F.col("nt") - F.col("nc")) * (F.col("nt") - F.col("nc"))).cast("double")
+    return arm.crossJoin(F.broadcast(srm)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        (F.floor(F.col("n_converted") * 1e8 / F.col("n_users")) / 1e6).alias(
+            "cvr_pct_q6"
+        ),
+        (F.floor(diff2 / (F.col("nt") + F.col("nc")) * 1e6) / 1e6).alias(
+            "srm_chi2_q6"
+        ),
+    )

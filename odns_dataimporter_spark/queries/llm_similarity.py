@@ -683,3 +683,91 @@ def _dot_d(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+_OUT_SCALE = 1048576  # 2^20 int grid (same as coreset/logreg)
+_OUT_TOPK = 5
+
+
+@register(
+    "embed_label_outliers",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {_OUT_SCALE})) AS qe
+  FROM embeddings
+), m AS (
+  SELECT label, CAST(i AS BIGINT) AS dim, CAST(qe[i] AS BIGINT) AS qx
+  FROM (SELECT label, qe, unnest(range(1, len(qe) + 1)) AS i FROM v)
+), g AS (
+  SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM m GROUP BY label, dim
+), c AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent FROM g
+  GROUP BY label
+), d AS (
+  SELECT v.vec_id, v.label,
+         list_reduce(list_transform(range(1, len(v.qe) + 1),
+                     i -> (v.qe[i] - c.cent[i]) * (v.qe[i] - c.cent[i])),
+                     (x, y) -> x + y) AS dist2
+  FROM v JOIN c USING (label)
+), r AS (
+  SELECT label, vec_id, CAST(floor(dist2) AS BIGINT) AS dist2_floor,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id) AS rn
+  FROM d
+)
+SELECT label, vec_id, CAST(rn AS BIGINT) AS rank, dist2_floor
+FROM r WHERE rn <= {_OUT_TOPK}
+""",
+    tags=("llm", "similarity", "ml"),
+)
+def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected-mislabel detection: the top-5 vectors per label
+    farthest from their own label centroid in embedding space — the
+    standard curation screen for noisy classification data. Exactness:
+    embeddings snap to the 2^20 integer grid, centroids are exact
+    int64 dimension sums divided once, and each vector's squared
+    distance folds over dimensions in array order (identical
+    left-fold on both engines). Shape: one posexplode →
+    (label, dim)-keyed exact-sum aggregate → |labels| centroid arrays
+    broadcast back to the vectors (no corpus-scale shuffle for the
+    distance pass) → per-label top-k window over the scored table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform("embedding", lambda x: F.floor(x.cast("double") * _OUT_SCALE))
+    v = emb.select("vec_id", "label", qe.alias("qe"))
+    m = v.select("label", F.posexplode("qe").alias("dim0", "qx"))
+    g = m.groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim")).agg(
+        F.sum("qx").cast("long").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    c = g.groupBy("label").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("dim", (F.col("s").cast("double") / F.col("n")).alias("cd"))
+                )
+            ),
+            lambda t: t["cd"],
+        ).alias("cent")
+    )
+    d = v.join(F.broadcast(c), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with("qe", "cent", lambda x, cd: (x - cd) * (x - cd)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("dist2"),
+    )
+    w = W.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OUT_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rn").cast("long").alias("rank"),
+            F.floor("dist2").cast("long").alias("dist2_floor"),
+        )
+    )
