@@ -546,3 +546,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_signup_id")).alias("signup_id"),
         F.when(fresh, wait).alias("wait_us"),
     )
+
+
+@register(
+    "join_topn_per_key",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), top3 AS (SELECT * FROM r WHERE rn <= 3)
+SELECT t.o_custkey AS custkey, t.o_orderkey AS orderkey,
+       CAST(t.rn AS BIGINT) AS recency_rank,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+       CAST(coalesce(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS items_cents
+FROM top3 t LEFT JOIN lineitem l ON l.l_orderkey = t.o_orderkey
+GROUP BY t.o_custkey, t.o_orderkey, t.rn
+""",
+    tags=("join", "window"),
+)
+def join_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL top-N-per-key pattern: each customer's 3 most recent
+    orders, enriched with their line items — "show the latest N with
+    details" that naive SQL writes as a correlated LIMIT subquery.
+    Scale shape: rank FIRST on the orders side (one custkey-keyed
+    window over orders only), THEN join the ≤3-per-customer survivors
+    to lineitem on the orderkey equi-key — the join probe side shrinks
+    by |orders|/3·|customers| BEFORE the expensive fact join, instead
+    of joining everything and discarding. Deterministic ordering
+    carries the orderkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    top3 = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        top3.join(li, top3.o_orderkey == li.l_orderkey, "left")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("rn").cast("long").alias("recency_rank"),
+        )
+        .agg(
+            F.count("l_orderkey").cast("long").alias("n_items"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("items_cents"),
+        )
+    )

@@ -800,3 +800,131 @@ def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ((F.lit(24.0) * F.col("n")) / F.col("total")).alias("seasonal_idx"),
     )
+
+
+_LTTB_BUCKETS = 24
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS xs,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase'
+), b0 AS (SELECT CAST(min(xs) AS BIGINT) AS x0, CAST(max(xs) AS BIGINT) AS x1
+          FROM p),
+pb AS (
+  SELECT p.*, CAST(least(CAST(floor((p.xs - b0.x0) * {_LTTB_BUCKETS}.0
+                          / (b0.x1 - b0.x0 + 1)) AS BIGINT),
+                   {_LTTB_BUCKETS - 1}) AS BIGINT) AS bucket
+  FROM p, b0
+), m AS (
+  SELECT bucket, CAST(SUM(xs) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pb GROUP BY bucket
+), scored AS (
+  SELECT pb.event_id, pb.xs, pb.yc, pb.bucket,
+         abs((CAST(mp.sx AS DOUBLE) / mp.n - pb.xs)
+             * (CAST(mn.sy AS DOUBLE) / mn.n - pb.yc)
+             - (CAST(mn.sx AS DOUBLE) / mn.n - pb.xs)
+               * (CAST(mp.sy AS DOUBLE) / mp.n - pb.yc)) AS area2
+  FROM pb
+  JOIN m mp ON mp.bucket = pb.bucket - 1
+  JOIN m mn ON mn.bucket = pb.bucket + 1
+), sel AS (
+  SELECT bucket, event_id, xs, yc FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket
+                                 ORDER BY area2 DESC, event_id) AS rn
+    FROM scored) WHERE rn = 1
+), ends AS (
+  SELECT CAST(-1 AS BIGINT) AS bucket, event_id, xs, yc FROM (
+    SELECT event_id, xs, yc FROM p ORDER BY xs, event_id LIMIT 1)
+  UNION ALL
+  SELECT {_LTTB_BUCKETS}, event_id, xs, yc FROM (
+    SELECT event_id, xs, yc FROM p ORDER BY xs DESC, event_id DESC LIMIT 1)
+)
+SELECT bucket, event_id, xs, yc FROM sel
+UNION ALL
+SELECT bucket, event_id, xs, yc FROM ends
+""",
+    tags=("timeseries", "analytics"),
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the purchase
+    value series to ~26 points — the standard lossy reduction for
+    plotting millions of points — in its PARALLEL form: buckets are
+    equal-TIME spans and each interior bucket keeps the point forming
+    the largest triangle against its neighbor buckets' mean points
+    (classic LTTB anchors on the previously-selected point, a serial
+    chain; the bucket-mean anchor is the standard parallelization and
+    what makes this one window pass instead of a sequential fold).
+    Exactness: coordinates are integer seconds/cents, bucket means are
+    exact int sums divided once, and the cross-product area is the
+    identical float expression on both engines. Shape: one bucket
+    aggregate (B rows, broadcast back to the points), one per-bucket
+    argmax window; the global endpoints are two TakeOrdered 1-row
+    limits. Nothing scales with more than one pass over the series."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.unix_seconds(F.col("ts")).alias("xs"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    b0 = p.agg(
+        F.min("xs").cast("long").alias("x0"), F.max("xs").cast("long").alias("x1")
+    )
+    B = _LTTB_BUCKETS
+    pb = p.crossJoin(F.broadcast(b0)).select(
+        "event_id",
+        "xs",
+        "yc",
+        F.least(
+            F.floor(
+                (F.col("xs") - F.col("x0")) * float(B) / (F.col("x1") - F.col("x0") + 1)
+            ).cast("long"),
+            F.lit(B - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    m = pb.groupBy("bucket").agg(
+        F.sum("xs").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mp = F.broadcast(m.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("sx").alias("psx"), F.col("sy").alias("psy"), F.col("n").alias("pn"),
+    ))
+    mn = F.broadcast(m.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("sx").alias("nsx"), F.col("sy").alias("nsy"), F.col("n").alias("nn"),
+    ))
+    scored = pb.join(mp, "bucket").join(mn, "bucket").select(
+        "event_id",
+        "xs",
+        "yc",
+        "bucket",
+        F.abs(
+            (F.col("psx").cast("double") / F.col("pn") - F.col("xs"))
+            * (F.col("nsy").cast("double") / F.col("nn") - F.col("yc"))
+            - (F.col("nsx").cast("double") / F.col("nn") - F.col("xs"))
+            * (F.col("psy").cast("double") / F.col("pn") - F.col("yc"))
+        ).alias("area2"),
+    )
+    w = W.partitionBy("bucket").orderBy(F.col("area2").desc(), "event_id")
+    sel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "event_id", "xs", "yc")
+    )
+    first = (
+        p.orderBy("xs", "event_id")
+        .limit(1)
+        .select(F.lit(-1).cast("long").alias("bucket"), "event_id", "xs", "yc")
+    )
+    last = (
+        p.orderBy(F.col("xs").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select(F.lit(B).cast("long").alias("bucket"), "event_id", "xs", "yc")
+    )
+    return sel.unionByName(first).unionByName(last)

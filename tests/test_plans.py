@@ -506,6 +506,7 @@ _BNLJ_ALLOWED = {
     "stats_benford_digits",  # broadcast single-row total-count aggregate
     "text_boilerplate_ngrams",  # broadcast single-row corpus-size aggregate
     "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
+    "ts_downsample_lttb",  # broadcast 1-row span-bounds aggregate
     "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
     "graph_triangle_count",  # cross join of three single-row count aggregates
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
