@@ -480,3 +480,66 @@ def ml_naive_bayes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     logp = F.round(F.log((F.col("n") + 1.0) / (F.col("t_c") + F.col("v"))), 6)
     return ranked.select("lang", "token", "n", "rank", logp.alias("logp_q6"))
+
+
+@register(
+    "ml_feature_label_table",
+    oracle="""
+WITH fp AS (
+  SELECT user_id, min(ts) AS first_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), feat AS (
+  SELECT e.user_id,
+         CAST(COUNT(*) FILTER (WHERE e.event_type = 'view') AS BIGINT) AS n_views,
+         CAST(COUNT(*) FILTER (WHERE e.event_type = 'click') AS BIGINT) AS n_clicks,
+         CAST(COUNT(*) FILTER (WHERE e.event_type = 'error') AS BIGINT) AS n_errors,
+         CAST(COUNT(*) FILTER (WHERE e.event_type = 'signup') AS BIGINT) AS n_signups,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE fp.first_purchase IS NULL OR e.ts < fp.first_purchase
+  GROUP BY e.user_id
+)
+SELECT f.user_id, f.n_views, f.n_clicks, f.n_errors, f.n_signups, f.n_events,
+       CAST(fp.user_id IS NOT NULL AS BIGINT) AS label
+FROM feat f LEFT JOIN fp ON fp.user_id = f.user_id
+""",
+    tags=("ml", "analytics", "events"),
+)
+def ml_feature_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe training-table construction for purchase-propensity
+    modeling: per-user behavioral features counted STRICTLY BEFORE the
+    user's first purchase (the label event), so no feature can encode
+    the outcome it predicts — the point-in-time-correctness discipline
+    every feature store enforces. Non-purchasers contribute their full
+    history with label 0. Shape: the first-purchase cutoff table is a
+    user-keyed aggregate joined back on the same user_id partitioning
+    (AQE reuses the exchange); feature counts are one conditional
+    aggregate pass. Note: users whose ONLY events are purchases have no
+    pre-cutoff rows and correctly drop out (no features to train on)."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    feat = (
+        ev.join(fp, "user_id", "left")
+        .filter(F.col("first_purchase").isNull() | (F.col("ts") < F.col("first_purchase")))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.count_if(F.col("event_type") == t).cast("long").alias(f"n_{t}s")
+                for t in ("view", "click", "error", "signup")
+            ],
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return feat.join(fp, "user_id", "left").select(
+        "user_id",
+        "n_views",
+        "n_clicks",
+        "n_errors",
+        "n_signups",
+        "n_events",
+        F.col("first_purchase").isNotNull().cast("long").alias("label"),
+    )

@@ -785,3 +785,41 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(pairs).alias("r"), "n").select(
         "r.measure_a", "r.measure_b", "n", "r.corr_q6"
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+WITH t AS (
+  SELECT event_type, max(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), g AS (SELECT max(last_ts) AS global_max FROM t)
+SELECT event_type, n,
+       strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       epoch_us(global_max) - epoch_us(last_ts) AS lag_us,
+       epoch_us(global_max) - epoch_us(last_ts) > 3600000000 AS stale_1h
+FROM t, g
+""",
+    tags=("stats", "dq"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-arrival freshness monitor: each event stream's lag behind
+    the newest record anywhere in the table, with a 1-hour staleness
+    flag — the first thing an on-call checks when a pipeline partition
+    silently stops. Exact integer-µs lags against a broadcast 1-row
+    global max (the table's own high-water mark, so the check is
+    self-contained and reproducible — no wall clock). One map-side-
+    combined aggregate to |types| rows; nothing else scales."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").cast("long").alias("n")
+    )
+    g = t.agg(F.max("last_ts").alias("global_max"))
+    lag = F.unix_micros("global_max") - F.unix_micros("last_ts")
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        ts_str("last_ts").alias("last_ts"),
+        lag.alias("lag_us"),
+        (lag > 3_600_000_000).alias("stale_1h"),
+    )

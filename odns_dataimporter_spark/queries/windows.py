@@ -412,3 +412,52 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("is_first").over(w_cum).cast("long").alias("n_types_so_far"),
     )
+
+
+_MED_WIN = 31  # odd => the rolling median is always an exact element
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+WITH v AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER
+           (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN {_MED_WIN - 1} PRECEDING AND CURRENT ROW) AS med
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id, event_type, med AS rolling_median_cents
+FROM v WHERE rn >= {_MED_WIN}
+""",
+    tags=("window", "timeseries"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the last 31 event values per type — the
+    robust alternative to a rolling mean under outliers. The window
+    width is odd and warm-up rows (< 31 observed) are excluded on both
+    engines, so every emitted median is an exact element of the integer
+    -cents multiset (no interpolation, no float drift). Both the
+    row_number guard and the median share ONE window partitioning, so
+    the op costs a single event_type shuffle. At 100 TB the per-type
+    ordered evaluation is the bottleneck shape; the production variant
+    partitions time into chunks and reuses this op per chunk."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wspec = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wmed = wspec.rowsBetween(-(_MED_WIN - 1), W.currentRow)
+    v = ev.select(
+        "event_id",
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(wspec).alias("rn"),
+        F.expr(
+            f"percentile(CAST(round(value * 100) AS BIGINT), 0.5)"
+        ).over(wmed).alias("med"),
+    )
+    return v.filter(F.col("rn") >= _MED_WIN).select(
+        "event_id", "event_type", F.col("med").alias("rolling_median_cents")
+    )

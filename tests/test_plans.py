@@ -497,6 +497,7 @@ _BNLJ_ALLOWED = {
     "dedup_minhash_recall",  # cross join of three single-row count aggregates
     "dedup_minhash_recall_prod",  # same, at the production LSH preset
     "dq_constraint_check",
+    "dq_freshness_lag",  # broadcast 1-row global high-water mark
     "events_ab_assignment_srm",  # broadcast 1-row SRM totals aggregate
     "events_rfm_segments",  # broadcast 1-row anchor-day + quartile aggregates
     "events_time_to_convert",  # final 1-row reduce
