@@ -808,3 +808,42 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (F.floor(-s * 1e6 / F.col("n_bigrams")) / 1e6).alias("avg_nll_q6"),
     )
+
+
+@register(
+    "text_lang_id_confusion",
+    oracle=f"""
+WITH pred AS ({_LANG_ID_ORACLE}),
+cm AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), t AS (
+  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS label_total FROM cm GROUP BY 1
+)
+SELECT cm.labeled_lang, cm.predicted_lang, cm.n, t.label_total,
+       floor(cm.n * 1e8 / t.label_total) / 1e6 AS pct_of_label_q6
+FROM cm JOIN t USING (labeled_lang)
+""",
+    tags=("llm", "text", "ml"),
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the labeled language — the evaluation every classifier op needs
+    next to it (row-normalized percentages per true label, integer
+    cross-multiplied). Composes `text_lang_id` unchanged; the matrix
+    aggregate is ≤ |langs|² rows and the per-label totals join back
+    broadcast-small."""
+    pred = text_lang_id(spark, sf_dir)
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = cm.groupBy("labeled_lang").agg(F.sum("n").cast("long").alias("label_total"))
+    return cm.join(F.broadcast(t), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        "label_total",
+        (F.floor(F.col("n") * 1e8 / F.col("label_total")) / 1e6).alias(
+            "pct_of_label_q6"
+        ),
+    )
