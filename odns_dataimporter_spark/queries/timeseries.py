@@ -928,3 +928,148 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(B).cast("long").alias("bucket"), "event_id", "xs", "yc")
     )
     return sel.unionByName(first).unionByName(last)
+
+
+_SCD_CUTOFF = "2024-01-20"
+
+
+@register(
+    "scd2_merge_apply",
+    # the oracle is the FULL SCD2 rebuild — passing means the
+    # incremental base+delta merge is indistinguishable from recompute
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MAX(event_type) AS state
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                   OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS is_new
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+i AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM c)
+SELECT user_id, version, state,
+       MIN(day) AS valid_from, MAX(day) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM i GROUP BY user_id, version, state
+""",
+    tags=("timeseries", "etl", "incremental"),
+)
+def scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the dimension built from history
+    BEFORE the cutoff day merges with the delta built from days ON/AFTER
+    it — closing or extending the open version at the boundary — and
+    must be byte-identical to a full rebuild (the oracle IS the full
+    rebuild; `rollup_incremental`'s merge≡recompute discipline applied
+    to versioned dimensions). The merge is segment-level gaps-and-
+    islands: segments stack, consecutive same-state segments per user
+    collapse (one user_id-keyed window + aggregate over the SEGMENT
+    table, thousands of times smaller than events). At 100 TB this is
+    the nightly pattern: yesterday's dimension + today's partition, and
+    only the boundary segments ever merge."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max("event_type").alias("state"))
+
+    def segments(d: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy("day")
+        lagged = F.lag("state").over(w)
+        chg = d.withColumn(
+            "is_new",
+            F.when(lagged.isNull() | (lagged != F.col("state")), 1).otherwise(0),
+        )
+        isl = chg.withColumn(
+            "seg",
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+        return isl.groupBy("user_id", "seg", "state").agg(
+            F.min("day").alias("valid_from"),
+            F.max("day").alias("valid_to"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+
+    cutoff = F.lit(_SCD_CUTOFF).cast("date")
+    base = segments(daily.filter(F.col("day") < cutoff))
+    delta = segments(daily.filter(F.col("day") >= cutoff))
+    seg = base.select("user_id", "state", "valid_from", "valid_to", "n_days").unionByName(
+        delta.select("user_id", "state", "valid_from", "valid_to", "n_days")
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    lag_state = F.lag("state").over(w2)
+    merged = seg.withColumn(
+        "is_new",
+        F.when(lag_state.isNull() | (lag_state != F.col("state")), 1).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("is_new")
+        .over(w2.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return merged.groupBy("user_id", "version", "state").agg(
+        F.min("valid_from").alias("valid_from"),
+        F.max("valid_to").alias("valid_to"),
+        F.sum("n_days").cast("long").alias("n_days"),
+    )
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), x AS (
+  SELECT event_type,
+         CAST(day - (SELECT min(day) FROM d) AS BIGINT) AS xi, y
+  FROM d
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / (b.xi - a.xi) AS slope
+  FROM x a JOIN x b ON a.event_type = b.event_type AND a.xi < b.xi
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_disc(slope, 0.5) AS slope_med
+FROM pairs GROUP BY event_type
+""",
+    tags=("stats", "timeseries"),
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of the
+    daily count series per event type — the estimator that shrugs off
+    the outliers that wreck OLS (`stats_linear_trend`'s companion).
+    Slopes are exact-integer differences divided once; the median is
+    percentile_disc, so it is an ELEMENT of the slope multiset —
+    deterministic on both engines. The O(|days|²) pair join runs on the
+    aggregated series (≤365 rows/type/year → ≤66 k pairs), never on raw
+    events; for decade-long series the standard move is repeated-median
+    on a day sample, same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    m = d.agg(F.min("day").alias("d0"))
+    x = d.crossJoin(F.broadcast(m)).select(
+        "event_type", F.datediff("day", "d0").cast("long").alias("xi"), "y"
+    )
+    a = x.select("event_type", F.col("xi").alias("xa"), F.col("y").alias("ya"))
+    b = x.select("event_type", F.col("xi").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            ((F.col("yb") - F.col("ya")).cast("double") / (F.col("xb") - F.col("xa"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias("slope_med"),
+    )

@@ -505,6 +505,7 @@ _BNLJ_ALLOWED = {
     "ml_logreg_step",  # broadcast single-row |rows| count aggregate
     "ml_naive_bayes_fit",  # broadcast single-row vocab-size aggregate
     "stats_benford_digits",  # broadcast single-row total-count aggregate
+    "stats_theil_sen",  # broadcast 1-row series-origin aggregate
     "text_boilerplate_ngrams",  # broadcast single-row corpus-size aggregate
     "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
     "ts_downsample_lttb",  # broadcast 1-row span-bounds aggregate
