@@ -997,3 +997,63 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_id",
         (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
     )
+
+
+_SPLIT_SALT = "split1|"
+
+
+@register(
+    "ml_split_leakage_check",
+    oracle=_CAND_PAIRS_SQL
+    + f"""
+, sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+), labeled AS (
+  SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM cand c JOIN sp sa ON sa.doc_id = c.doc_a
+              JOIN sp sb ON sb.doc_id = c.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(COUNT(*) FILTER (WHERE split_a <> split_b) AS BIGINT)
+         AS n_cross_split,
+       floor(COUNT(*) FILTER (WHERE split_a <> split_b) * 1e8
+             / COUNT(*)) / 1e6 AS leakage_pct_q6
+FROM labeled
+""",
+    tags=("llm", "dedup", "ml"),
+)
+def ml_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: assign every document to a split
+    by salted hash (80/20, deterministic — the same bucketing discipline
+    as `events_ab_assignment_srm`), then count LSH near-duplicate
+    candidate pairs that CROSS the split boundary — each one is a test
+    document whose near-copy sits in the training set, silently
+    inflating eval scores. Reuses `_candidate_pairs` (bucketed
+    O(bucket²) generation, no all-pairs); the split labels join onto
+    the pair table by doc_id equi-keys; output is one summary row. At
+    100 TB this is exactly the audit run before any eval is trusted,
+    and the leakage fix is `dedup_canonical_pick` filtered to keepers
+    before splitting."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(docs)
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat('{_SPLIT_SALT}', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 10"
+    )
+    sp = docs.select(
+        "doc_id", F.when(bucket < 8, "train").otherwise("test").alias("split")
+    )
+    labeled = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), "doc_b")
+    )
+    cross = F.count_if(F.col("split_a") != F.col("split_b"))
+    return labeled.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs"),
+        cross.cast("long").alias("n_cross_split"),
+        (F.floor(cross * 1e8 / F.count("*")) / 1e6).alias("leakage_pct_q6"),
+    )
