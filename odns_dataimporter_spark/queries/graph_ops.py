@@ -372,3 +372,74 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("common_n").desc(), "u", "v").limit(_LP_TOPN)
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), bi AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY u),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(du.d) AS BIGINT) AS sx, CAST(SUM(dv.d) AS BIGINT) AS sy,
+         CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy,
+         CAST(SUM(du.d * du.d) AS BIGINT) AS sxx,
+         CAST(SUM(dv.d * dv.d) AS BIGINT) AS syy
+  FROM bi JOIN deg du ON du.node = bi.u JOIN deg dv ON dv.node = bi.v
+)
+SELECT n,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e9) / 1e9
+         AS assortativity_q9
+FROM s
+""",
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-order parts graph: the Pearson
+    correlation of endpoint degrees over all directed edges — positive
+    means hubs prefer hubs (social-network shape), negative means
+    hub-and-spoke (catalog shape). Six exact int64 sufficient
+    statistics from one pass over the degree-joined edge list, then the
+    same floored Pearson expression as `ts_autocorr_lag`. Shuffles:
+    edge distinct, degree aggregate, two node-keyed degree joins — all
+    equi-keyed; degrees join the edge list, never materializing
+    anything bigger than |edges|."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    bi = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bi.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    joined = (
+        bi.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    s = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum("dv").cast("long").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return s.select("n", (F.floor(num / den * 1e9) / 1e9).alias("assortativity_q9"))

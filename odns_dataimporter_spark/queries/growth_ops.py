@@ -403,3 +403,93 @@ def events_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_chi2_q6"
         ),
     )
+
+
+_DID_CUTOFF = "2024-01-15"
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=f"""
+WITH p AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 'treatment' ELSE 'control' END AS arm,
+         CASE WHEN ts < TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), cell AS (
+  SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM p GROUP BY arm, period
+), w AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm='treatment' AND period='post' THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN arm='treatment' AND period='post' THEN n END) AS m_t_post,
+    CAST(SUM(CASE WHEN arm='treatment' AND period='pre'  THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN arm='treatment' AND period='pre'  THEN n END) AS m_t_pre,
+    CAST(SUM(CASE WHEN arm='control' AND period='post' THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN arm='control' AND period='post' THEN n END) AS m_c_post,
+    CAST(SUM(CASE WHEN arm='control' AND period='pre'  THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN arm='control' AND period='pre'  THEN n END) AS m_c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_purchases
+  FROM cell
+)
+SELECT n_purchases, m_t_pre, m_t_post, m_c_pre, m_c_post,
+       (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_cents
+FROM w
+""",
+    tags=("analytics", "events"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout for the hash-assigned
+    experiment (`events_ab_assignment_srm`'s arms): mean purchase value
+    per arm × pre/post period, and the DiD estimate
+    (ΔT − ΔC) that nets out the shared time trend — the standard
+    causal readout when randomization happened at a cutover. All four
+    cell means are exact integer-cent sums divided once; the estimate
+    is three IEEE subtractions on identically-derived doubles. ONE
+    pass: purchases reduce to 4 cells, the rest is 1-row math."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(bucket < 50, "treatment").otherwise("control").alias("arm"),
+        F.when(
+            F.col("ts") < F.lit(f"{_DID_CUTOFF} 00:00:00").cast("timestamp"), "pre"
+        )
+        .otherwise("post")
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = p.groupBy("arm", "period").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+
+    def m(arm, period):
+        cond = (F.col("arm") == arm) & (F.col("period") == period)
+        return F.sum(F.when(cond, F.col("s"))).cast("double") / F.sum(
+            F.when(cond, F.col("n"))
+        )
+
+    w = cell.agg(
+        m("treatment", "post").alias("m_t_post"),
+        m("treatment", "pre").alias("m_t_pre"),
+        m("control", "post").alias("m_c_post"),
+        m("control", "pre").alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_purchases"),
+    )
+    return w.select(
+        "n_purchases",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_cents"),
+    )
