@@ -319,3 +319,30 @@ def stream_odns_archive_ingest(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_burn_rate(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming error-budget burn monitor: tumbling 1-hour windows with
+    a 1-hour watermark emit (hour, n_err, n_tot, burn_1h_q6, page_1h) —
+    the online half of queries/stats_ops.ts_error_budget_burn (the 6 h
+    multi-window confirmation stays a batch read over the sink table;
+    pure-streaming 6 h rollups would hold 6× state for a value the
+    pager only needs at alert time). Burn is the same integer
+    cross-multiply as the batch twin, so equivalence is exact. State:
+    one count pair per open hour window, bounded by the watermark."""
+    ev = read_events_stream(spark, src_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_if(F.col("event_type") == "error").cast("long").alias("n_err"),
+            F.count("*").cast("long").alias("n_tot"),
+        )
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_err",
+        "n_tot",
+        (F.floor(F.col("n_err") * 1e8 / F.col("n_tot")) / 1e6).alias("burn_1h_q6"),
+        (F.col("n_err") * 1000 > 144 * F.col("n_tot")).alias("page_1h"),
+    )

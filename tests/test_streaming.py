@@ -136,3 +136,23 @@ def test_odns_archive_stream_equals_batch_ingest(spark, tmp_path):
     cols = sorted(batch.columns)
     assert sorted(streamed.columns) == cols
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_burn_rate_stream_equals_batch(spark, sf_dir, src_dir):
+    """The streaming 1-hour burn columns must exactly equal the batch
+    op's per-hour values (integer math ⇒ no tolerance)."""
+    from pyspark.sql import functions as F
+
+    from odns_dataimporter_spark.queries.stats_ops import ts_error_budget_burn
+
+    streamed = jobs._run_to_memory(jobs.stream_burn_rate(spark, src_dir), "append")
+    batch = ts_error_budget_burn(spark, sf_dir).select(
+        "hour", "n_err", "n_tot", "burn_1h_q6",
+        (F.col("n_err") * 1000 > 144 * F.col("n_tot")).alias("page_1h"),
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    # append mode drops windows still open at end-of-stream (the last
+    # hour has no watermark past it); everything emitted must match
+    assert got <= want
+    assert len(got) >= len(want) - 2
