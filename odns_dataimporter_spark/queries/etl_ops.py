@@ -338,13 +338,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def first_after(typ, after):
-        hit = F.element_at(
+        # try_element_at: under ANSI mode element_at throws on an empty
+        # filter result (a user with no qualifying event); NULL is the
+        # correct funnel semantics for that case
+        hit = F.try_element_at(
             F.filter(
                 F.col("a"),
                 lambda x: (x["event_type"] == F.lit(typ))
                 & (F.lit(True) if after is None else x["ts"] > after),
             ),
-            1,
+            F.lit(1),
         )
         return hit["ts"]
 
@@ -658,4 +661,80 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "trigram")
         .limit(5)
+    )
+
+
+_FUNNEL_STEP_US = 7 * 24 * 3600 * 1_000_000  # 7-day max step gap
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+              AND epoch_us(e.ts) - epoch_us(s1.t1) <= {_FUNNEL_STEP_US}
+       WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+              AND epoch_us(e.ts) - epoch_us(s2.t2) <= {_FUNNEL_STEP_US}
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, epoch_us(s1.t1) AS t1_us, epoch_us(s2.t2) AS t2_us,
+       epoch_us(s3.t3) AS t3_us,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+    tags=("analytics", "events"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window-constrained funnel: signup → view → purchase
+    where each step must land within 7 days of the previous one —
+    the realistic funnel semantics (an unconstrained funnel credits a
+    purchase a year after the view). Same ONE-shuffle per-user sorted-
+    array fold as `events_funnel`; the window bound is an extra
+    predicate inside the array filter, so the constrained variant costs
+    nothing extra. Timestamps are integer µs end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("a")
+    )
+
+    def first_within(typ, after):
+        cond = lambda x: (  # noqa: E731
+            (x["event_type"] == F.lit(typ))
+            & (
+                F.lit(True)
+                if after is None
+                else (x["ts"] > after)
+                & (
+                    F.unix_micros(x["ts"]) - F.unix_micros(after)
+                    <= F.lit(_FUNNEL_STEP_US)
+                )
+            )
+        )
+        return F.try_element_at(F.filter(F.col("a"), cond), F.lit(1))["ts"]
+
+    a2 = a.withColumn("t1", first_within("signup", None))
+    a2 = a2.withColumn("t2", first_within("view", F.col("t1")))
+    a2 = a2.withColumn("t3", first_within("purchase", F.col("t2")))
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return a2.select(
+        "user_id",
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+        stage.cast("long").alias("funnel_stage"),
     )

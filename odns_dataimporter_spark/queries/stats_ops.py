@@ -823,3 +823,105 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_us"),
         (lag > 3_600_000_000).alias("stale_1h"),
     )
+
+
+_DP_MAX_LAG = 24
+
+
+def _acf_lag_sql() -> str:
+    """Per-(type, k) sufficient-stat CTEs for lags 1..24 via one UNION
+    of lag columns."""
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT event_type, {k} AS k, x, lag(x, {k}) OVER "
+        "(PARTITION BY event_type ORDER BY hour) AS y FROM series"
+        for k in range(1, _DP_MAX_LAG + 1)
+    )
+    return unions
+
+
+@register(
+    "ts_dominant_period",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+lagged AS (
+{_acf_lag_sql()}
+),
+s AS (
+  SELECT event_type, k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged WHERE y IS NOT NULL GROUP BY event_type, k
+), r AS (
+  SELECT event_type, CAST(k AS BIGINT) AS k,
+         floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e9) / 1e9
+           AS acf_q9
+  FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT event_type, k AS best_lag, acf_q9 FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY acf_q9 DESC, k) AS rn
+  FROM r) WHERE rn = 1
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection: the lag k ∈ [1, 24] maximizing the
+    autocorrelation of the dense hourly count series per event type —
+    the cheap periodogram substitute that answers "is this series
+    daily-seasonal?" (best_lag 24 ⇒ yes). Generalizes `ts_autocorr_lag`
+    to a lag sweep: all 24 lag columns ride ONE event_type window pass
+    (single exchange), the sufficient statistics are exact int64 sums
+    per (type, lag), and the argmax is a |types|×24-row window. The
+    quantized acf makes the argmax tie-break exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    w = W.partitionBy("event_type").orderBy("hour")
+    lag_cols = [
+        F.lag("x", k).over(w).alias(f"y{k}") for k in range(1, _DP_MAX_LAG + 1)
+    ]
+    wide = series.select("event_type", "x", *lag_cols)
+    lagged = wide.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"y{k}").alias("y"))
+                    for k in range(1, _DP_MAX_LAG + 1)
+                ]
+            )
+        ).alias("e"),
+    ).select("event_type", F.col("e.k").alias("k"), "x", F.col("e.y").alias("y"))
+    s = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    r = s.filter((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)).select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        (F.floor(num / den * 1e9) / 1e9).alias("acf_q9"),
+    )
+    wbest = W.partitionBy("event_type").orderBy(F.col("acf_q9").desc(), "k")
+    return (
+        r.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("best_lag"), "acf_q9")
+    )
