@@ -28,11 +28,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(splittable scan — the fast path for large single files)",
     )
     p.add_argument("--check-health", action="store_true")
+    p.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="run a registered analytics query by name against --sf-dir "
+        "and print up to --limit rows (see COVERAGE.md for the list)",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="parquet table dir for --run-query")
+    p.add_argument("--limit", type=int, default=20)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.run_query:
+        return _run_query(args.run_query, args.sf_dir, args.limit)
     if args.config:
         from odns_dataimporter_spark.odns.config import load_config
 
@@ -78,6 +89,34 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     finally:
         if owns_session:  # embedded callers (tests) keep their session
+            spark.stop()
+
+
+def _run_query(name: str, sf_dir: str, limit: int) -> int:
+    """Developer surface: run any registry operator by name."""
+    from pyspark.sql import SparkSession
+
+    from odns_dataimporter_spark.registry import REGISTRY, all_queries
+    from odns_dataimporter_spark.session import get_spark
+
+    all_queries()
+    if name not in REGISTRY:
+        import difflib
+
+        close = difflib.get_close_matches(name, REGISTRY, n=5)
+        print(f"unknown query {name!r}; close matches: {close}", file=sys.stderr)
+        return 1
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name=f"query-{name}")
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.show(limit, truncate=False)
+        return 0
+    except Exception as exc:
+        print(f"query failed: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
             spark.stop()
 
 

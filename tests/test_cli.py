@@ -47,3 +47,14 @@ def test_cli_ingest_with_stage_dir(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "tcp: 5 rows" in out
     assert "udp: 2 rows" in out
+
+
+def test_cli_run_query(spark, sf_dir, capsys):
+    assert main(["--run-query", "agg_min_max", "--sf-dir", sf_dir, "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderstatus" in out or "min" in out
+
+
+def test_cli_run_query_unknown(spark, capsys):
+    assert main(["--run-query", "agg_min_maxx"]) == 1
+    assert "close matches" in capsys.readouterr().err
