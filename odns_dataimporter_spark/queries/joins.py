@@ -600,3 +600,34 @@ def join_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("items_cents"),
         )
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "physical"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy control: the same fact-fact join shape
+    as `join_inner_equi`, but pinned to a SHUFFLED HASH join via
+    `.hint("shuffle_hash")` — the right call when one side is far
+    smaller than the other but too big to broadcast (hash-building the
+    small side beats sorting BOTH sides; Spark's planner prefers
+    sort-merge unless told). A plan test asserts ShuffledHashJoin is
+    actually chosen — strategy hints silently no-op when misapplied,
+    which is exactly the regression the test pins. Orders side builds
+    the hash table; aggregation is map-side combined on the join
+    output."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    j = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+    )

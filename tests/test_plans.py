@@ -615,3 +615,10 @@ def test_corr_matrix_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stats_corr_matrix")
     assert plan.count("FileScan") == 1
     assert "partial_" in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    # hints silently no-op when misapplied; pin the physical operator
+    plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
