@@ -524,6 +524,7 @@ _BNLJ_ALLOWED = {
     "stats_psi_drift",  # broadcast 1-row midpoint + totals aggregates
     "stats_welch_ttest",  # pairwise < join over the |sources|-row stats table
     "ts_autocorr_lag",  # broadcast spine bounds (same shape as ts_gapfill_locf)
+    "ts_dominant_period",  # broadcast spine bounds (same shape as ts_gapfill_locf)
     "ts_ewma_dyadic",  # broadcast spine bounds (same shape as ts_gapfill_locf)
     "text_bigram_logprob",  # broadcast single-row vocab-size aggregate
     "sim_topk_cosine",
