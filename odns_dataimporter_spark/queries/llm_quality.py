@@ -553,3 +553,229 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_q6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): exact-substring dedup finds
+# repeated spans with a suffix array; the distributed approximation is
+# n-gram granularity — a span is "duplicated" when its n-gram occurs in
+# >= 2 distinct documents, and a document's score is the fraction of
+# its token positions covered by the union of duplicated n-gram spans.
+
+_DUPSPAN_N = 4
+_DUPSPAN_HEX = 15  # 60-bit ngram fingerprint (fits signed int64)
+
+
+@register(
+    "text_dup_span_coverage",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + {_DUPSPAN_N - 1}), ' ')), 1, {_DUPSPAN_HEX})
+           AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_DUPSPAN_N} + 2)) AS i
+        FROM base WHERE len(toks) >= {_DUPSPAN_N})
+),
+df AS (SELECT h FROM (SELECT h, doc_id FROM g GROUP BY h, doc_id)
+       GROUP BY h HAVING COUNT(*) >= 2),
+c AS (SELECT g.doc_id, g.pos, g.pos + {_DUPSPAN_N} AS e FROM g JOIN df USING (h)),
+iv AS (SELECT doc_id, e,
+              GREATEST(pos, COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos)) AS s
+       FROM c),
+cov AS (SELECT doc_id, CAST(SUM(GREATEST(0, e - s)) AS BIGINT) AS covered
+        FROM iv GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       floor(CAST(COALESCE(cov.covered, 0) AS DOUBLE) * 1000000.0 / b.n_tokens)
+         / 1000000.0 AS dup_coverage_q6
+FROM base b LEFT JOIN cov USING (doc_id)
+""",
+    tags=("llm", "text", "dedup", "quality"),
+)
+def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of token
+    positions lying under at least one {N}-gram that also occurs in a
+    DIFFERENT document — the n-gram-granular form of exact-substring
+    dedup (suffix-array dedup's distributed stand-in). Shape: one
+    explode to (pos, 60-bit ngram fingerprint) — fixed-width ints, not
+    strings, cross the wire — a distinct-(h, doc) pass and an
+    occurrence-count pass both keyed on the fingerprint (map-side
+    combined), a join back on the same key, then a per-document
+    interval-union sweep (window running-max of span ends; each
+    position counted once even under overlapping spans). Every shuffle
+    is equi-keyed on fingerprint or doc_id; nothing is O(n²). The
+    score is an exact-integer ratio, floor-quantized once."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        _toks().alias("toks"),
+    )
+    n = _DUPSPAN_N
+    g = base.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), i -> "
+                f"CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), "
+                f"1, {_DUPSPAN_HEX}), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    c = g.join(dup, "h").select("doc_id", "pos", (F.col("pos") + n).alias("e"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = c.select(
+        "doc_id",
+        "e",
+        F.greatest(
+            F.col("pos"), F.coalesce(F.max("e").over(w), F.col("pos"))
+        ).alias("s"),
+    )
+    cov = iv.groupBy("doc_id").agg(
+        F.sum(F.greatest(F.lit(0), F.col("e") - F.col("s")))
+        .cast("long")
+        .alias("covered")
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("long")
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        covered.alias("covered_tokens"),
+        (F.floor(covered * 1_000_000.0 / F.col("n_tokens")) / 1_000_000.0).alias(
+            "dup_coverage_q6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by the log-likelihood ratio of its hashed n-gram features under a
+# target-domain bag model vs the raw-corpus bag model; selection then
+# resamples by this weight. Here the target is the English slice
+# (lang = 'en') standing in for the paper's high-quality domain.
+
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "text_importance_dsir",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+             toks || CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS feats
+      FROM t),
+e AS (SELECT doc_id, lang, i - 1 AS pos,
+             CAST('0x' || substr(md5(feats[i]), 1, 8) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, feats, unnest(range(1, len(feats) + 1)) AS i
+            FROM f)),
+c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+      FROM e GROUP BY b),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_total,
+               CAST(SUM(ct) AS BIGINT) AS t_total FROM c),
+j AS (SELECT e.doc_id, e.pos,
+             ln(CAST(c.ct + 1 AS DOUBLE)) - ln(CAST(c.cr + 1 AS DOUBLE)) AS lr
+      FROM e JOIN c USING (b)),
+a AS (SELECT doc_id, list(lr ORDER BY pos) AS lrs,
+             CAST(COUNT(*) AS BIGINT) AS n_feats
+      FROM j GROUP BY doc_id)
+SELECT a.doc_id, a.n_feats,
+       floor((list_reduce(lrs, (x, y) -> x + y)
+              + n_feats * (ln(CAST(r_total + {_DSIR_BUCKETS} AS DOUBLE))
+                           - ln(CAST(t_total + {_DSIR_BUCKETS} AS DOUBLE))))
+             * 1000000.0) / 1000000.0 AS dsir_logratio_q6
+FROM a CROSS JOIN tot
+""",
+    tags=("llm", "text", "quality", "sampling"),
+)
+def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: sum over hashed unigram+
+    bigram features of ln p_target(f) − ln p_raw(f) with add-one
+    smoothing over {B} buckets (target = the lang='en' slice). The
+    per-bucket counts are ONE {B}-row aggregate computed in the same
+    scan for both distributions (conditional count), broadcast back
+    onto the feature stream; the per-doc sum folds the log-ratios in
+    feature-position order (the text_unigram_logprob discipline) so
+    double accumulation is bit-identical across engines, and the
+    smoothing normalizer folds in as n_feats × scalar from a broadcast
+    1-row totals aggregate. Shuffles: the {B}-row bucket aggregate
+    (map-side combined) and the per-doc regroup — both equi-keyed; at
+    100 TB the bucket table is O({B}) regardless of corpus size, which
+    is DSIR's point: the scorer is two broadcast tables and a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "concat(split(text, ' '), CASE WHEN size(split(text, ' ')) >= 2 "
+            "THEN transform(sequence(0, size(split(text, ' ')) - 2), "
+            "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+            "ELSE CAST(array() AS array<string>) END)"
+        ).alias("feats"),
+    )
+    e = f.select(
+        "doc_id",
+        "lang",
+        F.posexplode("feats").alias("pos", "feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.expr(
+            f"CAST(conv(substr(md5(feat), 1, 8), 16, 10) AS BIGINT) % {_DSIR_BUCKETS}"
+        ).alias("b"),
+    )
+    c = e.groupBy("b").agg(
+        F.count("*").cast("long").alias("cr"),
+        F.count_if(F.col("lang") == "en").cast("long").alias("ct"),
+    )
+    tot = c.agg(
+        F.sum("cr").cast("long").alias("r_total"),
+        F.sum("ct").cast("long").alias("t_total"),
+    )
+    j = e.join(F.broadcast(c), "b").select(
+        "doc_id",
+        "pos",
+        (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double"))
+        ).alias("lr"),
+    )
+    a = j.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lr"))).alias("lrs"),
+        F.count("*").cast("long").alias("n_feats"),
+    )
+    s = F.aggregate(F.col("lrs"), F.lit(0.0), lambda acc, x: acc + x["lr"])
+    scalar = F.log(
+        (F.col("r_total") + _DSIR_BUCKETS).cast("double")
+    ) - F.log((F.col("t_total") + _DSIR_BUCKETS).cast("double"))
+    return a.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_feats",
+        (
+            F.floor((s + F.col("n_feats") * scalar) * 1_000_000.0) / 1_000_000.0
+        ).alias("dsir_logratio_q6"),
+    )
