@@ -1057,3 +1057,161 @@ def ml_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.cast("long").alias("n_cross_split"),
         (F.floor(cross * 1e8 / F.count("*")) / 1e6).alias("leakage_pct_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup — cluster the embedding
+# space, then inside each cluster drop the member of every
+# high-cosine pair that sits CLOSER to the centroid (keeping the less
+# prototypical example preserves diversity, the paper's selection
+# rule). Complements dedup_embedding_cosine (label-blocked greedy
+# drop): here the blocking is learned (centroid assignment), which is
+# what makes the method work on unlabeled web-scale corpora.
+
+_SEMDEDUP_K = 8  # seed centroids (vec_id 0..7); at 100 TB k ~ n/target-cluster
+_SEMDEDUP_TAU = 0.3
+
+
+def _qdot(u, v):
+    """Fold dot product over floor-quantized (2^20 grid) double arrays.
+    Every element is an integer-valued double <= 2^20, every partial
+    sum < 2^53, so the fold is EXACT (order-independent) and
+    bit-identical to DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+    )
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qe
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, qe AS cvec FROM q WHERE vec_id < {_SEMDEDUP_K}),
+d AS (SELECT q.vec_id, c.cid, q.qe, c.cvec,
+             list_dot_product(q.qe, q.qe) AS n2,
+             list_dot_product(c.cvec, c.cvec) AS cn2,
+             list_dot_product(q.qe, c.cvec) AS dotc
+      FROM q CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid, qe, n2, cn2, dotc
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY n2 + cn2 - 2 * dotc, cid) AS rn FROM d)
+        WHERE rn = 1),
+m AS (SELECT vec_id, cid, qe, n2,
+             dotc / (sqrt(n2) * sqrt(cn2)) AS cos_cent FROM asg),
+pr AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+              list_dot_product(a.qe, b.qe) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_ab,
+              a.cos_cent AS ca, b.cos_cent AS cb
+       FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+victims AS (SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND va > vb)
+                                 THEN va ELSE vb END AS vec_id
+            FROM pr WHERE cos_ab >= {_SEMDEDUP_TAU}),
+out AS (SELECT m.vec_id, m.cid,
+               floor(m.cos_cent * 1000000.0) / 1000000.0 AS cos_cent_q6,
+               (v.vec_id IS NULL) AS is_kept
+        FROM m LEFT JOIN victims v ON v.vec_id = m.vec_id)
+SELECT * FROM out
+""",
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup decision table: every vector with its
+    cluster id, centroid cosine, and an is_kept flag (False = dropped
+    because some same-cluster partner is within cosine ≥ τ and this
+    member is the more prototypical of the pair — higher centroid
+    cosine, tie to the higher vec_id).
+
+    Determinism: embeddings are floor-quantized to the 2^20 integer
+    grid, so every dot product (a fold of integer-valued doubles with
+    all partials < 2^53) is EXACT and order-independent; distances use
+    the n²+c²−2·x·c expansion of the same three dots, and the only
+    rounded ops (sqrt, divide) are single correctly-rounded IEEE steps
+    identical on both engines — assignment argmin, the τ predicate,
+    and the prototype comparison are therefore bit-stable.
+
+    Scale shape: the k-row centroid table broadcasts (assignment is
+    shuffle-free map work); the argmin is ONE map-side-combined
+    min(struct) groupBy on vec_id; pair generation shuffles on cid and
+    is O(cluster²) within clusters — the SemDeDup operating point
+    (k grows with n to cap cluster size, cf. size_hints). Victims join
+    back by vec_id. No CartesianProduct anywhere; the crossJoin is the
+    broadcast k-row centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
+        ).alias("qe"),
+    )
+    cent = q.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("cvec")
+    )
+    qe, cvec = F.col("qe"), F.col("cvec")
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        "qe",
+        _qdot(qe, qe).alias("n2"),
+        _qdot(cvec, cvec).alias("cn2"),
+        _qdot(qe, cvec).alias("dotc"),
+    )
+    dist2 = F.col("n2") + F.col("cn2") - 2 * F.col("dotc")
+    asg = (
+        d.select("vec_id", dist2.alias("dist2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("pick"))
+        .select("vec_id", F.col("pick.cid").alias("cid"))
+    )
+    m = (
+        asg.join(q, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            "qe",
+            _qdot(qe, qe).alias("n2"),
+            (
+                _qdot(qe, cvec) / (F.sqrt(_qdot(qe, qe)) * F.sqrt(_qdot(cvec, cvec)))
+            ).alias("cos_cent"),
+        )
+    )
+    a = m.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("qe").alias("qa"),
+        F.col("n2").alias("na"),
+        F.col("cos_cent").alias("ca"),
+    )
+    b = m.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("qe").alias("qb"),
+        F.col("n2").alias("nb"),
+        F.col("cos_cent").alias("cb"),
+    )
+    cos_ab = _qdot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    )
+    victims = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos_ab >= _SEMDEDUP_TAU)
+        .select(
+            F.when(
+                (F.col("ca") > F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("va") > F.col("vb"))),
+                F.col("va"),
+            )
+            .otherwise(F.col("vb"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return m.join(victims, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        (F.floor(F.col("cos_cent") * 1_000_000.0) / 1_000_000.0).alias("cos_cent_q6"),
+        F.col("hit").isNull().alias("is_kept"),
+    )

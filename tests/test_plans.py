@@ -510,7 +510,9 @@ _BNLJ_ALLOWED = {
     "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
     "ts_downsample_lttb",  # broadcast 1-row span-bounds aggregate
     "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
+    "dedup_semdedup",  # broadcast k-row centroid table (assignment stage)
     "graph_triangle_count",  # cross join of three single-row count aggregates
+    "text_importance_dsir",  # broadcast 1-row feature-totals aggregate
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
     "join_cross",
@@ -623,3 +625,28 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    # the only nested-loop join is the broadcast k-row centroid table;
+    # the O(cluster^2) pair stage must be an equi join keyed on cid
+    plan = _plan(spark, sf_dir, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan
+            or "BroadcastHashJoin [cid" in plan)
+
+
+def test_dup_span_coverage_fingerprint_keyed(spark, sf_dir):
+    # df filter and join-back both key on the 60-bit ngram fingerprint;
+    # no string ngrams cross the wire and nothing is a nested loop
+    plan = _plan(spark, sf_dir, "text_dup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_bucket_table_broadcast(spark, sf_dir):
+    # the 1024-row bucket-count table and the 1-row totals both join
+    # back as broadcasts: the corpus side is never shuffled for them
+    plan = _plan(spark, sf_dir, "text_importance_dsir")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
