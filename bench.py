@@ -56,6 +56,9 @@ HEADLINE = [
     "events_rolling_distinct_7d",
     "ml_logreg_step",
     "text_boilerplate_ngrams",
+    "text_dup_span_coverage",
+    "text_importance_dsir",
+    "dedup_semdedup",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

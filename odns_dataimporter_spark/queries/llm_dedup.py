@@ -1132,11 +1132,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the k-row centroid table broadcasts (assignment is
     shuffle-free map work); the argmin is ONE map-side-combined
-    min(struct) groupBy on vec_id; pair generation shuffles on cid and
-    is O(cluster²) within clusters — the SemDeDup operating point
-    (k grows with n to cap cluster size, cf. size_hints). Victims join
-    back by vec_id. No CartesianProduct anywhere; the crossJoin is the
-    broadcast k-row centroid table."""
+    min(struct) groupBy on vec_id; the O(cluster²) pair stage is a
+    vectorized applyInPandas block scorer keyed on cid (the
+    dedup_embedding_cosine pattern — one shuffle of n rows, pairwise
+    work in a numpy Gram matrix instead of cluster² join rows through
+    the shuffle) — the SemDeDup operating point (k grows with n to cap
+    cluster size, cf. size_hints). Victims join back by vec_id. No
+    CartesianProduct anywhere; the crossJoin is the broadcast k-row
+    centroid table."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -1176,37 +1179,32 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_cent"),
         )
     )
-    a = m.select(
-        "cid",
-        F.col("vec_id").alias("va"),
-        F.col("qe").alias("qa"),
-        F.col("n2").alias("na"),
-        F.col("cos_cent").alias("ca"),
-    )
-    b = m.select(
-        "cid",
-        F.col("vec_id").alias("vb"),
-        F.col("qe").alias("qb"),
-        F.col("n2").alias("nb"),
-        F.col("cos_cent").alias("cb"),
-    )
-    cos_ab = _qdot(F.col("qa"), F.col("qb")) / (
-        F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    def _victims_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Gram matrix over floor-quantized integer-valued doubles: every
+        # partial sum < 2^53, so Q @ Q.T is EXACT regardless of BLAS
+        # summation order — bit-identical to the oracle's
+        # list_dot_product; cos/sqrt/divide are then the same single
+        # correctly-rounded IEEE steps as the SQL formulation.
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        ca = pdf["cos_cent"].to_numpy()
+        Q = np.stack(pdf["qe"].to_numpy()).astype("float64")
+        G = Q @ Q.T
+        nrm = np.sqrt(np.einsum("ii->i", G))
+        cos = G / (nrm[:, None] * nrm[None, :])
+        ii, jj = np.nonzero(np.triu(cos >= _SEMDEDUP_TAU, k=1))
+        # ids sorted ascending: i < j; victim = the more prototypical
+        # member (higher centroid cosine), tie -> the higher vec_id (j)
+        vic = np.where(ca[ii] > ca[jj], ids[ii], ids[jj])
+        return pd.DataFrame({"vec_id": np.unique(vic)})
+
     victims = (
-        a.join(b, "cid")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(cos_ab >= _SEMDEDUP_TAU)
-        .select(
-            F.when(
-                (F.col("ca") > F.col("cb"))
-                | ((F.col("ca") == F.col("cb")) & (F.col("va") > F.col("vb"))),
-                F.col("va"),
-            )
-            .otherwise(F.col("vb"))
-            .alias("vec_id")
-        )
-        .distinct()
+        m.select("cid", "vec_id", "qe", "cos_cent")
+        .groupBy("cid")
+        .applyInPandas(_victims_block, "vec_id long")
         .withColumn("hit", F.lit(True))
     )
     return m.join(victims, "vec_id", "left").select(

@@ -580,8 +580,7 @@ g AS (
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_DUPSPAN_N} + 2)) AS i
         FROM base WHERE len(toks) >= {_DUPSPAN_N})
 ),
-df AS (SELECT h FROM (SELECT h, doc_id FROM g GROUP BY h, doc_id)
-       GROUP BY h HAVING COUNT(*) >= 2),
+df AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
 c AS (SELECT g.doc_id, g.pos, g.pos + {_DUPSPAN_N} AS e FROM g JOIN df USING (h)),
 iv AS (SELECT doc_id, e,
               GREATEST(pos, COALESCE(MAX(e) OVER (
@@ -604,9 +603,9 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT document — the n-gram-granular form of exact-substring
     dedup (suffix-array dedup's distributed stand-in). Shape: one
     explode to (pos, 60-bit ngram fingerprint) — fixed-width ints, not
-    strings, cross the wire — a distinct-(h, doc) pass and an
-    occurrence-count pass both keyed on the fingerprint (map-side
-    combined), a join back on the same key, then a per-document
+    strings, cross the wire — ONE min/max-doc aggregate keyed on
+    the fingerprint (cross-doc duplication ⇔ min(doc) ≠ max(doc) —
+    map-side combined, no distinct pass), a join back on the same key, then a per-document
     interval-union sweep (window running-max of span ends; each
     position counted once even under overlapping spans). Every shuffle
     is equi-keyed on fingerprint or doc_id; nothing is O(n²). The
@@ -629,11 +628,9 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "h"),
     )
     dup = (
-        g.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        g.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
     c = g.join(dup, "h").select("doc_id", "pos", (F.col("pos") + n).alias("e"))
@@ -696,14 +693,15 @@ c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
       FROM e GROUP BY b),
 tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_total,
                CAST(SUM(ct) AS BIGINT) AS t_total FROM c),
-j AS (SELECT e.doc_id, e.pos,
-             ln(CAST(c.ct + 1 AS DOUBLE)) - ln(CAST(c.cr + 1 AS DOUBLE)) AS lr
-      FROM e JOIN c USING (b)),
-a AS (SELECT doc_id, list(lr ORDER BY pos) AS lrs,
+cq AS (SELECT b, CAST(floor((ln(CAST(ct + 1 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE))) * 1048576.0)
+                      AS BIGINT) AS lr_q20
+       FROM c),
+a AS (SELECT e.doc_id, CAST(SUM(cq.lr_q20) AS BIGINT) AS s_q20,
              CAST(COUNT(*) AS BIGINT) AS n_feats
-      FROM j GROUP BY doc_id)
+      FROM e JOIN cq USING (b) GROUP BY e.doc_id)
 SELECT a.doc_id, a.n_feats,
-       floor((list_reduce(lrs, (x, y) -> x + y)
+       floor((CAST(s_q20 AS DOUBLE) / 1048576.0
               + n_feats * (ln(CAST(r_total + {_DSIR_BUCKETS} AS DOUBLE))
                            - ln(CAST(t_total + {_DSIR_BUCKETS} AS DOUBLE))))
              * 1000000.0) / 1000000.0 AS dsir_logratio_q6
@@ -717,36 +715,43 @@ def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing over {B} buckets (target = the lang='en' slice). The
     per-bucket counts are ONE {B}-row aggregate computed in the same
     scan for both distributions (conditional count), broadcast back
-    onto the feature stream; the per-doc sum folds the log-ratios in
-    feature-position order (the text_unigram_logprob discipline) so
-    double accumulation is bit-identical across engines, and the
-    smoothing normalizer folds in as n_feats × scalar from a broadcast
-    1-row totals aggregate. Shuffles: the {B}-row bucket aggregate
+    onto the feature stream with each bucket's log-ratio pre-quantized
+    to the 2^20 integer grid — so the per-doc reduction is an EXACT
+    integer SUM (map-side combined, order-independent; no ordered fold,
+    no collect_list) and the smoothing normalizer folds in as
+    n_feats × scalar from a broadcast 1-row totals aggregate. Shuffles: the {B}-row bucket aggregate
     (map-side combined) and the per-doc regroup — both equi-keyed; at
     100 TB the bucket table is O({B}) regardless of corpus size, which
     is DSIR's point: the scorer is two broadcast tables and a scan."""
     docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
+    # split ONCE into a named column: referencing `toks` inside the
+    # bigram lambda must not re-evaluate split per element (Catalyst
+    # keeps the projection split because the alias is multiply
+    # referenced and non-cheap — inlining it made this op O(n_tokens²)
+    # per document, a 20x slowdown at sf0.1)
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    f = t.select(
         "doc_id",
         "lang",
         F.expr(
-            "concat(split(text, ' '), CASE WHEN size(split(text, ' ')) >= 2 "
-            "THEN transform(sequence(0, size(split(text, ' ')) - 2), "
-            "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+            "concat(toks, CASE WHEN size(toks) >= 2 "
+            "THEN transform(sequence(0, size(toks) - 2), "
+            "i -> concat(toks[i], ' ', toks[i + 1])) "
             "ELSE CAST(array() AS array<string>) END)"
         ).alias("feats"),
     )
+    # hash INSIDE the array transform and explode (pos, bucket) longs:
+    # exploding 1M+ feature STRINGS through the row format costs 3x the
+    # whole hash pass (measured at sf0.1); fixed-width longs are free
     e = f.select(
         "doc_id",
         "lang",
-        F.posexplode("feats").alias("pos", "feat"),
-    ).select(
-        "doc_id",
-        "lang",
-        "pos",
-        F.expr(
-            f"CAST(conv(substr(md5(feat), 1, 8), 16, 10) AS BIGINT) % {_DSIR_BUCKETS}"
-        ).alias("b"),
+        F.posexplode(
+            F.expr(
+                "transform(feats, x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) "
+                f"AS BIGINT) % {_DSIR_BUCKETS})"
+            )
+        ).alias("pos", "b"),
     )
     c = e.groupBy("b").agg(
         F.count("*").cast("long").alias("cr"),
@@ -756,19 +761,26 @@ def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cr").cast("long").alias("r_total"),
         F.sum("ct").cast("long").alias("t_total"),
     )
-    j = e.join(F.broadcast(c), "b").select(
-        "doc_id",
-        "pos",
-        (
-            F.log((F.col("ct") + 1).cast("double"))
-            - F.log((F.col("cr") + 1).cast("double"))
-        ).alias("lr"),
+    cq = c.select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+            )
+            * 1_048_576.0
+        )
+        .cast("long")
+        .alias("lr_q20"),
     )
-    a = j.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "lr"))).alias("lrs"),
-        F.count("*").cast("long").alias("n_feats"),
+    a = (
+        e.join(F.broadcast(cq), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_q20").cast("long").alias("s_q20"),
+            F.count("*").cast("long").alias("n_feats"),
+        )
     )
-    s = F.aggregate(F.col("lrs"), F.lit(0.0), lambda acc, x: acc + x["lr"])
     scalar = F.log(
         (F.col("r_total") + _DSIR_BUCKETS).cast("double")
     ) - F.log((F.col("t_total") + _DSIR_BUCKETS).cast("double"))
@@ -776,6 +788,99 @@ def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_feats",
         (
-            F.floor((s + F.col("n_feats") * scalar) * 1_000_000.0) / 1_000_000.0
+            F.floor(
+                (
+                    F.col("s_q20").cast("double") / 1_048_576.0
+                    + F.col("n_feats") * scalar
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
         ).alias("dsir_logratio_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A): the standard
+# rule battery every web-corpus pipeline applies before model-based
+# filtering. Document-level rules only (the synthetic corpus has no
+# line structure); every ratio test is an exact integer
+# cross-multiplication, so there is no float threshold anywhere.
+
+_GOPHER_STOPWORDS = "('the', 'a', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(toks, ['the', 'a', 'be', 'to', 'of', 'and',
+                                            'that', 'have', 'with']))
+                  AS BIGINT) AS n_stop
+      FROM t),
+r AS (SELECT doc_id, n_words,
+             n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS word_count_ok,
+             sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS mean_len_ok,
+             5 * n_alpha > 4 * n_words AS alpha_ok,
+             n_stop >= 2 AS stopword_ok
+      FROM s)
+SELECT doc_id, n_words, word_count_ok, mean_len_ok, alpha_ok, stopword_ok,
+       word_count_ok AND mean_len_ok AND alpha_ok AND stopword_ok AS gopher_pass
+FROM r
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per document, the word-count
+    bound (50–100k), mean-word-length bound (3–10 chars), >80%
+    alphabetic-word fraction, and ≥2 distinct stop words — plus the
+    conjunction the pipeline actually filters on. Pure per-row
+    Catalyst expression work: at 100 TB this runs inside whole-stage
+    codegen at scan speed with zero shuffles, which is exactly why the
+    rule battery is the FIRST stage of every curation pipeline (it
+    cuts the corpus before anything that costs a shuffle or a model).
+    Ratios are exact integer cross-multiplications (no float
+    thresholds), so the oracle match is trivially bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = "array" + _GOPHER_STOPWORDS
+    s = docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_words"),
+        F.expr(
+            "CAST(aggregate(transform(split(text, ' '), x -> length(x)), "
+            "0L, (a, b) -> a + b) AS BIGINT)"
+        ).alias("sum_len"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x rlike '[a-zA-Z]')) "
+            "AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            f"CAST(size(array_intersect(split(text, ' '), {stop_arr})) AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    n = F.col("n_words")
+    rules = {
+        "word_count_ok": (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS),
+        "mean_len_ok": (F.col("sum_len") >= 3 * n) & (F.col("sum_len") <= 10 * n),
+        "alpha_ok": 5 * F.col("n_alpha") > 4 * n,
+        "stopword_ok": F.col("n_stop") >= 2,
+    }
+    out = s.select(
+        "doc_id", "n_words", *[c.alias(k) for k, c in rules.items()]
+    )
+    gpass = (
+        F.col("word_count_ok")
+        & F.col("mean_len_ok")
+        & F.col("alpha_ok")
+        & F.col("stopword_ok")
+    )
+    return out.withColumn("gopher_pass", gpass)
