@@ -673,10 +673,8 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 1024
 
 
-@register(
-    "text_importance_dsir",
-    oracle=f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+_DSIR_ORACLE_BODY = f"""
+t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
 f AS (SELECT doc_id, lang,
              toks || CASE WHEN len(toks) >= 2
                           THEN list_transform(range(1, len(toks)),
@@ -706,7 +704,12 @@ SELECT a.doc_id, a.n_feats,
                            - ln(CAST(t_total + {_DSIR_BUCKETS} AS DOUBLE))))
              * 1000000.0) / 1000000.0 AS dsir_logratio_q6
 FROM a CROSS JOIN tot
-""",
+"""
+
+
+@register(
+    "text_importance_dsir",
+    oracle="WITH" + _DSIR_ORACLE_BODY,
     tags=("llm", "text", "quality", "sampling"),
 )
 def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,3 +887,63 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("stopword_ok")
     )
     return out.withColumn("gopher_pass", gpass)
+
+
+# ---------------------------------------------------------------------------
+# DSIR stage 2: importance RESAMPLING. The paper samples without
+# replacement with probability ∝ exp(weight); the Gumbel top-k trick
+# makes that a deterministic top-k — add an independent Gumbel noise
+# term G(doc) to each log-weight and take the k largest keys. The
+# "noise" here is a pure hash function of doc_id, so the sample is
+# reproducible and shardable (no RNG state, no driver involvement).
+
+_RESAMPLE_K = 100
+_RESAMPLE_SALT = "g|"
+
+
+@register(
+    "sample_importance_resample",
+    oracle=f"""
+WITH d AS (WITH{_DSIR_ORACLE_BODY}),
+g AS (SELECT doc_id, dsir_logratio_q6,
+             dsir_logratio_q6
+             + (-ln(-ln((CAST('0x' || substr(md5('{_RESAMPLE_SALT}'
+                             || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                         + 0.5) / 4294967296.0))) AS key
+      FROM d)
+SELECT doc_id, dsir_logratio_q6,
+       floor(key * 1000000.0) / 1000000.0 AS gumbel_key_q6
+FROM g ORDER BY key DESC, doc_id LIMIT {_RESAMPLE_K}
+""",
+    tags=("llm", "quality", "sampling"),
+)
+def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling over the DSIR weights: key =
+    log-weight + Gumbel(md5(doc_id)), take the {K} largest — equivalent
+    to sampling {K} docs without replacement with probability
+    ∝ exp(weight), but fully deterministic (the Gumbel variate is a
+    hash of doc_id, not RNG state) and embarrassingly parallel. The
+    top-k collapses to TakeOrderedAndProject (per-partition heads, no
+    global sort), so the only shuffles are the ones the DSIR scorer
+    already does; selection itself adds zero."""
+    scored = text_importance_dsir(spark, sf_dir)
+    u = (
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_RESAMPLE_SALT}', CAST(doc_id AS STRING))), "
+            "1, 8), 16, 10) AS BIGINT)"
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    key = F.col("dsir_logratio_q6") + (-F.log(-F.log(u)))
+    return (
+        scored.select("doc_id", "dsir_logratio_q6", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(_RESAMPLE_K)
+        .select(
+            "doc_id",
+            "dsir_logratio_q6",
+            (F.floor(F.col("key") * 1_000_000.0) / 1_000_000.0).alias(
+                "gumbel_key_q6"
+            ),
+        )
+    )

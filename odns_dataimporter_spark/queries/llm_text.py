@@ -847,3 +847,128 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_label_q6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016), first 3 merges
+# unrolled: the canonical subword-vocabulary construction every LLM
+# pipeline runs before tokenization. Pair statistics are recomputed
+# after each merge (the part that makes BPE iterative, not a one-shot
+# aggregate); the merge itself is the greedy left-to-right
+# non-overlapping rewrite, expressed as an array fold identically on
+# both engines.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+p{r} AS (
+  SELECT a, b, CAST(SUM(wcnt) AS BIGINT) AS cnt
+  FROM (SELECT wcnt, s[i] AS a, s[i + 1] AS b
+        FROM (SELECT wcnt, s, unnest(range(1, len(s))) AS i FROM w{r}))
+  GROUP BY a, b),
+best{r} AS (SELECT a AS ma, b AS mb, cnt FROM p{r}
+            ORDER BY cnt DESC, a, b LIMIT 1),
+w{r + 1} AS (SELECT token, wcnt,
+                  CASE WHEN len(s) <= 1 THEN s
+                       ELSE list_reduce(list_transform(s, x -> [x]),
+                              (acc, x) -> CASE WHEN acc[-1] = ma AND x[1] = mb
+                                   THEN acc[1:len(acc) - 1] || [ma || mb]
+                                   ELSE acc || x END) END AS s
+             FROM w{r} CROSS JOIN best{r})"""
+
+
+@register(
+    "tokenizer_bpe_merges",
+    oracle="WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS wcnt\n"
+    "      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)\n"
+    "      GROUP BY token),\n"
+    "w0 AS (SELECT token, wcnt, regexp_extract_all(token, '.') AS s FROM v),"
+    + ",".join(_bpe_round_sql(r) for r in range(_BPE_ROUNDS))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, ma AS left_sym, "
+        f"mb AS right_sym, cnt AS pair_count FROM best{r}"
+        for r in range(_BPE_ROUNDS)
+    ),
+    tags=("llm", "text", "iterative"),
+)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the corpus: per round, the
+    most frequent adjacent symbol pair weighted by word frequency
+    (tie → lexicographic), then every word rewritten with that pair
+    merged greedy-left-non-overlapping, then pair statistics
+    recomputed over the NEW symbols — the genuinely iterative part of
+    tokenizer training, unrolled.
+
+    Scale shape: the corpus-scale work is ONE token-count shuffle
+    (map-side combined, |vocab| rows survive); every merge round then
+    runs on the vocabulary table, which is corpus-size-independent
+    (even web-scale corpora have ~1e7 distinct words), with the
+    argmax as a broadcast 1-row min-struct aggregate — no driver
+    action, the whole 3-round chain is one lazy plan. The greedy
+    rewrite is an array fold, bit-identical on both engines
+    (['a','a','a'] with pair (a,a) → ['aa','a'])."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("wcnt"))
+    )
+    w = v.select(
+        "token", "wcnt", F.expr("regexp_extract_all(token, '.', 0)").alias("s")
+    )
+    merge_expr = (
+        "CASE WHEN size(s) <= 1 THEN s ELSE aggregate(s, "
+        "CAST(array() AS array<string>), (acc, x) -> "
+        "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))) "
+        "ELSE concat(acc, array(x)) END) END"
+    )
+    bests = []
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            w.filter(F.size("s") >= 2)
+            .select(
+                "wcnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> named_struct('a', s[i], 'b', s[i + 1]))"
+                    )
+                ).alias("p"),
+            )
+            .select("wcnt", "p.a", "p.b")
+        )
+        pstat = pairs.groupBy("a", "b").agg(F.sum("wcnt").cast("long").alias("cnt"))
+        best = (
+            pstat.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("a").alias("ma"),
+                        F.col("b").alias("mb"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.ma").alias("ma"),
+                F.col("m.mb").alias("mb"),
+                (-F.col("m.nc")).cast("long").alias("cnt"),
+            )
+        )
+        bests.append(best)
+        w = w.crossJoin(F.broadcast(best)).select(
+            "token", "wcnt", F.expr(merge_expr).alias("s")
+        )
+    out = None
+    for r, best in enumerate(bests):
+        row = best.select(
+            F.lit(r + 1).cast("long").alias("merge_rank"),
+            F.col("ma").alias("left_sym"),
+            F.col("mb").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -512,7 +512,9 @@ _BNLJ_ALLOWED = {
     "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
     "dedup_semdedup",  # broadcast k-row centroid table (assignment stage)
     "graph_triangle_count",  # cross join of three single-row count aggregates
+    "sample_importance_resample",  # inherits DSIR's broadcast totals scalar
     "text_importance_dsir",  # broadcast 1-row feature-totals aggregate
+    "tokenizer_bpe_merges",  # broadcast 1-row best-pair argmax per round
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
     "join_cross",
