@@ -443,3 +443,45 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * syy - sy * sy).cast("double")
     )
     return s.select("n", (F.floor(num / den * 1e9) / 1e9).alias("assortativity_q9"))
+
+
+# ---------------------------------------------------------------------------
+# Declarative recursion: Spark 4 ships WITH RECURSIVE (SPARK-24497),
+# so bounded-depth reachability can be stated as ONE SQL text instead
+# of a driver-side frontier loop. This op runs the IDENTICAL query
+# text on both engines — the strongest parity statement for the
+# recursive-SQL surface, complementing graph_bfs_hops (which pins the
+# scalable frontier-dedup formulation of the same problem).
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS dst
+    FROM events) WHERE dst IS NOT NULL AND src <> dst
+),
+reach(node, depth) AS (
+  SELECT CAST('signup' AS STRING) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 3
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth FROM reach GROUP BY node
+"""
+
+
+@register("sql_recursive_cte", oracle=_REACH_SQL, tags=("sql", "graph", "iterative"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-depth reachability from 'signup' over the distinct
+    event-type transition graph via WITH RECURSIVE — executed verbatim
+    by Spark 4's recursive-CTE planner and by DuckDB. The recursion is
+    depth-bounded (< 3) over the |event-types|-node graph, so the
+    UNION ALL path enumeration stays tiny; unbounded-scale traversal
+    belongs to the frontier-dedup formulation in graph_bfs_hops (each
+    round bounded by |frontier| × avg-degree) — this op pins the SQL
+    SURFACE, that one pins the 100 TB plan."""
+    from odns_dataimporter_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)

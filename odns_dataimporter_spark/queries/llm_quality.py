@@ -567,9 +567,7 @@ _DUPSPAN_N = 4
 _DUPSPAN_HEX = 15  # 60-bit ngram fingerprint (fits signed int64)
 
 
-@register(
-    "text_dup_span_coverage",
-    oracle=f"""
+_DUPSPAN_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
 g AS (
@@ -594,7 +592,12 @@ SELECT b.doc_id, b.n_tokens,
        floor(CAST(COALESCE(cov.covered, 0) AS DOUBLE) * 1000000.0 / b.n_tokens)
          / 1000000.0 AS dup_coverage_q6
 FROM base b LEFT JOIN cov USING (doc_id)
-""",
+"""
+
+
+@register(
+    "text_dup_span_coverage",
+    oracle=_DUPSPAN_ORACLE,
     tags=("llm", "text", "dedup", "quality"),
 )
 def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,9 +818,7 @@ _GOPHER_MIN_WORDS = 50
 _GOPHER_MAX_WORDS = 100_000
 
 
-@register(
-    "text_gopher_rules",
-    oracle=f"""
+_GOPHER_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
@@ -839,7 +840,12 @@ r AS (SELECT doc_id, n_words,
 SELECT doc_id, n_words, word_count_ok, mean_len_ok, alpha_ok, stopword_ok,
        word_count_ok AND mean_len_ok AND alpha_ok AND stopword_ok AS gopher_pass
 FROM r
-""",
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_GOPHER_ORACLE,
     tags=("llm", "text", "quality"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,4 +952,70 @@ def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gumbel_key_q6"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 capstone: the MODERN curation pipeline composed from this
+# round's methods — rule filter (Gopher) → substring-dedup gate
+# (duplicated-span coverage) → target-likeness gate (DSIR weight) —
+# the RefinedWeb/Dolma-style recipe, as ONE lazy Catalyst plan.
+
+@register(
+    "llm_curation_pipeline_v2",
+    oracle=f"""
+WITH gr AS ({_GOPHER_ORACLE}),
+cv AS ({_DUPSPAN_ORACLE}),
+dw AS (WITH{_DSIR_ORACLE_BODY}),
+kept AS (
+  SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tok
+  FROM documents d
+  JOIN gr ON gr.doc_id = d.doc_id AND gr.gopher_pass
+  JOIN cv ON cv.doc_id = d.doc_id AND cv.dup_coverage_q6 < 0.5
+  JOIN dw ON dw.doc_id = d.doc_id AND dw.dsir_logratio_q6 >= 0.0)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_budget
+FROM kept GROUP BY lang
+""",
+    tags=("llm", "flagship", "quality"),
+)
+def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation recipe composed end to end: Gopher rule
+    battery (zero-shuffle codegen) ∧ duplicated-span coverage < 0.5
+    (fingerprint-keyed shuffles) ∧ DSIR target-likeness ≥ 0 (broadcast
+    bucket table), intersected on doc_id and rolled up to the
+    per-language token budget a data curator signs off on. Each stage
+    is an independently oracle-verified operator; this query proves
+    the composition stays one lazy plan — every stage's survivors
+    equi-join on doc_id, so the intersection adds doc-keyed shuffles,
+    never a rescan driven from the driver (contrast llm_prep_pipeline,
+    the v1 recipe: language/length/type-token filters + exact dedup +
+    hash sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        text_gopher_rules(spark, sf_dir)
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    c = (
+        text_dup_span_coverage(spark, sf_dir)
+        .filter(F.col("dup_coverage_q6") < 0.5)
+        .select("doc_id")
+    )
+    w = (
+        text_importance_dsir(spark, sf_dir)
+        .filter(F.col("dsir_logratio_q6") >= 0.0)
+        .select("doc_id")
+    )
+    kept = (
+        docs.select(
+            "doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok")
+        )
+        .join(g, "doc_id")
+        .join(c, "doc_id")
+        .join(w, "doc_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("token_budget"),
     )

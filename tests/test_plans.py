@@ -512,6 +512,7 @@ _BNLJ_ALLOWED = {
     "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
     "dedup_semdedup",  # broadcast k-row centroid table (assignment stage)
     "graph_triangle_count",  # cross join of three single-row count aggregates
+    "llm_curation_pipeline_v2",  # inherits DSIR's broadcast totals scalar
     "sample_importance_resample",  # inherits DSIR's broadcast totals scalar
     "text_importance_dsir",  # broadcast 1-row feature-totals aggregate
     "tokenizer_bpe_merges",  # broadcast 1-row best-pair argmax per round
