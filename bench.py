@@ -59,6 +59,8 @@ HEADLINE = [
     "text_dup_span_coverage",
     "text_importance_dsir",
     "dedup_semdedup",
+    "tokenizer_bpe_merges",
+    "llm_curation_pipeline_v2",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -738,3 +738,84 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("t3").alias("t3_us"),
         stage.cast("long").alias("funnel_stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style declarative data-quality constraint suite: N constraints
+# evaluated from ONE aggregate pass (Amazon Deequ's core design — at
+# 100 TB you get one shot at the scan, so every metric must come from
+# the same sufficient-statistics row).
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_key,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice >= 0) AS BIGINT) AS n_price,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O', 'F', 'P'))
+              AS BIGINT) AS n_status,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O', 'F'))
+              AS BIGINT) AS n_closed,
+         CAST(COUNT(o_orderdate) AS BIGINT) AS n_date
+  FROM orders)
+SELECT c.constraint_name,
+       floor(c.num * 1000000.0 / s.n) / 1000000.0 AS observed_q6,
+       c.num = s.n AS passed
+FROM s CROSS JOIN LATERAL (VALUES
+  ('completeness_custkey', s.n_cust),
+  ('uniqueness_orderkey', s.n_key),
+  ('range_totalprice_nonneg', s.n_price),
+  ('domain_orderstatus', s.n_status),
+  ('domain_orderstatus_no_pending', s.n_closed),
+  ('completeness_orderdate', s.n_date)) AS c(constraint_name, num)
+""",
+    tags=("etl", "dq", "profiling"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over `orders` — completeness,
+    key uniqueness, numeric range, value-domain membership — all six
+    metrics from ONE aggregate row (one constraint — no 'P' status —
+    is deliberately violated by the data, exercising the fail path) (the Deequ design: constraints
+    compile to sufficient statistics, the table is scanned once), then
+    unfolded to a row per constraint with the observed ratio and a
+    pass flag. The only caveat is COUNT(DISTINCT): Catalyst plans it
+    as an Expand over the single aggregate, still one FileScan; at
+    100 TB the standard swap is approx_count_distinct with a
+    tolerance-aware pass predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("n_cust"),
+        F.count_distinct("o_orderkey").cast("long").alias("n_key"),
+        F.count_if(F.col("o_totalprice") >= 0).cast("long").alias("n_price"),
+        F.count_if(F.col("o_orderstatus").isin("O", "F", "P"))
+        .cast("long")
+        .alias("n_status"),
+        F.count_if(F.col("o_orderstatus").isin("O", "F"))
+        .cast("long")
+        .alias("n_closed"),
+        F.count("o_orderdate").cast("long").alias("n_date"),
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("constraint_name"), F.col(col).alias("num"))
+            for name, col in [
+                ("completeness_custkey", "n_cust"),
+                ("uniqueness_orderkey", "n_key"),
+                ("range_totalprice_nonneg", "n_price"),
+                ("domain_orderstatus", "n_status"),
+                ("domain_orderstatus_no_pending", "n_closed"),
+                ("completeness_orderdate", "n_date"),
+            ]
+        ]
+    )
+    e = s.select("n", F.explode(rows).alias("c"))
+    return e.select(
+        F.col("c.constraint_name").alias("constraint_name"),
+        (F.floor(F.col("c.num") * 1_000_000.0 / F.col("n")) / 1_000_000.0).alias(
+            "observed_q6"
+        ),
+        (F.col("c.num") == F.col("n")).alias("passed"),
+    )
