@@ -253,14 +253,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t")
         )
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
-    ).select(F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2"))
-    tri = wedges.join(
-        e3, (F.col("e3.s") == F.col("w1")) & (F.col("e3.t") == F.col("w2"))
-    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    # Adjacency-intersection closing (not a wedge materialization): at
+    # sf0.1 the oriented graph has 1.2M edges but 41M wedges — shuffling
+    # 41M wedge rows into the closing join thrashes small heaps, while
+    # shipping each out-neighborhood (bounded by ~2·sqrt(E) after
+    # orientation; max 97 here) alongside its edges keeps the shuffle at
+    # E rows and the per-task memory at one adjacency array. The
+    # triangle through oriented corner s<t<u is found exactly once, on
+    # edge (s,t), as u ∈ N+(s) ∩ N+(t).
+    adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    tri = (
+        e.join(adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns")), "s")
+        .join(
+            adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")), "t"
+        )
+        .agg(
+            F.sum(F.size(F.array_intersect("ns", "nt")))
+            .cast("long")
+            .alias("n_triangles")
+        )
+    )
     nv = deg.agg(F.count("*").cast("long").alias("n_vertices"))
     ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return (

@@ -972,3 +972,186 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# algorithm): guarantee-bearing local fingerprint selection. Every
+# match of length >= k + w - 1 tokens between two documents shares at
+# least one selected fingerprint; density is ~2/(w+1) of all k-gram
+# hashes. Complements the global signatures (MinHash/SimHash): those
+# bound whole-document similarity, winnowing localizes shared spans.
+
+_WIN_K = 3  # token k-gram size
+_WIN_W = 4  # winnowing window (hashes per window)
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) >= {_WIN_K}
+                  THEN list_transform(range(1, len(toks) - {_WIN_K} + 2),
+                         i -> CAST('0x' || substr(md5(array_to_string(
+                                  list_slice(toks, i, i + {_WIN_K - 1}), ' ')),
+                                  1, 15) AS BIGINT))
+                  ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM t),
+w AS (SELECT doc_id, n_tokens, CAST(len(hs) AS BIGINT) AS n_grams,
+             CASE WHEN len(hs) >= {_WIN_W}
+                  THEN list_sort(list_distinct(list_transform(
+                         range(0, len(hs) - {_WIN_W} + 1),
+                         p -> CAST(p + {_WIN_W}
+                                   - list_position(list_reverse(
+                                       hs[p + 1:p + {_WIN_W}]),
+                                       list_min(hs[p + 1:p + {_WIN_W}]))
+                                   AS VARCHAR)
+                              || ':' || CAST(list_min(hs[p + 1:p + {_WIN_W}])
+                                             AS VARCHAR))))
+                  ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM h)
+SELECT doc_id, n_tokens, n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fingerprint_digest
+FROM w
+""",
+    tags=("llm", "text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint set per document: 60-bit token-3-gram
+    hashes, windows of 4, per-window minimum with the rightmost-on-tie
+    rule, (position:hash) selections deduplicated across overlapping
+    windows — verified down to an md5 digest of the sorted selection
+    set, so the oracle pins every selected fingerprint exactly.
+
+    Entirely per-row array work — zero shuffles, runs at scan speed
+    inside codegen; at 100 TB the fingerprint sets feed a
+    (hash → postings) index exactly like text_inverted_index, giving
+    the MOSS guarantee: any shared span of ≥ k+w−1 tokens surfaces at
+    least one shared fingerprint. Window minima are recomputed per
+    offset (O(w) per position — the deque trick is pointless inside a
+    w=4 window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    h = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(toks) >= {_WIN_K} THEN "
+            f"transform(sequence(0, size(toks) - {_WIN_K}), "
+            f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
+            "1, 15), 16, 10) AS BIGINT)) "
+            "ELSE CAST(array() AS array<bigint>) END"
+        ).alias("hs"),
+    )
+    fps = F.expr(
+        f"CASE WHEN size(hs) >= {_WIN_W} THEN "
+        f"array_sort(array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
+        f"p -> concat(CAST(p + {_WIN_W} - array_position(reverse(slice(hs, p + 1, {_WIN_W})), "
+        f"array_min(slice(hs, p + 1, {_WIN_W}))) AS STRING), ':', "
+        f"CAST(array_min(slice(hs, p + 1, {_WIN_W})) AS STRING))))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    w = h.select(
+        "doc_id",
+        "n_tokens",
+        F.size("hs").cast("long").alias("n_grams"),
+        fps.alias("fps"),
+    )
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", "fps")).alias("fingerprint_digest"),
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(range(1, len(toks) - {_WIN_K} + 2),
+        i -> CAST('0x' || substr(md5(array_to_string(
+                 list_slice(toks, i, i + {_WIN_K - 1}), ' ')), 1, 15) AS BIGINT))
+          AS hs
+      FROM t WHERE len(toks) >= {_WIN_K + _WIN_W - 1}),
+w AS (SELECT doc_id, list_distinct(list_transform(
+        range(0, len(hs) - {_WIN_W} + 1),
+        p -> list_min(hs[p + 1:p + {_WIN_W}]))) AS fps FROM h),
+e AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS fp FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       floor(COUNT(*) * 1000000.0 / LEAST(MIN(a.n_fp), MIN(b.n_fp)))
+         / 1000000.0 AS overlap_q6
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+""",
+    tags=("llm", "text", "dedup"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match detection on the winnowed fingerprints: doc
+    pairs sharing ≥ 3 selected k-gram hashes, with the containment
+    ratio shared/min(|fps|). Candidate generation is the inverted
+    fingerprint index joined on the HASH key — only docs sharing a
+    fingerprint ever meet (bucket join, the text_inverted_index
+    shape); winnowing's ~2/(w+1) density means the postings table is
+    a fraction of the full k-gram index that PPJoin-style containment
+    (dedup_containment) would build, which is exactly why
+    fingerprint-based plagiarism detectors scale to web corpora. The
+    per-window minima here drop the position tag (matching is by
+    hash; positions only matter for span display)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    h = t.filter(F.size("toks") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(toks) - {_WIN_K}), "
+            f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
+            "1, 15), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    w = h.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
+            f"p -> array_min(slice(hs, p + 1, {_WIN_W}))))"
+        ).alias("fps"),
+    )
+    e = w.select(
+        "doc_id", F.size("fps").cast("long").alias("n_fp"), F.explode("fps").alias("fp")
+    )
+    a = e.select(
+        F.col("fp").alias("fp"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_fp").alias("na"),
+    )
+    b = e.select(
+        F.col("fp").alias("fp"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_fp").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (
+            F.floor(
+                F.col("n_shared") * 1_000_000.0 / F.least(F.col("na"), F.col("nb"))
+            )
+            / 1_000_000.0
+        ).alias("overlap_q6"),
+    )

@@ -653,3 +653,26 @@ def test_dsir_bucket_table_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_importance_dsir")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_triangle_count_ships_adjacency_not_wedges(spark, sf_dir):
+    # the closing stage must intersect shipped out-neighborhoods, not
+    # materialize the wedge set through a shuffle (41M wedge rows vs
+    # 1.2M edges at sf0.1 — the wedge join killed a 1 GB-heap session)
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    # winnowing is pure per-row array work: no exchange anywhere
+    plan = _plan(spark, sf_dir, "text_winnow_fingerprints")
+    assert "Exchange" not in plan
+
+
+def test_winnow_pairs_bucket_join(spark, sf_dir):
+    # MOSS matching joins the inverted fingerprint index on the hash
+    # key — an equi join, never a nested loop over doc pairs
+    plan = _plan(spark, sf_dir, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
