@@ -910,6 +910,22 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     action, the whole 3-round chain is one lazy plan. The greedy
     rewrite is an array fold, bit-identical on both engines
     (['a','a','a'] with pair (a,a) → ['aa','a'])."""
+    w, bests = _bpe_learn(spark, sf_dir)
+    out = None
+    for r, best in enumerate(bests):
+        row = best.select(
+            F.lit(r + 1).cast("long").alias("merge_rank"),
+            F.col("ma").alias("left_sym"),
+            F.col("mb").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (symbol table after _BPE_ROUNDS
+    merges, list of per-round best-pair 1-row DataFrames)."""
     docs = load_table(spark, sf_dir, "documents")
     v = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -962,16 +978,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.crossJoin(F.broadcast(best)).select(
             "token", "wcnt", F.expr(merge_expr).alias("s")
         )
-    out = None
-    for r, best in enumerate(bests):
-        row = best.select(
-            F.lit(r + 1).cast("long").alias("merge_rank"),
-            F.col("ma").alias("left_sym"),
-            F.col("mb").alias("right_sym"),
-            F.col("cnt").alias("pair_count"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    return w, bests
 
 
 # ---------------------------------------------------------------------------
@@ -1154,4 +1161,57 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1_000_000.0
         ).alias("overlap_q6"),
+    )
+
+
+@register(
+    "tokenizer_bpe_encode",
+    oracle="WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS wcnt\n"
+    "      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)\n"
+    "      GROUP BY token),\n"
+    "w0 AS (SELECT token, wcnt, regexp_extract_all(token, '.') AS s FROM v),"
+    + ",".join(_bpe_round_sql(r) for r in range(_BPE_ROUNDS))
+    + f"""
+, enc AS (SELECT token, CAST(len(s) AS BIGINT) AS n_sub,
+                 CAST(len(token) AS BIGINT) AS n_chars FROM w{_BPE_ROUNDS})
+SELECT d.doc_id,
+       CAST(SUM(e.n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+       floor(SUM(e.n_chars) * 1000000.0 / SUM(e.n_sub)) / 1000000.0
+         AS chars_per_subword_q6
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) d
+JOIN enc e USING (token) GROUP BY d.doc_id
+""",
+    tags=("llm", "text", "iterative"),
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per-document
+    subword count under the 3-merge vocabulary, with the
+    chars-per-subword compression ratio — the number a tokenizer
+    team watches as merges accumulate (→ ~4 chars/token for mature
+    English BPE). Encoding is a JOIN, not a re-segmentation: the
+    trainer's symbol table already holds every distinct word's final
+    segmentation, so the corpus side just explodes tokens and joins
+    the broadcast vocab (corpus-size-independent) — per-doc sums are
+    one map-side-combined groupBy. This is exactly how production
+    tokenizer application scales: vocab broadcast, text streamed."""
+    w, _ = _bpe_learn(spark, sf_dir)
+    enc = w.select(
+        "token",
+        F.size("s").cast("long").alias("n_sub"),
+        F.length("token").cast("long").alias("n_chars"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        d.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            (
+                F.floor(F.sum("n_chars") * 1_000_000.0 / F.sum("n_sub"))
+                / 1_000_000.0
+            ).alias("chars_per_subword_q6"),
+        )
     )

@@ -925,3 +925,113 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("k").alias("best_lag"), "acf_q9")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap: resampling indices are a pure hash of
+# (replicate, draw), so the "random" resample is reproducible across
+# engines, runs, and task retries — the only way a bootstrap is
+# oracle-checkable, and the right discipline on a cluster anyway
+# (retried tasks must redraw identical samples).
+
+_BS_B = 200  # bootstrap replicates
+_BS_LO_RANK = 5  # 2.5th percentile of 200
+_BS_HI_RANK = 196  # 97.5th percentile of 200
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+WITH c AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+ix AS (SELECT cents, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS idx
+       FROM c),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total
+       FROM c),
+bs AS (SELECT unnest(range(0, {_BS_B})) AS b),
+di AS (SELECT b, unnest(range(0, (SELECT n FROM nn))) AS i FROM bs),
+dr AS (SELECT b, CAST('0x' || substr(md5('bs|' || CAST(b AS VARCHAR) || '|'
+                      || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+              % (SELECT n FROM nn) AS u
+       FROM di),
+rep AS (SELECT b, CAST(SUM(ix.cents) AS BIGINT) AS rep_cents
+        FROM dr JOIN ix ON ix.idx = dr.u GROUP BY b),
+rk AS (SELECT b, rep_cents, row_number() OVER (ORDER BY rep_cents, b) AS r
+       FROM rep)
+SELECT nn.n AS n_days,
+       floor(nn.total * 1000000.0 / (nn.n * 100)) / 1000000.0 AS mean_q6,
+       floor(lo.rep_cents * 1000000.0 / (nn.n * 100)) / 1000000.0 AS ci_lo_q6,
+       floor(hi.rep_cents * 1000000.0 / (nn.n * 100)) / 1000000.0 AS ci_hi_q6
+FROM nn,
+     (SELECT rep_cents FROM rk WHERE r = {_BS_LO_RANK}) lo,
+     (SELECT rep_cents FROM rk WHERE r = {_BS_HI_RANK}) hi
+""",
+    tags=("stats",),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean daily revenue:
+    {B} replicates, each drawing n days with replacement where draw i
+    of replicate b reads index md5('bs|b|i') % n — fully deterministic
+    resampling (hash, not RNG), so both engines draw identical samples
+    and the CI is value-hash-checkable. Shape: the day series reduces
+    to n≈2.4k rows first; the replicate table is B·n hash rows joined
+    back on the day index (equi join) and summed per replicate
+    (map-side combined); the rank pick is a window over B rows. At
+    100 TB only the first aggregation touches the data — the bootstrap
+    itself runs on the reduced series, which is the textbook way to
+    bootstrap at scale (resample the sufficient statistics, not the
+    raw rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    ix = c.select(
+        "cents", (F.row_number().over(W.orderBy("day")) - 1).cast("long").alias("idx")
+    )
+    nn = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    di = (
+        nn.select("n", F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"))
+        .select("n", "b", F.explode(F.expr("sequence(0, n - 1)")).alias("i"))
+    )
+    dr = di.select(
+        "b",
+        F.expr(
+            "CAST(conv(substr(md5(concat('bs|', CAST(b AS STRING), '|', "
+            "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % n"
+        ).alias("u"),
+    )
+    rep = (
+        dr.join(ix, dr.u == ix.idx)
+        .groupBy("b")
+        .agg(F.sum("cents").cast("long").alias("rep_cents"))
+    )
+    rk = rep.select(
+        "rep_cents",
+        F.row_number().over(W.orderBy("rep_cents", "b")).alias("r"),
+    )
+    lo = rk.filter(F.col("r") == _BS_LO_RANK).select(
+        F.col("rep_cents").alias("lo_cents")
+    )
+    hi = rk.filter(F.col("r") == _BS_HI_RANK).select(
+        F.col("rep_cents").alias("hi_cents")
+    )
+
+    def q6(cents):
+        return F.floor(cents * 1_000_000.0 / (F.col("n") * 100)) / 1_000_000.0
+
+    return (
+        nn.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_days"),
+            q6(F.col("total")).alias("mean_q6"),
+            q6(F.col("lo_cents")).alias("ci_lo_q6"),
+            q6(F.col("hi_cents")).alias("ci_hi_q6"),
+        )
+    )

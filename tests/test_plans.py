@@ -505,6 +505,7 @@ _BNLJ_ALLOWED = {
     "ml_logreg_step",  # broadcast single-row |rows| count aggregate
     "ml_naive_bayes_fit",  # broadcast single-row vocab-size aggregate
     "stats_benford_digits",  # broadcast single-row total-count aggregate
+    "stats_bootstrap_ci",  # broadcast 1-row rank-picked CI bounds + totals
     "stats_theil_sen",  # broadcast 1-row series-origin aggregate
     "text_boilerplate_ngrams",  # broadcast single-row corpus-size aggregate
     "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
@@ -516,6 +517,7 @@ _BNLJ_ALLOWED = {
     "sample_importance_resample",  # inherits DSIR's broadcast totals scalar
     "text_importance_dsir",  # broadcast 1-row feature-totals aggregate
     "tokenizer_bpe_merges",  # broadcast 1-row best-pair argmax per round
+    "tokenizer_bpe_encode",  # same trainer chain + broadcast vocab join
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
     "join_cross",
