@@ -771,3 +771,98 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("dist2").cast("long").alias("dist2_floor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance (cf. "Incremental Based Framework for
+# Efficient Top-K Similarity Search in Interactive Data Analysis
+# Sessions", EDBT 2020): when a delta batch of candidates arrives, the
+# new global top-k is merge(previous top-k, top-k over the delta) —
+# the full candidate set is never rescanned. The oracle recomputes
+# from scratch over base ∪ delta, proving merge ≡ recompute.
+
+_INC_DELTA_MOD = 10  # vec_id % 10 == 0 -> the "newly arrived" delta batch
+
+
+@register(
+    "sim_incremental_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cos
+  FROM v p JOIN v c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+)
+SELECT probe_id, cand_id, floor(cos * 1000000.0) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos DESC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOP_K}
+""",
+    tags=("llm", "similarity", "incremental"),
+)
+def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained exact top-k: candidates are split into
+    a base corpus and a delta batch (vec_id % {_INC_DELTA_MOD} == 0 —
+    the rows that 'just arrived'); the result is the per-probe re-rank
+    of UNION(top-k over base, top-k over delta), which equals the
+    scratch recompute the oracle runs because the global top-k of a
+    union is always contained in the union of per-part top-ks. At
+    100 TB this is the interactive-session pattern: the base top-k is
+    a k·|probes|-row table from the previous run, and only the delta
+    is scored — work is O(|delta|) per refresh, not O(|corpus|)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    probes = v.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    is_delta = F.col("vec_id") % _INC_DELTA_MOD == 0
+
+    def topk_over(cands):
+        scored = (
+            F.broadcast(probes)
+            .crossJoin(
+                cands.select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("e").alias("ce"),
+                    F.col("nrm").alias("cn"),
+                )
+            )
+            .filter(F.col("cand_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "cand_id",
+                (_dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))).alias(
+                    "cos"
+                ),
+            )
+        )
+        w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select("probe_id", "cand_id", "cos")
+        )
+
+    merged = topk_over(v.filter(~is_delta)).unionByName(topk_over(v.filter(is_delta)))
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"),
+        )
+    )

@@ -534,6 +534,7 @@ _BNLJ_ALLOWED = {
     "ts_dominant_period",  # broadcast spine bounds (same shape as ts_gapfill_locf)
     "ts_ewma_dyadic",  # broadcast spine bounds (same shape as ts_gapfill_locf)
     "text_bigram_logprob",  # broadcast single-row vocab-size aggregate
+    "sim_incremental_topk",  # broadcast probe set, same shape as sim_topk_cosine
     "sim_topk_cosine",
     "sql_api_q11",
     "stats_chi_square",
