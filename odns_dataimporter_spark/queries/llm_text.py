@@ -1215,3 +1215,156 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_subword_q6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based sentiment scoring (the EDBT 2016 "Large Scale
+# Sentiment Analysis with Spark" shape: broadcast lexicon join +
+# per-document aggregate). The lexicon is a fixed word→polarity map
+# over the corpus vocabulary (fast/small wins, slow/big costs — the
+# perf-review reading of this corpus), embedded as literals so both
+# engines see the identical dictionary.
+
+_SENT_LEX = {"fast": 1, "small": 1, "key": 1, "slow": -1, "big": -1, "dup": -1}
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+WITH lex(token, pol) AS (VALUES {", ".join(f"('{w}', {p})" for w, p in sorted(_SENT_LEX.items()))}),
+e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+j AS (SELECT e.doc_id, COALESCE(lex.pol, 0) AS pol
+      FROM e LEFT JOIN lex USING (token)),
+a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(pol) AS BIGINT) AS polarity
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_tokens, polarity,
+       floor(polarity * 1000000.0 / n_tokens) / 1000000.0 AS sentiment_q6,
+       CASE WHEN polarity > 0 THEN 'pos' WHEN polarity < 0 THEN 'neg'
+            ELSE 'neu' END AS label
+FROM a
+""",
+    tags=("llm", "text"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexicon sentiment: polarity sum over a broadcast
+    word→{{-1,+1}} dictionary, normalized by token count, with the
+    three-way label cut. The classic distributed-sentiment shape:
+    lexicon broadcasts (any real lexicon is a few MB), the corpus
+    streams once, per-doc regroup is one map-side-combined integer
+    aggregate — exactly the EDBT'16 Spark pipeline reduced to its
+    dataflow. All-integer arithmetic until one final quantized ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        sorted(_SENT_LEX.items()), schema="token string, pol int"
+    )
+    e = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    j = e.join(F.broadcast(lex), "token", "left").select(
+        "doc_id", F.coalesce("pol", F.lit(0)).alias("pol")
+    )
+    a = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("pol").cast("long").alias("polarity"),
+    )
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "polarity",
+        (F.floor(F.col("polarity") * 1_000_000.0 / F.col("n_tokens")) / 1_000_000.0).alias(
+            "sentiment_q6"
+        ),
+        F.when(F.col("polarity") > 0, "pos")
+        .when(F.col("polarity") < 0, "neg")
+        .otherwise("neu")
+        .alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity (cf. REPOSE, ICDE 2021 — distributed top-k
+# trajectory search with reference-point blocking): users' event-type
+# journeys as sequences, near-identical journeys found by edit
+# distance within blocks keyed on (length bucket, sequence prefix) —
+# the reference-point idea reduced to its relational core: a cheap
+# partition key that provably co-locates any pair within distance d.
+
+_TRAJ_MAXLEN = 8
+_TRAJ_MAXD = 3
+
+
+@register(
+    "sim_trajectory_pairs",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id,
+         substr(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+                1, {_TRAJ_MAXLEN}) AS traj
+  FROM events GROUP BY user_id),
+b AS (SELECT user_id, traj, len(traj) // 5 AS lb, substr(traj, 1, 1) AS p2
+      FROM t)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(len(a.traj) AS BIGINT) AS len_a, CAST(len(b.traj) AS BIGINT) AS len_b,
+       CAST(levenshtein(a.traj, b.traj) AS BIGINT) AS edit_dist
+FROM b a JOIN b b ON a.lb = b.lb AND a.p2 = b.p2 AND a.user_id < b.user_id
+WHERE levenshtein(a.traj, b.traj) <= {_TRAJ_MAXD}
+""",
+    tags=("llm", "similarity", "events"),
+)
+def sim_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs whose event-type journeys (first {_TRAJ_MAXLEN}
+    events, one char per type, strictly (ts, event_id)-ordered) are
+    within edit distance {_TRAJ_MAXD}. Blocking key = (⌊len/5⌋,
+    1-char prefix): only same-block users are ever compared, so pair
+    generation is an equi join bounded by block size — the trajectory
+    analog of the MinHash band trick (with the usual blocking recall
+    caveat: a pair differing in its first event is missed; REPOSE
+    fixes that with multiple reference points, i.e. several blocking
+    keys unioned). The sequence build is one user-keyed shuffle with
+    an ordered in-group fold, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    t = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias(
+                "s"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("s")), lambda x: x["c"]
+                    ),
+                    "",
+                ),
+                1,
+                _TRAJ_MAXLEN,
+            ).alias("traj")
+        )
+    )
+    b = t.select(
+        "user_id",
+        "traj",
+        (F.length("traj") / 5).cast("long").alias("lb"),
+        F.substring("traj", 1, 1).alias("p2"),
+    )
+    a2 = b.select(
+        F.col("lb"), F.col("p2"), F.col("user_id").alias("user_a"), F.col("traj").alias("ta")
+    )
+    b2 = b.select(
+        F.col("lb"), F.col("p2"), F.col("user_id").alias("user_b"), F.col("traj").alias("tb")
+    )
+    d = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        a2.join(b2, ["lb", "p2"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(d <= _TRAJ_MAXD)
+        .select(
+            "user_a",
+            "user_b",
+            F.length("ta").cast("long").alias("len_a"),
+            F.length("tb").cast("long").alias("len_b"),
+            d.cast("long").alias("edit_dist"),
+        )
+    )
