@@ -819,3 +819,54 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("c.num") == F.col("n")).alias("passed"),
     )
+
+
+@register(
+    "events_template_compression",
+    oracle="""
+WITH tpl AS (
+  SELECT event_type || ':' || array_to_string(json_keys(props), ',') AS template
+  FROM events),
+c AS (SELECT template, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM tpl GROUP BY template),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_templates FROM c)
+SELECT c.template, c.n_events,
+       floor(c.n_events * 1000000.0 / tot.total) / 1000000.0 AS share_q6,
+       tot.n_templates
+FROM c CROSS JOIN tot
+""",
+    tags=("etl", "events", "profiling"),
+)
+def events_template_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-log template compression (cf. "Query Log Compression
+    for Workload Analytics", VLDB 2018): every event collapses to its
+    TEMPLATE — event type plus the sorted key-set of its JSON payload,
+    i.e. the shape with the literals stripped — and the log is
+    summarized as template → frequency. The |templates| ≪ |events|
+    ratio is the compression; workload analysis (drift, capacity,
+    index advice) then runs on the template table. One
+    map-side-combined groupBy on the template string plus a broadcast
+    1-row totals aggregate; at 100 TB the template table stays tiny
+    because real workloads have bounded shape diversity."""
+    ev = load_table(spark, sf_dir, "events")
+    tpl = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.array_join(F.json_object_keys("props"), ","),
+        ).alias("template")
+    )
+    c = tpl.groupBy("template").agg(F.count("*").cast("long").alias("n_events"))
+    tot = c.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_templates"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "template",
+        "n_events",
+        (F.floor(F.col("n_events") * 1_000_000.0 / F.col("total")) / 1_000_000.0).alias(
+            "share_q6"
+        ),
+        "n_templates",
+    )
