@@ -493,3 +493,81 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("m_c_post") - F.col("m_c_pre"))
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (the Apriori L2 layer, computed
+# exactly): pair support from the distinct order×part table,
+# confidence and lift from exact integer counts.
+
+_AR_MINSUP = 2  # minimum pair support (baskets)
+_AR_TOPN = 20
+
+
+@register(
+    "mining_assoc_rules",
+    oracle=f"""
+WITH p AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM p),
+ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY pk),
+pp AS (SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS cuv
+       FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk HAVING COUNT(*) >= {_AR_MINSUP}),
+r AS (SELECT pp.u, pp.v, pp.cuv, cu.c AS cu, cv.c AS cv, nb.n
+      FROM pp JOIN ic cu ON cu.pk = pp.u JOIN ic cv ON cv.pk = pp.v
+      CROSS JOIN nb)
+SELECT u, v, cuv AS n_baskets,
+       floor(cuv * 1000000.0 / n) / 1000000.0 AS support_q6,
+       floor(cuv * 1000000.0 / cu) / 1000000.0 AS confidence_q6,
+       floor(n * cuv * 1000000.0 / (cu * cv)) / 1000000.0 AS lift_q6
+FROM (SELECT *, row_number() OVER (
+        ORDER BY floor(n * cuv * 1000000.0 / (cu * cv)) DESC, u, v) AS rn
+      FROM r)
+WHERE rn <= {_AR_TOPN}
+""",
+    tags=("analytics", "events", "profiling"),
+)
+def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} association rules u→v over order baskets by lift, with
+    exact support and confidence — the Apriori pair layer as pure
+    relational algebra: distinct (order, part) once, item counts and
+    the basket total as side aggregates, pair counts from the
+    order-keyed self-join (bounded by basket size², ~7 items per
+    TPC-H order), minsup cut BEFORE the item-count joins so the rule
+    table never carries the long tail. Lift's numerator n·cuv stays
+    integer-exact before the single quantized divide; the top-N is a
+    rank over the minsup-surviving rules only. At 100 TB the shape
+    is unchanged: everything is equi-keyed on ok/pk, no candidate
+    explosion beyond per-basket pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    nb = p.agg(F.count_distinct("ok").cast("long").alias("n"))
+    ic = p.groupBy("pk").agg(F.count("*").cast("long").alias("c"))
+    a = p.select("ok", F.col("pk").alias("u"))
+    b = p.select("ok", F.col("pk").alias("v"))
+    pp = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cuv"))
+        .filter(F.col("cuv") >= _AR_MINSUP)
+    )
+    r = (
+        pp.join(ic.select(F.col("pk").alias("u"), F.col("c").alias("cu")), "u")
+        .join(ic.select(F.col("pk").alias("v"), F.col("c").alias("cv")), "v")
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = F.floor(F.col("n") * F.col("cuv") * 1_000_000.0 / (F.col("cu") * F.col("cv"))) / 1_000_000.0
+    w = Window.orderBy(F.floor(F.col("n") * F.col("cuv") * 1_000_000.0 / (F.col("cu") * F.col("cv"))).desc(), "u", "v")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AR_TOPN)
+        .select(
+            "u",
+            "v",
+            F.col("cuv").alias("n_baskets"),
+            (F.floor(F.col("cuv") * 1_000_000.0 / F.col("n")) / 1_000_000.0).alias("support_q6"),
+            (F.floor(F.col("cuv") * 1_000_000.0 / F.col("cu")) / 1_000_000.0).alias("confidence_q6"),
+            lift.alias("lift_q6"),
+        )
+    )

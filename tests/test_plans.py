@@ -524,6 +524,7 @@ _BNLJ_ALLOWED = {
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
+    "mining_assoc_rules",  # broadcast 1-row basket-count aggregate
     "ml_kmeans_step",
     "sample_coreset_kcenter",  # broadcast 1-row argmax pick per round
     "sim_ann_ivf",
