@@ -571,3 +571,110 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift_q6"),
         )
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+mx AS (SELECT MAX(ts) AS tmax FROM events),
+u AS (SELECT s.user_id,
+             CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0 THEN 1 ELSE 0 END AS ev,
+             CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0
+                  THEN (epoch_us(p.t1) - epoch_us(s.t0)) // 86400000000
+                  ELSE (epoch_us(mx.tmax) - epoch_us(s.t0)) // 86400000000
+             END AS d
+      FROM s LEFT JOIN p USING (user_id) CROSS JOIN mx),
+nd AS (SELECT d, CAST(SUM(ev) AS BIGINT) AS n_events,
+              CAST(COUNT(*) AS BIGINT) AS n_leaving
+       FROM u GROUP BY d),
+rs AS (SELECT d, n_events,
+              CAST(SUM(n_leaving) OVER (ORDER BY d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+       FROM nd),
+km AS (SELECT d, n_events, n_risk,
+              SUM(ln(CAST(n_risk - n_events AS DOUBLE))
+                  - ln(CAST(n_risk AS DOUBLE)))
+                OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS lcum
+       FROM rs WHERE n_events > 0)
+SELECT CAST(d AS BIGINT) AS day, n_risk, n_events,
+       floor(exp(lcum) * 1000000.0) / 1000000.0 AS survival_q6
+FROM km
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion with
+    right-censoring at the observation horizon (users who never
+    purchase are censored at the global max timestamp, not dropped —
+    the thing naive conversion rates get wrong). Per event-day t:
+    at-risk n_t (users whose duration ≥ t, from ONE descending
+    cumulative window over the per-day counts), conversions d_t, and
+    S(t) = Π(1 − d/n) computed as exp of the day-ordered cumulative
+    sum of ln(n−d) − ln(n) — integers under the logs, identical fold
+    order on both engines. The corpus reduces to |distinct days| rows
+    before any window runs; at 100 TB only the three user-keyed
+    aggregates touch the data."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    converted = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    day_us = 86_400_000_000
+    u = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(converted, 1).otherwise(0).alias("ev"),
+            F.when(
+                converted,
+                ((F.unix_micros("t1") - F.unix_micros("t0")) / day_us).cast("long"),
+            )
+            .otherwise(
+                ((F.unix_micros("tmax") - F.unix_micros("t0")) / day_us).cast("long")
+            )
+            .alias("d"),
+        )
+    )
+    nd = u.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_leaving"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rs = nd.select(
+        "d",
+        "n_events",
+        F.sum("n_leaving").over(w_desc).cast("long").alias("n_risk"),
+    )
+    lterm = F.log((F.col("n_risk") - F.col("n_events")).cast("double")) - F.log(
+        F.col("n_risk").cast("double")
+    )
+    w_asc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km = rs.filter(F.col("n_events") > 0).select(
+        "d",
+        "n_events",
+        "n_risk",
+        F.sum(lterm).over(w_asc).alias("lcum"),
+    )
+    return km.select(
+        F.col("d").cast("long").alias("day"),
+        "n_risk",
+        "n_events",
+        (F.floor(F.exp("lcum") * 1_000_000.0) / 1_000_000.0).alias("survival_q6"),
+    )
