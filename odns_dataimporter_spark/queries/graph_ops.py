@@ -497,3 +497,90 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al. 2007), synchronous
+# variant with a deterministic tie rule, 2 unrolled rounds.
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""
+nl{r + 1} AS (
+  SELECT n.node, COALESCE(m.lbl, n.lbl) AS lbl
+  FROM nl{r} n LEFT JOIN (
+    SELECT dst AS node, lbl FROM (
+      SELECT b.dst, l.lbl, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY b.dst
+                                ORDER BY COUNT(*) DESC, l.lbl) AS rn
+      FROM bi b JOIN nl{r} l ON l.node = b.src
+      GROUP BY b.dst, l.lbl) WHERE rn = 1) m ON m.node = n.node)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+bi AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bi),"""
+    + ",".join(_lpa_round_sql(r) for r in range(_LPA_ROUNDS))
+    + f"""
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM nl{_LPA_ROUNDS} GROUP BY lbl
+""",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-order parts graph: every node adopts the MODE of its neighbors'
+    labels (tie → smallest label — the determinism LPA normally lacks
+    and the reason vanilla LPA can't be oracle-checked), 2 unrolled
+    rounds from identity labels, reported as community → size.
+
+    Per round: one neighbor join keyed on src, one (node, label)
+    count aggregate, one per-node argmax window — all equi-keyed; the
+    whole chain is lazy, no driver iteration state. At 100 TB rounds
+    run to label-change convergence with localCheckpoint per round
+    (the dedup_cluster_components discipline); the synchronous mode
+    update is exactly GraphFrames' LPA formulation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    bi = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nl = bi.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            bi.join(nl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        nl = nl.join(mode, "node", "left").select(
+            "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return nl.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+    ).select(F.col("lbl").cast("long").alias("community"), "n_members", "min_node")
