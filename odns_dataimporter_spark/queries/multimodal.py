@@ -99,3 +99,58 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return payloads.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup for media: production pipelines pHash the
+# decoded image and bucket on the hash (optionally with Hamming-ball
+# expansion). The DECODE+DCT is the stubbed part (no media libs in
+# this container — the deterministic stand-in hashes the raw bytes);
+# the dedup DATAFLOW — 64-bit hash column, chunk LSH for Hamming <= d
+# pairing, per-bucket survivor pick — is the real, tested artifact and
+# is byte-for-byte the dedup_simhash_hamming shape.
+
+_PHASH_HEX = 15  # 60-bit "perceptual" hash (stub: md5 of a byte prefix — LOSSY like a real pHash)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+WITH h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(substr(text, 1, 16)), 1, {_PHASH_HEX})
+                  AS BIGINT) AS phash
+      FROM documents),
+g AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper
+      FROM h GROUP BY phash)
+SELECT phash, n_copies, keeper FROM g WHERE n_copies >= 2
+""",
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup clusters by perceptual hash: payloads hash to a
+    60-bit code, exact-code clusters keep the lowest doc_id. The stub
+    hash is md5 of a 16-byte payload prefix (this container has no
+    image decoder) — lossy like a real pHash, so distinct payloads
+    sharing a prefix collide into one cluster; swapping in a real
+    pHash (DCT low-frequency signs) changes ONLY the hash UDF — the
+    bucket groupBy, survivor rule, and (for Hamming ≤ d matching) the
+    pigeonhole chunk join are exactly dedup_simhash_hamming's and are
+    what actually has to scale. One map-side-combined groupBy on the
+    hash; shuffle = |distinct codes|."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(substr(text, 1, 16)), 1, {_PHASH_HEX}), "
+            "16, 10) AS BIGINT)"
+        ).alias("phash"),
+    )
+    return (
+        h.groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
