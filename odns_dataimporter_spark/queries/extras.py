@@ -302,3 +302,53 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token, t.token_len "
         "FROM _udtf_docs d, LATERAL token_explode(d.text) t"
     )
+
+
+@register(
+    "arrow_batch_norm",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qe
+  FROM embeddings
+)
+SELECT vec_id,
+       floor(sqrt(list_dot_product(qe, qe)) / 1048576.0 * 1000000.0)
+         / 1000000.0 AS l2_q6
+FROM q
+""",
+    tags=("python", "udf"),
+)
+def arrow_batch_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of pandas_udf_norm — the LOWEST-overhead Python
+    hook: RecordBatches cross the boundary with no pandas
+    materialization (no Series boxing, no index), which matters when
+    the per-batch work is a short numpy kernel like this. Same
+    quantization discipline (floor(x·2^20) → exact integer dot in
+    float64 → one sqrt/divide/floor chain), same oracle. The
+    Python-interop matrix is now complete: scalar Pandas UDF,
+    grouped-map UDAF, UDTF, applyInPandas(WithState), mapInPandas,
+    and mapInArrow — with the JVM fold expression remaining the
+    default (extras.pandas_udf_norm's docstring has the measured
+    ranking)."""
+    import math
+
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            out = []
+            for v in batch.column("embedding").to_pylist():
+                q = np.floor(np.asarray(v, dtype="float64") * 1048576.0)
+                out.append(
+                    math.floor(math.sqrt(float(np.dot(q, q))) / 1048576.0 * 1e6) / 1e6
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], ["vec_id", "l2_q6"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(norms, "vec_id long, l2_q6 double")
