@@ -1368,3 +1368,99 @@ def sim_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.cast("long").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+# maximal stop-word-free token runs (capped at 4 words, the standard
+# setting), each word scores degree/frequency over the phrase
+# co-occurrence graph, and a phrase scores the sum of its word scores.
+
+_RAKE_STOPS = "('the', 'a')"  # the corpus's function words
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOPN = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+             CASE WHEN toks[i] IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS is_stop
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+ph AS (SELECT doc_id, pos, tok, is_stop,
+              SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       FROM e),
+pw0 AS (SELECT doc_id, pid, pos, tok FROM ph WHERE is_stop = 0),
+plen AS (SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+         FROM pw0 GROUP BY doc_id, pid),
+pw AS (SELECT pw0.* FROM pw0 JOIN plen USING (doc_id, pid)
+       WHERE plen.plen <= {_RAKE_MAX_PHRASE}),
+ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+              CAST(SUM(plen) AS BIGINT) AS degree
+       FROM pw JOIN plen USING (doc_id, pid) GROUP BY tok),
+scored AS (SELECT pw.doc_id, pw.pid,
+                  CAST(SUM(floor(ws.degree * 1000000.0 / ws.freq)) AS BIGINT)
+                    AS score_u,
+                  array_to_string(list(pw.tok ORDER BY pw.pos), ' ') AS phrase
+           FROM pw JOIN ws USING (tok) GROUP BY pw.doc_id, pw.pid)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur,
+       CAST(MAX(score_u) AS BIGINT) AS score_u
+FROM scored GROUP BY phrase
+ORDER BY MAX(score_u) DESC, phrase LIMIT {_RAKE_TOPN}
+""",
+    tags=("llm", "text"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-{N} RAKE keyphrases: stop-word-delimited runs ≤ 4
+    words, word score = degree/freq over the phrase graph (quantized
+    per word, integer-summed per phrase — no float accumulation
+    order), phrase score = max over occurrences. Everything is
+    explode + equi-keyed aggregates: phrase segmentation is a per-doc
+    cumulative window over positions, word stats shuffle |vocab| rows,
+    and the final cut is TakeOrderedAndProject. RAKE's charm at 100 TB
+    is that the phrase graph never materializes — degree is just
+    Σ plen per word."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    e = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn(
+        "is_stop",
+        F.when(F.expr(f"tok IN {_RAKE_STOPS}"), 1).otherwise(0),
+    )
+    wcum = W.partitionBy("doc_id").orderBy("pos")
+    ph = e.withColumn("pid", F.sum("is_stop").over(wcum))
+    pw0 = ph.filter(F.col("is_stop") == 0).select("doc_id", "pid", "pos", "tok")
+    plen = pw0.groupBy("doc_id", "pid").agg(F.count("*").cast("long").alias("plen"))
+    pw = pw0.join(plen, ["doc_id", "pid"]).filter(
+        F.col("plen") <= _RAKE_MAX_PHRASE
+    )
+    ws = pw.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    word_score = F.floor(F.col("degree") * 1_000_000.0 / F.col("freq"))
+    scored = (
+        pw.join(ws, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.sum(word_score).cast("long").alias("score_u"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occur"),
+            F.max("score_u").cast("long").alias("score_u"),
+        )
+        .orderBy(F.col("score_u").desc(), "phrase")
+        .limit(_RAKE_TOPN)
+    )

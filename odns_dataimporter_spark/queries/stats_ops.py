@@ -1035,3 +1035,96 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(F.col("hi_cents")).alias("ci_hi_q6"),
         )
     )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderstatus AS g
+           FROM orders WHERE o_orderstatus IN ('O', 'F')),
+d AS (SELECT cents,
+             CAST(COUNT(*) FILTER (WHERE g = 'O') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE g = 'F') AS BIGINT) AS c2
+      FROM v GROUP BY cents),
+cu AS (SELECT cents, c1, c2, c1 + c2 AS ct,
+              CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum
+       FROM d),
+agg AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * cum + ct + 1)) AS BIGINT) AS r1_x2,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tiesum
+        FROM cu)
+SELECT n1, n2,
+       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+       floor((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tiesum AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+             * 1000000.0) / 1000000.0 AS z_q6
+FROM agg
+""",
+    tags=("stats",),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing order totals
+    between open ('O') and fulfilled ('F') orders — the nonparametric
+    two-sample test that needs no normality assumption, completing the
+    drift/test family beside Welch's t and KS. Exact tie handling with
+    zero floats until the final z: per DISTINCT price the doubled
+    average rank 2·cum + t + 1 is an integer, so 2R₁ and 2U₁ are exact
+    int64 sums; the tie-corrected variance consumes Σ(t³−t) the same
+    way. Shape: one groupBy on price cents (map-side combined), one
+    window over the |distinct prices| stats table (range-partition it
+    at 100 TB), one 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("g"),
+    )
+    d = v.groupBy("cents").agg(
+        F.count_if(F.col("g") == "O").cast("long").alias("c1"),
+        F.count_if(F.col("g") == "F").cast("long").alias("c2"),
+    )
+    ct = F.col("c1") + F.col("c2")
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    cu = d.select(
+        "c1",
+        "c2",
+        ct.alias("ct"),
+        F.coalesce(F.sum(ct).over(w), F.lit(0)).cast("long").alias("cum"),
+    )
+    agg = cu.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum") + F.col("ct") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("tiesum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    n = n1 + n2
+    sig = F.sqrt(
+        n1.cast("double")
+        * n2.cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tiesum").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (u1_x2.cast("double") - (n1 * n2).cast("double")) / (2.0 * sig)
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.cast("long").alias("u1_x2"),
+        (F.floor(z * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
+    )
