@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_semdedup",
     "tokenizer_bpe_merges",
     "llm_curation_pipeline_v2",
+    "mining_assoc_rules",
+    "graph_label_propagation",
+    "events_survival_km",
+    "stats_mann_whitney",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -559,8 +559,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    bi = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    # materialize the edge list once (localCheckpoint — the repo's
+    # iterative-algorithm discipline): without it every round's join
+    # re-derives the lineitem self-join through lineage, tripling the
+    # most expensive stage
+    bi = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
     )
     nl = bi.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -571,11 +577,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
-        w = W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+        # argmax(count, tie -> min label) as a map-side-combined
+        # min-struct aggregate: same result as the row_number window,
+        # without the per-node sort (2 rounds x 1.2M-edge counts made
+        # the window the bench hotspot: 3.7s -> see PERFORMANCE.md)
         mode = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("new_lbl"))
         )
         nl = nl.join(mode, "node", "left").select(
             "node", F.coalesce("new_lbl", "lbl").alias("lbl")
