@@ -1128,3 +1128,89 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1_x2.cast("long").alias("u1_x2"),
         (F.floor(z * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
     )
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+WITH c AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+s AS (SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+      FROM c a JOIN c b ON a.day < b.day),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tsum
+         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY cents)
+         WHERE t > 1)
+SELECT nn.n AS n_days, s.s_stat,
+       floor(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                  WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                  ELSE 0.0 END
+             / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tsum
+                         AS DOUBLE) / 18.0)
+             * 1000000.0) / 1000000.0 AS z_q6
+FROM s, nn, ties
+""",
+    tags=("stats", "timeseries"),
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily-revenue series: S = Σ
+    sign(x_j − x_i) over day pairs i<j (exact int64), tie-corrected
+    variance from Σ t(t−1)(2t+5) over equal-value groups, and the
+    continuity-corrected z — the nonparametric significance companion
+    to stats_theil_sen's slope (the pair: Theil-Sen says HOW steep,
+    Mann-Kendall says WHETHER it's real). The pairwise stage runs on
+    the REDUCED |days|-row series (the bootstrap_ci discipline: only
+    the first aggregation touches raw data), so the |days|² comparison
+    is a broadcast self-join of a tiny table — at 100 TB the series
+    length grows with the time span, not the data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    a = c.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = c.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    sgn = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    nn = c.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        c.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    n = F.col("n")
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tsum")).cast("double") / 18.0
+    zc = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(0.0)
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.alias("n_days"),
+            "s_stat",
+            (F.floor(zc / F.sqrt(var) * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
+        )
+    )

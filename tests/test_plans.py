@@ -508,6 +508,7 @@ _BNLJ_ALLOWED = {
     "ml_naive_bayes_fit",  # broadcast single-row vocab-size aggregate
     "stats_benford_digits",  # broadcast single-row total-count aggregate
     "stats_bootstrap_ci",  # broadcast 1-row rank-picked CI bounds + totals
+    "stats_mann_kendall",  # |days|^2 pairwise over the reduced series + scalars
     "stats_theil_sen",  # broadcast 1-row series-origin aggregate
     "text_boilerplate_ngrams",  # broadcast single-row corpus-size aggregate
     "ts_cusum_changepoint",  # broadcast 1-row totals aggregate
