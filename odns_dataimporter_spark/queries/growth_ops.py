@@ -678,3 +678,49 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.floor(F.exp("lcum") * 1_000_000.0) / 1_000_000.0).alias("survival_q6"),
     )
+
+
+@register(
+    "events_sankey_paths",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events),
+p AS (SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths FROM p GROUP BY path),
+tot AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS total FROM c)
+SELECT c.path, c.n_paths,
+       floor(c.n_paths * 1000000.0 / tot.total) / 1000000.0 AS share_q6
+FROM c CROSS JOIN tot
+""",
+    tags=("analytics", "events"),
+)
+def events_sankey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step user-journey paths (the Sankey/path-explorer table every
+    product-analytics tool renders): consecutive event-type triples
+    from two leads over ONE user-keyed window pass, counted and
+    share-normalized against a broadcast total. Generalizes
+    events_markov (single transitions) to path depth 3; at 100 TB the
+    path table is |event-types|³ rows at most — tiny — and the only
+    data-scale work is the one window shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    c = s.select(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").cast("long").alias("n_paths"))
+    tot = c.agg(F.sum("n_paths").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "path",
+        "n_paths",
+        (F.floor(F.col("n_paths") * 1_000_000.0 / F.col("total")) / 1_000_000.0).alias(
+            "share_q6"
+        ),
+    )

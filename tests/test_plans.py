@@ -500,6 +500,7 @@ _BNLJ_ALLOWED = {
     "dq_freshness_lag",  # broadcast 1-row global high-water mark
     "events_ab_assignment_srm",  # broadcast 1-row SRM totals aggregate
     "events_rfm_segments",  # broadcast 1-row anchor-day + quartile aggregates
+    "events_sankey_paths",  # broadcast 1-row path-total aggregate
     "events_survival_km",  # broadcast 1-row observation-horizon aggregate
     "events_template_compression",  # broadcast 1-row totals aggregate
     "events_time_to_convert",  # final 1-row reduce
