@@ -499,3 +499,51 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+_URL_SQL = (
+    "'https://cdn' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/'"
+    " || source || '/doc/' || CAST(doc_id AS VARCHAR)"
+    " || '?ref=' || lang || '&v=2'"
+)
+
+
+@register(
+    "fn_url_parse",
+    oracle=f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+FROM u
+""",
+    tags=("scalar", "fn"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's parse_url (HOST / PATH / QUERY
+    key lookup) over deterministic synthetic URLs (the corpus carries
+    no real ones — same synthesis discipline as text_pii_redact). This
+    is the first stage of every web-corpus pipeline: host-level dedup,
+    domain mixing, and robots policy all key on exactly these parts.
+    Zero-shuffle per-row codegen; the oracle mirrors with anchored
+    regexes since DuckDB has no parse_url."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
