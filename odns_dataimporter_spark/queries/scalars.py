@@ -547,3 +547,46 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@register(
+    "dedup_url_host",
+    oracle=f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id, n_chars,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM h GROUP BY host
+""",
+    tags=("llm", "dedup", "scalar"),
+)
+def dedup_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus rollup over the parsed URLs (composes
+    fn_url_parse): docs per host, the kept representative, and the
+    char mass — the table behind host-level dedup caps, per-domain
+    mixing weights, and robots/blocklist joins in web-corpus
+    pipelines. One map-side-combined groupBy on host; at 100 TB the
+    host table is millions of rows against billions of docs, which is
+    why crawl curation keys on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    h = docs.select(
+        "doc_id", "n_chars", F.parse_url(url, F.lit("HOST")).alias("host")
+    )
+    return h.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keeper"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
