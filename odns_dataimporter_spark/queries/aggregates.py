@@ -627,10 +627,22 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurable accuracy contract). Values are integer cents so the
     exact rank check is itself exact. Rows-only: the summary's merge
     order is engine-internal, so there is no cross-engine value
-    oracle; the exact twin `agg_percentile` carries the oracle."""
+    oracle; the exact twin `agg_percentile` carries the oracle.
+
+    Output shape: three SCALAR columns (p50/p95/p99), not one array
+    column — flat scalars survive generic result canonicalization
+    (pandas sort/hash harnesses choke on list-typed cells), matching
+    the flat-output convention of the CMS/HLL sketch siblings."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.percentile_approx(cents, [0.5, 0.95, 0.99], 1000).alias("approx_cents"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.element_at("approx_cents", 1).alias("p50_cents"),
+        F.element_at("approx_cents", 2).alias("p95_cents"),
+        F.element_at("approx_cents", 3).alias("p99_cents"),
     )

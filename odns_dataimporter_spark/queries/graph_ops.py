@@ -86,41 +86,74 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("dst"),
     ).filter(F.col("src").isNotNull())
     e = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
-    o = e.groupBy("src").agg(F.sum("n").alias("out_n"))
-    ew = e.join(o, "src").select(
-        "src",
-        "dst",
-        (F.col("n").cast("double") / F.col("out_n").cast("double")).alias("w"),
+    # The graph is bounded at |event types|² cells BY CONSTRUCTION, so
+    # after the one events-scale shuffle it is broadcast-sized. Gather
+    # it into a single row (two 1-row aggregates — still executor-side,
+    # no driver action; test_scalar_folding_runs_no_driver_action pins
+    # that) and run out-degree normalization plus the unrolled
+    # iterations as higher-order array folds in ONE task: the
+    # join-per-iteration formulation spent ~18 sequential
+    # broadcast/shuffle materialization sync points at the
+    # job-scheduling floor for tables of 6 rows (the r3 bench
+    # regression). Out-degree sums are integer folds (order-free,
+    # exact); per node the contribution fold scans the (dst, src)-
+    # sorted edge array, so double additions happen in src-ascending
+    # order — bit-identical to the oracle's list(... ORDER BY src)
+    # fold. For a graph whose node set ISN'T bounded (billion-node),
+    # use the join-iterate + localCheckpoint discipline of
+    # dedup_cluster_components instead — that shape is pinned there.
+    edges1 = e.agg(
+        F.sort_array(F.collect_list(F.struct("dst", "src", "n"))).alias("en")
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    # |nodes| folded into the plan as a broadcast 1-row aggregate — no
-    # driver-side count() / pre-action; 1.0/n and 0.15/n are the same
-    # IEEE double ops as before, just evaluated executor-side
-    nn = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n_nodes")))
-
-    pr = nodes.crossJoin(nn).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    nodes1 = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("node")).alias("ns"))
     )
-    for _ in range(_ITERS):
-        contrib = ew.join(pr, ew.src == pr.node).select(
-            "dst", "src", (F.col("w") * F.col("pr")).alias("c")
+    g = edges1.crossJoin(nodes1)
+    out_n = lambda s: F.aggregate(  # noqa: E731 — exact integer sum
+        F.filter(F.col("en"), lambda x: x["src"] == s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["n"],
+    )
+    g = g.withColumn(
+        "edges",
+        F.transform(
+            "en",
+            lambda x: F.struct(
+                x["dst"].alias("dst"),
+                x["src"].alias("src"),
+                (x["n"].cast("double") / out_n(x["src"]).cast("double")).alias("w"),
+            ),
+        ),
+    )
+    n_nodes = F.size("ns").cast("double")
+    g = g.withColumn("pr0", F.transform("ns", lambda _: F.lit(1.0) / n_nodes))
+    for i in range(_ITERS):
+        prev = F.col(f"pr{i}")
+        contrib = lambda v: F.aggregate(  # noqa: E731 — fold in src order
+            F.filter(F.col("edges"), lambda ed: ed["dst"] == v),
+            F.lit(0.0),
+            lambda acc, ed: acc
+            + ed["w"]
+            * F.element_at(
+                prev, F.array_position(F.col("ns"), ed["src"]).cast("int")
+            ),
         )
-        summed = contrib.groupBy("dst").agg(
-            F.sort_array(F.collect_list(F.struct("src", "c"))).alias("cs")
+        g = g.withColumn(
+            f"pr{i + 1}",
+            F.transform(
+                "ns",
+                lambda v: F.lit(0.15) / n_nodes + F.lit(_DAMP) * contrib(v),
+            ),
         )
-        fold = F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"])
-        pr = (
-            nodes.join(summed, nodes.node == summed.dst, "left")
-            .crossJoin(nn)
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(_DAMP) * F.coalesce(fold, F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return pr.select("node", (F.floor(F.col("pr") * 1e6) / 1e6).alias("pr_q6"))
+    z = g.select(
+        F.explode(F.arrays_zip(F.col("ns"), F.col(f"pr{_ITERS}"))).alias("z")
+    )
+    return z.select(
+        F.col("z.ns").alias("node"),
+        (F.floor(F.col(f"z.pr{_ITERS}") * 1e6) / 1e6).alias("pr_q6"),
+    )
 
 
 @register(
@@ -175,7 +208,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("c"), "c_custkey").alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("node")
     for hop in (1, 2):
@@ -184,9 +217,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).localCheckpoint()
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(hop))).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited.select("node", F.col("hop").cast("long").alias("hop"))
 
@@ -566,7 +599,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nl = bi.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

@@ -557,18 +557,24 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ic.select(F.col("pk").alias("v"), F.col("c").alias("cv")), "v")
         .crossJoin(F.broadcast(nb))
     )
-    lift = F.floor(F.col("n") * F.col("cuv") * 1_000_000.0 / (F.col("cu") * F.col("cv"))) / 1_000_000.0
-    w = Window.orderBy(F.floor(F.col("n") * F.col("cuv") * 1_000_000.0 / (F.col("cu") * F.col("cv"))).desc(), "u", "v")
+    lift_int = F.floor(
+        F.col("n") * F.col("cuv") * 1_000_000.0 / (F.col("cu") * F.col("cv"))
+    )
+    # Top-N via orderBy().limit() so Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge) instead of funnelling every
+    # minsup-surviving pair through one row_number() task; the (lift, u,
+    # v) ordering is total, so oracle parity is preserved.
     return (
-        r.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _AR_TOPN)
+        r.withColumn("lift_i", lift_int)
+        .orderBy(F.col("lift_i").desc(), "u", "v")
+        .limit(_AR_TOPN)
         .select(
             "u",
             "v",
             F.col("cuv").alias("n_baskets"),
             (F.floor(F.col("cuv") * 1_000_000.0 / F.col("n")) / 1_000_000.0).alias("support_q6"),
             (F.floor(F.col("cuv") * 1_000_000.0 / F.col("cu")) / 1_000_000.0).alias("confidence_q6"),
-            lift.alias("lift_q6"),
+            (F.col("lift_i") / 1_000_000.0).alias("lift_q6"),
         )
     )
 
@@ -597,13 +603,18 @@ rs AS (SELECT d, n_events,
                    AS BIGINT) AS n_risk
        FROM nd),
 km AS (SELECT d, n_events, n_risk,
-              SUM(ln(CAST(n_risk - n_events AS DOUBLE))
-                  - ln(CAST(n_risk AS DOUBLE)))
+              SUM(CASE WHEN n_risk = n_events THEN 0.0
+                       ELSE ln(CAST(n_risk - n_events AS DOUBLE))
+                            - ln(CAST(n_risk AS DOUBLE)) END)
                 OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND CURRENT ROW) AS lcum
+                      AND CURRENT ROW) AS lcum,
+              SUM(CASE WHEN n_risk = n_events THEN 1 ELSE 0 END)
+                OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS zcum
        FROM rs WHERE n_events > 0)
 SELECT CAST(d AS BIGINT) AS day, n_risk, n_events,
-       floor(exp(lcum) * 1000000.0) / 1000000.0 AS survival_q6
+       CASE WHEN zcum > 0 THEN 0.0
+            ELSE floor(exp(lcum) * 1000000.0) / 1000000.0 END AS survival_q6
 FROM km
 """,
     tags=("analytics", "events", "stats"),
@@ -617,9 +628,13 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window over the per-day counts), conversions d_t, and
     S(t) = Π(1 − d/n) computed as exp of the day-ordered cumulative
     sum of ln(n−d) − ln(n) — integers under the logs, identical fold
-    order on both engines. The corpus reduces to |distinct days| rows
-    before any window runs; at 100 TB only the three user-keyed
-    aggregates touch the data."""
+    order on both engines. The d == n day (everyone at risk converts,
+    survival exactly 0 from that day on) is handled explicitly with a
+    zero-flag cumulative count rather than ln(0): Spark's ln(0) is
+    NULL (silently skipped by SUM ⇒ wrong non-zero survival) while
+    DuckDB raises — the guard keeps both engines exact and aligned.
+    The corpus reduces to |distinct days| rows before any window runs;
+    at 100 TB only the three user-keyed aggregates touch the data."""
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -662,8 +677,10 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.sum("n_leaving").over(w_desc).cast("long").alias("n_risk"),
     )
-    lterm = F.log((F.col("n_risk") - F.col("n_events")).cast("double")) - F.log(
-        F.col("n_risk").cast("double")
+    all_convert = F.col("n_risk") == F.col("n_events")
+    lterm = F.when(all_convert, F.lit(0.0)).otherwise(
+        F.log((F.col("n_risk") - F.col("n_events")).cast("double"))
+        - F.log(F.col("n_risk").cast("double"))
     )
     w_asc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     km = rs.filter(F.col("n_events") > 0).select(
@@ -671,12 +688,15 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_risk",
         F.sum(lterm).over(w_asc).alias("lcum"),
+        F.sum(F.when(all_convert, 1).otherwise(0)).over(w_asc).alias("zcum"),
     )
     return km.select(
         F.col("d").cast("long").alias("day"),
         "n_risk",
         "n_events",
-        (F.floor(F.exp("lcum") * 1_000_000.0) / 1_000_000.0).alias("survival_q6"),
+        F.when(F.col("zcum") > 0, F.lit(0.0))
+        .otherwise(F.floor(F.exp("lcum") * 1_000_000.0) / 1_000_000.0)
+        .alias("survival_q6"),
     )
 
 

@@ -343,11 +343,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     while True:
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
@@ -361,7 +361,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lbl",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("new_lbl") < F.col("lbl")).count()
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))

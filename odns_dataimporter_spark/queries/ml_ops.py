@@ -331,7 +331,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         v.crossJoin(F.broadcast(seed))
         .select("vec_id", "qe", d2(F.col("qe"), F.col("pqe")).alias("dmin"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     picks = [
         seed.select(
@@ -363,7 +363,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "qe",
                     F.least(F.col("dmin"), d2(F.col("qe"), F.col("pqe"))).alias("dmin"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     out = picks[0]
     for p in picks[1:]:

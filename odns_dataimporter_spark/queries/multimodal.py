@@ -130,7 +130,8 @@ SELECT phash, n_copies, keeper FROM g WHERE n_copies >= 2
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup clusters by perceptual hash: payloads hash to a
     60-bit code, exact-code clusters keep the lowest doc_id. The stub
-    hash is md5 of a 16-byte payload prefix (this container has no
+    hash is md5 of a 16-CHARACTER text prefix, hashed as its UTF-8
+    encoding — more than 16 bytes for multibyte text (this container has no
     image decoder) — lossy like a real pHash, so distinct payloads
     sharing a prefix collide into one cluster; swapping in a real
     pHash (DCT low-frequency signs) changes ONLY the hash UDF — the

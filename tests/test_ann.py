@@ -159,7 +159,7 @@ def test_approx_percentile_rank_error_bounded(spark, sf_dir):
     import pyspark.sql.functions as F
 
     approx = {
-        r.event_type: (r.n, r.approx_cents)
+        r.event_type: (r.n, (r.p50_cents, r.p95_cents, r.p99_cents))
         for r in _run("agg_approx_percentile", spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events").select(
