@@ -53,6 +53,31 @@ def write_snapshot_partitioned(df: DataFrame, path: str, rows: int | None = None
     )
 
 
+_PG_URL_PREFIX = "jdbc:postgresql:"
+
+
+def jdbc_sink_options(
+    url: str,
+    table: str,
+    batchsize: int = 200_000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to Spark's JDBC writer, split out so
+    the per-dialect contract is pinned by golden-string tests
+    (tests/test_jdbc_dialect.py) even where no live server exists in
+    the environment. ``reWriteBatchedInserts`` is a pgjdbc-specific
+    connection option (the reference's psycopg target,
+    dataimporter.py:20,119-127 — it turns executemany-style batches
+    into multi-row INSERTs server-side); it is set only for
+    ``jdbc:postgresql:`` URLs so other drivers (Derby in the
+    round-trip test) get a clean generic map."""
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    if url.startswith(_PG_URL_PREFIX):
+        opts["reWriteBatchedInserts"] = "true"
+    opts.update(properties or {})
+    return opts
+
+
 def write_jdbc_batched(
     df: DataFrame,
     url: str,
@@ -75,16 +100,8 @@ def write_jdbc_batched(
     tests/test_jdbc_roundtrip.py: write → partitioned scan-back →
     DELETE-by-protocol → re-append, the reference's full sink lifecycle.
     """
-    writer = (
-        df.coalesce(num_partitions)
-        .write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-        .option("reWriteBatchedInserts", "true")
-        .mode("append")
-    )
-    for k, v in (properties or {}).items():
+    writer = df.coalesce(num_partitions).write.format("jdbc").mode("append")
+    for k, v in jdbc_sink_options(url, table, batchsize, properties).items():
         writer = writer.option(k, v)
     _timed_write(writer.save, rows)
 

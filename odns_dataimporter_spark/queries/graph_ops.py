@@ -578,35 +578,47 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds from identity labels, reported as community → size.
 
     Per round: one neighbor join keyed on src, one (node, label)
-    count aggregate, one per-node argmax window — all equi-keyed; the
-    whole chain is lazy, no driver iteration state. At 100 TB rounds
-    run to label-change convergence with localCheckpoint per round
-    (the dedup_cluster_components discipline); the synchronous mode
-    update is exactly GraphFrames' LPA formulation."""
+    count aggregate, one per-node min-struct argmax — all equi-keyed;
+    the whole chain is lazy, no driver iteration state. Two
+    result-preserving specializations vs the oracle's general
+    formulation: (1) edges come from ONE lineitem shuffle
+    (collect_set per order, ordered pairs expanded executor-side over
+    ~4-element arrays) instead of a two-scan self-join; (2) round 1
+    from IDENTITY labels degenerates to min(neighbor) — every
+    (dst, lbl) count is exactly 1 over a distinct symmetric edge set,
+    so argmax-with-min-tiebreak IS the min — and the coalesce joins
+    drop because the node set is by construction the dst set of bi.
+    At 100 TB rounds run to label-change convergence with
+    localCheckpoint per round (the dedup_cluster_components
+    discipline); the synchronous mode update is exactly GraphFrames'
+    LPA formulation."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    a, b = li.alias("a"), li.alias("b")
     e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .distinct()
     )
-    # materialize the edge list once (localCheckpoint — the repo's
-    # iterative-algorithm discipline): without it every round's join
-    # re-derives the lineitem self-join through lineage, tripling the
-    # most expensive stage
+    # materialize the edge list once (localCheckpoint, lazy — plan
+    # construction stays action-free): without it every round's join
+    # re-derives the pair expansion through lineage
     bi = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=False)
     )
-    nl = bi.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_LPA_ROUNDS):
+    # round 1 (identity labels): mode-of-neighbor-labels = min neighbor
+    nl = bi.groupBy(F.col("dst").alias("node")).agg(F.min("src").alias("lbl"))
+    for _ in range(_LPA_ROUNDS - 1):
+        # the label table is |nodes|-sized (≪ |edges| — here |parts|),
+        # so broadcast it: the 2.4M-row edge side never re-shuffles for
+        # the join. For a graph whose node set outgrows the broadcast
+        # threshold, drop the hint and let AQE pick the shuffle join.
         counts = (
-            bi.join(nl.withColumnRenamed("node", "src"), "src")
+            bi.join(F.broadcast(nl.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
@@ -614,17 +626,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min-struct aggregate: same result as the row_number window,
         # without the per-node sort (2 rounds x 1.2M-edge counts made
         # the window the bench hotspot: 3.7s -> see PERFORMANCE.md)
-        mode = (
+        nl = (
             counts.groupBy("node")
             .agg(
                 F.min(
                     F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
                 ).alias("m")
             )
-            .select("node", F.col("m.l").alias("new_lbl"))
-        )
-        nl = nl.join(mode, "node", "left").select(
-            "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            .select("node", F.col("m.l").alias("lbl"))
         )
     return nl.groupBy("lbl").agg(
         F.count("*").cast("long").alias("n_members"),

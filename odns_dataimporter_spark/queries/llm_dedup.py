@@ -654,13 +654,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_TRUTH_SQL = """
+# The exact-Jaccard truth side is all-pairs WITHIN (lang, lenbucket)
+# blocks — a measurement harness, quadratic by nature. The per-block
+# cap bounds it: blocks are truncated to their _RECALL_BLOCK_CAP
+# smallest doc_ids (deterministic on both engines), so the worst block
+# contributes ≤ CAP² pairs no matter the corpus. 2048 is ~4.5× the
+# largest observed block at sf0.1 (451), so every tested scale sees an
+# UNCAPPED truth set; at a real corpus the recall becomes a capped-
+# block estimate — which is also how it should be run there (see the
+# sample_hash_deterministic note in dedup_minhash_recall's docstring).
+_RECALL_BLOCK_CAP = 2048
+
+_JACCARD_TRUTH_SQL = f"""
+tcap AS (
+  SELECT doc_id, lang, lenbucket, toks FROM (
+    SELECT doc_id, lang, n_chars // 100 AS lenbucket,
+           list_distinct(string_split(text, ' ')) AS toks,
+           row_number() OVER (PARTITION BY lang, n_chars // 100
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn <= {_RECALL_BLOCK_CAP}
+),
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, lang, n_chars // 100 AS lenbucket,
-               list_distinct(string_split(text, ' ')) AS toks FROM documents) a
-  JOIN (SELECT doc_id, lang, n_chars // 100 AS lenbucket,
-               list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+  FROM tcap a JOIN tcap b
     ON a.lang = b.lang AND a.lenbucket = b.lenbucket AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.toks, b.toks)) * 1000000.0
         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
@@ -741,6 +757,13 @@ def _minhash_recall(
         "doc_id", "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenbucket"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    # per-block cap — see the note above _JACCARD_TRUTH_SQL
+    wcap = W.partitionBy("lang", "lenbucket").orderBy("doc_id")
+    t = (
+        t.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _RECALL_BLOCK_CAP)
+        .drop("rn")
     )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))

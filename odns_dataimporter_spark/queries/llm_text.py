@@ -1032,27 +1032,30 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — verified down to an md5 digest of the sorted selection
     set, so the oracle pins every selected fingerprint exactly.
 
-    Entirely per-row array work — zero shuffles, runs at scan speed
-    inside codegen; at 100 TB the fingerprint sets feed a
-    (hash → postings) index exactly like text_inverted_index, giving
-    the MOSS guarantee: any shared span of ≥ k+w−1 tokens surfaces at
-    least one shared fingerprint. Window minima are recomputed per
-    offset (O(w) per position — the deque trick is pointless inside a
-    w=4 window)."""
+    Entirely per-row array work — zero shuffles, runs at scan speed;
+    at 100 TB the fingerprint sets feed a (hash → postings) index
+    exactly like text_inverted_index, giving the MOSS guarantee: any
+    shared span of ≥ k+w−1 tokens surfaces at least one shared
+    fingerprint. Window minima are recomputed per offset (O(w) per
+    position — the deque trick is pointless inside a w=4 window).
+
+    The toks → hs → fps chain is LET-BOUND (single-element transform
+    lambdas, unwrapped by one inline(array(struct)) Generate):
+    expressed as stacked projections, CollapseProject inlines `toks`
+    into every window slice and `hs` into every per-window min — an
+    O(n²)-md5 blowup per document that turned this scan into the
+    slowest query in the registry. The lambda variable binds each
+    array once per row; the Generate evaluates the struct once and
+    exposes plain attributes upward."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    h = t.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.expr(
-            f"CASE WHEN size(toks) >= {_WIN_K} THEN "
-            f"transform(sequence(0, size(toks) - {_WIN_K}), "
-            f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
-            "1, 15), 16, 10) AS BIGINT)) "
-            "ELSE CAST(array() AS array<bigint>) END"
-        ).alias("hs"),
+    hs = (
+        f"CASE WHEN size(toks) >= {_WIN_K} THEN "
+        f"transform(sequence(0, size(toks) - {_WIN_K}), "
+        f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
+        "1, 15), 16, 10) AS BIGINT)) "
+        "ELSE CAST(array() AS array<bigint>) END"
     )
-    fps = F.expr(
+    fps = (
         f"CASE WHEN size(hs) >= {_WIN_W} THEN "
         f"array_sort(array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
         f"p -> concat(CAST(p + {_WIN_W} - array_position(reverse(slice(hs, p + 1, {_WIN_W})), "
@@ -1060,18 +1063,19 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(array_min(slice(hs, p + 1, {_WIN_W})) AS STRING))))) "
         "ELSE CAST(array() AS array<string>) END"
     )
-    w = h.select(
-        "doc_id",
-        "n_tokens",
-        F.size("hs").cast("long").alias("n_grams"),
-        fps.alias("fps"),
+    row = (
+        "struct(CAST(size(toks) AS BIGINT) AS n_tokens, "
+        "CAST(size(hs) AS BIGINT) AS n_grams, "
+        "CAST(size(fps) AS BIGINT) AS n_fingerprints, "
+        "md5(concat_ws(',', fps)) AS fingerprint_digest)"
     )
-    return w.select(
+    return docs.select(
         "doc_id",
-        "n_tokens",
-        "n_grams",
-        F.size("fps").cast("long").alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", "fps")).alias("fingerprint_digest"),
+        F.expr(
+            "inline(transform(array(split(text, ' ')), toks -> "
+            f"transform(array({hs}), hs -> "
+            f"transform(array({fps}), fps -> {row})[0])[0]))"
+        ),
     )
 
 
@@ -1109,27 +1113,32 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_containment) would build, which is exactly why
     fingerprint-based plagiarism detectors scale to web corpora. The
     per-window minima here drop the position tag (matching is by
-    hash; positions only matter for span display)."""
+    hash; positions only matter for span display). The toks → hs →
+    fps chain is let-bound exactly as in text_winnow_fingerprints
+    (see that docstring): stacked projections would re-inline the
+    hash array into every window min — O(n²) md5s per document."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    h = t.filter(F.size("toks") >= _WIN_K + _WIN_W - 1).select(
+    hs = (
+        f"transform(sequence(0, size(toks) - {_WIN_K}), "
+        f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
+        "1, 15), 16, 10) AS BIGINT))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
+        f"p -> array_min(slice(hs, p + 1, {_WIN_W}))))"
+    )
+    row = "struct(CAST(size(fps) AS BIGINT) AS n_fp, fps AS fps)"
+    w = docs.filter(
+        F.size(F.split("text", " ")) >= _WIN_K + _WIN_W - 1
+    ).select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, size(toks) - {_WIN_K}), "
-            f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_WIN_K}))), "
-            "1, 15), 16, 10) AS BIGINT))"
-        ).alias("hs"),
+            "inline(transform(array(split(text, ' ')), toks -> "
+            f"transform(array({hs}), hs -> "
+            f"transform(array({fps}), fps -> {row})[0])[0]))"
+        ),
     )
-    w = h.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(0, size(hs) - {_WIN_W}), "
-            f"p -> array_min(slice(hs, p + 1, {_WIN_W}))))"
-        ).alias("fps"),
-    )
-    e = w.select(
-        "doc_id", F.size("fps").cast("long").alias("n_fp"), F.explode("fps").alias("fp")
-    )
+    e = w.select("doc_id", "n_fp", F.explode("fps").alias("fp"))
     a = e.select(
         F.col("fp").alias("fp"),
         F.col("doc_id").alias("doc_a"),

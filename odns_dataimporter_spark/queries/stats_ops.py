@@ -289,9 +289,14 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("long").alias("n_early"),
         F.max("nb").cast("long").alias("n_late"),
         F.max(d).cast("long").alias("d_num"),
-        (
-            F.max(d).cast("double")
-            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+        # try_divide: this division runs INSIDE the aggregate, before
+        # the n_early/n_late>0 filter below can drop one-sided groups —
+        # a type entirely in one window would be an ANSI DIVIDE_BY_ZERO
+        # here; DuckDB yields NULL and the filter then drops the row on
+        # both engines (COVERAGE.md ANSI-division audit)
+        F.try_divide(
+            F.max(d).cast("double"),
+            F.max("na").cast("double") * F.max("nb").cast("double"),
         ).alias("ks_stat"),
     )
     return out.filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
@@ -618,7 +623,14 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
     ssw = F.col("ss") - F.col("sum_sq_over_n")
-    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # try_divide: k=1 (one source), n=k (singleton groups), and ssw=0
+    # (constant within groups) are all legal degenerate inputs; DuckDB
+    # returns NULL for each — mirror it instead of ANSI-crashing
+    # (COVERAGE.md ANSI-division audit)
+    fstat = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.try_divide(ssw, (F.col("n") - F.col("k")).cast("double")),
+    )
     return f.select(
         "k",
         "n",
@@ -767,7 +779,11 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         saa, sbb = F.col(f"s_{a}{a}").cast("double"), F.col(f"s_{b}{b}").cast("double")
         num = n * sab - sa * sb
         den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
-        return F.floor(num / den * 1e6) / 1e6
+        # try_divide: a zero-variance measure (e.g. a single-discount
+        # table slice) makes den 0; DuckDB's identical expression
+        # yields NULL (floor(NULL) is NULL on both engines) — mirror
+        # it instead of ANSI-crashing (COVERAGE.md ANSI-division audit)
+        return F.floor(F.try_divide(num, den) * 1e6) / 1e6
 
     names = {"q": "quantity", "p": "price", "d": "discount"}
     # one explode from the single aggregate row — a 3-branch union would

@@ -1,0 +1,38 @@
+"""Per-query wall-clock budget at sf0.001 (VERDICT r3 item 7).
+
+The driver samples ~50 of the registered queries per round at sf0.01;
+one accidentally-expensive registration (a lost broadcast hint, an
+unintended cartesian, a driver-side loop) could blow the whole
+CORRECTNESS run. This gate times every registered query end-to-end
+(plan build + noop-sink execution) at sf0.001 and fails any single
+query over _BUDGET_SEC — 10 s is ~20x the observed p99 (<0.5 s), so a
+trip means a structural problem, not noise.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from odns_dataimporter_spark.registry import REGISTRY, all_queries
+
+all_queries()
+
+_BUDGET_SEC = 10.0
+
+
+@pytest.mark.budget
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_within_budget(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    assert elapsed <= _BUDGET_SEC, (
+        f"{name} took {elapsed:.1f}s at sf0.001 (budget {_BUDGET_SEC}s) — "
+        "a query this slow at 600-row scale will blow the driver's "
+        "sf0.01 sampling run; look for a lost broadcast, an accidental "
+        "cartesian, or driver-side iteration"
+    )
