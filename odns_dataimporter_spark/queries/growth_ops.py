@@ -532,29 +532,44 @@ def mining_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact support and confidence — the Apriori pair layer as pure
     relational algebra: distinct (order, part) once, item counts and
     the basket total as side aggregates, pair counts from the
-    order-keyed self-join (bounded by basket size², ~7 items per
+    per-basket pair expansion (bounded by basket size², ~7 items per
     TPC-H order), minsup cut BEFORE the item-count joins so the rule
     table never carries the long tail. Lift's numerator n·cuv stays
     integer-exact before the single quantized divide; the top-N is a
-    rank over the minsup-surviving rules only. At 100 TB the shape
-    is unchanged: everything is equi-keyed on ok/pk, no candidate
-    explosion beyond per-basket pairs."""
+    rank over the minsup-surviving rules only.
+
+    Plan shape: ONE lineitem shuffle builds the per-order item-set
+    table (collect_set ≡ the oracle's DISTINCT (ok, pk)), lazily
+    localCheckpointed because all three statistics — basket count,
+    item counts, pair counts — fan out from it (the previous
+    formulation re-derived the distinct shuffle four times: two
+    self-join sides, item counts, basket total). Pairs come from a
+    double explode over the ~7-element set (no self-join), and the
+    item-count sides are broadcast (|parts|-sized ≪ rules). At
+    100 TB: same shape; the checkpoint becomes a persisted baskets
+    table, pair volume stays Σ basket² — no candidate explosion."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
-    nb = p.agg(F.count_distinct("ok").cast("long").alias("n"))
-    ic = p.groupBy("pk").agg(F.count("*").cast("long").alias("c"))
-    a = p.select("ok", F.col("pk").alias("u"))
-    b = p.select("ok", F.col("pk").alias("v"))
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    nb = baskets.agg(F.count("*").cast("long").alias("n"))
+    ic = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
     pp = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("cuv"))
         .filter(F.col("cuv") >= _AR_MINSUP)
     )
     r = (
-        pp.join(ic.select(F.col("pk").alias("u"), F.col("c").alias("cu")), "u")
-        .join(ic.select(F.col("pk").alias("v"), F.col("c").alias("cv")), "v")
+        pp.join(F.broadcast(ic.select(F.col("pk").alias("u"), F.col("c").alias("cu"))), "u")
+        .join(F.broadcast(ic.select(F.col("pk").alias("v"), F.col("c").alias("cv"))), "v")
         .crossJoin(F.broadcast(nb))
     )
     lift_int = F.floor(

@@ -489,15 +489,19 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → trigram-keyed document-frequency aggregate (map-side
     combined; shuffle carries |distinct trigrams|), the corpus doc
     count folds in as a broadcast 1-row aggregate (no driver action),
-    and the DF table joins back to the exploded shingles on the same
-    trigram key so AQE reuses the partitioning. The boilerplate test
-    is an integer cross-multiply (df·100 ≥ 20·N) — no float threshold."""
+    and the document frequency rides a WINDOW over the same trigram
+    key (one shuffle; a groupBy + join-back would re-derive the
+    trigram explode on both sides — see text_dup_span_coverage). The
+    corpus doc count folds in as a broadcast 1-row aggregate (no
+    driver action). The boilerplate test is an integer cross-multiply
+    (df·100 ≥ 20·N) — no float threshold."""
     docs = load_table(spark, sf_dir, "documents")
     tri = _distinct_trigrams(docs)
-    df = tri.groupBy("ngram").agg(F.count("*").cast("long").alias("n_docs_with"))
     t = docs.agg(F.count("*").cast("long").alias("n_docs"))
     is_bp = F.col("n_docs_with") * 100 >= F.lit(_BP_PCT) * F.col("n_docs")
-    joined = tri.join(df, "ngram").crossJoin(F.broadcast(t))
+    joined = tri.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("ngram")).cast("long")
+    ).crossJoin(F.broadcast(t))
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_ngrams"),
         F.count_if(is_bp).cast("long").alias("n_boiler"),
@@ -537,16 +541,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier document — the diminishing-returns signal a crawl pipeline
     watches to decide when more data stops adding information. Shape
     mirrors `text_boilerplate_ngrams`: trigram explode → min(doc_id)
-    per trigram (map-side combined, shuffle = |distinct trigrams|) →
-    join back on the same trigram key → per-doc integer ratio. No
-    driver actions, no float thresholds."""
+    as a WINDOW over the trigram key (one shuffle, single derivation
+    of the explode — a groupBy + join-back runs it twice) → per-doc
+    integer ratio. No driver actions, no float thresholds."""
     docs = load_table(spark, sf_dir, "documents")
     tri = _distinct_trigrams(docs)
-    first_seen = tri.groupBy("ngram").agg(
-        F.min("doc_id").cast("long").alias("first_doc")
-    )
     is_novel = F.col("first_doc") == F.col("doc_id")
-    return tri.join(first_seen, "ngram").groupBy("doc_id").agg(
+    return tri.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("ngram")).cast("long")
+    ).groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_ngrams"),
         F.count_if(is_novel).cast("long").alias("n_novel"),
         (F.floor(F.count_if(is_novel) * 1e6 / F.count("*")) / 1e6).alias(
@@ -752,22 +755,26 @@ def text_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE CAST(array() AS array<string>) END)"
         ).alias("feats"),
     )
-    # hash INSIDE the array transform and explode (pos, bucket) longs:
+    # hash INSIDE the array transform and explode bucket longs only:
     # exploding 1M+ feature STRINGS through the row format costs 3x the
-    # whole hash pass (measured at sf0.1); fixed-width longs are free
+    # whole hash pass (measured at sf0.1); fixed-width longs are free.
+    # The exploded stream feeds THREE consumers (bucket counts, their
+    # totals, and the per-doc reduction) — lazily localCheckpointed so
+    # the md5 pass runs once, not once per consumer; rows are slimmed
+    # to (doc_id, is_t, b) first so the checkpoint carries no strings
     e = f.select(
         "doc_id",
-        "lang",
-        F.posexplode(
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(
             F.expr(
                 "transform(feats, x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) "
                 f"AS BIGINT) % {_DSIR_BUCKETS})"
             )
-        ).alias("pos", "b"),
-    )
+        ).alias("b"),
+    ).localCheckpoint(eager=False)
     c = e.groupBy("b").agg(
         F.count("*").cast("long").alias("cr"),
-        F.count_if(F.col("lang") == "en").cast("long").alias("ct"),
+        F.count_if(F.col("is_t")).cast("long").alias("ct"),
     )
     tot = c.agg(
         F.sum("cr").cast("long").alias("r_total"),
