@@ -870,3 +870,80 @@ def events_template_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_templates",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard packing: a distributed prefix sum (the classic
+# two-level scan) assigning documents, in stable doc_id order, to
+# fixed-token-budget output shards — the step between a curated corpus
+# and the sharded token files a trainer actually reads.
+
+_SHARD_TOKENS = 4096  # per-shard token budget (tiny to exercise many shards)
+_SHARD_BLOCK = 100  # docs per prefix-sum block
+
+
+@register(
+    "etl_shard_pack",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+c AS (SELECT doc_id, ntok,
+             COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      FROM t)
+SELECT CAST(tok_before // {_SHARD_TOKENS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1
+""",
+    tags=("etl", "llm", "sampling"),
+)
+def etl_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment by exact prefix sum over doc_id
+    order: a document starts in shard floor(tokens_before / budget),
+    reported as one row per shard (docs, tokens, doc range).
+
+    The oracle states it as one global window; a single global
+    ORDER BY window is a one-task plan, so the Spark side runs the
+    distributed two-level scan instead: (1) per-block token sums
+    (block = doc_id div {_SHARD_BLOCK}, one map-side-combined
+    aggregate), (2) running block offsets over the |blocks|-row table
+    (tiny — broadcast back), (3) intra-block running sums under a
+    window PARTITIONED by block. Identical integer results, but every
+    stage is parallel and the only global structure is the |blocks|
+    table — the same shape prefix sums take on any shared-nothing
+    engine. At 100 TB the block table is ~rows/{_SHARD_BLOCK} and the
+    shard summary shuffle is |shards|-sized."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("blk"),  # exact int division
+    )
+    bsum = t.groupBy("blk").agg(F.sum("ntok").alias("btok"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select("blk", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boff"))
+    wi = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.join(F.broadcast(boff), "blk").select(
+        "doc_id",
+        "ntok",
+        (
+            F.col("boff") + F.coalesce(F.sum("ntok").over(wi), F.lit(0))
+        ).alias("tok_before"),
+    )
+    return c.groupBy(
+        F.floor(F.col("tok_before") / _SHARD_TOKENS).cast("long").alias("shard")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

@@ -866,3 +866,88 @@ def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space eval decontamination: the semantic companion to the
+# n-gram pass (text_decontaminate in llm_quality.py) — n-gram overlap
+# misses paraphrases; nearest-eval cosine catches them.
+
+_DECON_COS_TAU = 0.30  # flags ~10% of this synthetic corpus (p90 of max-cos)
+
+
+@register(
+    "embed_decontaminate_cosine",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+s AS (
+  SELECT t.vec_id, ev.vec_id AS eval_id,
+         list_dot_product(t.e, ev.e) / (t.nrm * ev.nrm) AS cos
+  FROM v t JOIN v ev ON ev.vec_id % 50 = 0
+  WHERE t.vec_id % 50 != 0
+),
+best AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eval_id) AS rn
+  FROM s
+)
+SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+       floor(cos * 1000000.0) / 1000000.0 AS cos_q6,
+       cos >= {_DECON_COS_TAU} AS is_contaminated
+FROM best WHERE rn = 1
+""",
+    tags=("llm", "similarity", "eval"),
+)
+def embed_decontaminate_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: every training vector (vec_id % 50
+    != 0, the same held-out split text_decontaminate uses) scored by
+    its maximum cosine against the eval slice; flagged when that
+    exceeds τ={_DECON_COS_TAU}. Output: nearest eval vector, quantized
+    score, contamination flag.
+
+    Scale shape: the eval slice is a FRACTION of the corpus (2% here)
+    and broadcasts; training vectors stream once through the broadcast
+    nested-loop — no shuffle of the big side — and the per-vector
+    argmax is a map-side-combined min(struct(-cos, eval_id)) (the
+    deterministic tiebreak the oracle's row_number ORDER BY pins). For
+    an eval set too large to broadcast, the IVF route applies
+    (sim_ann_ivf): cluster the eval side, probe nearest centroids
+    only. Determinism: float32→double is exact, both engines fold the
+    64-dim dot left-to-right, and the single divide and the τ compare
+    are one IEEE op each — bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    ev = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("e").alias("ee"),
+        F.col("nrm").alias("enrm"),
+    )
+    t = v.filter(F.col("vec_id") % 50 != 0)
+    cos = _dot(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("enrm"))
+    scored = t.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eval_id", cos.alias("cos")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("nc"), F.col("eval_id").alias("i"))).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.i").cast("long").alias("nearest_eval_id"),
+            (-F.col("m.nc")).alias("cos"),
+        )
+    )
+    return best.select(
+        "vec_id",
+        "nearest_eval_id",
+        (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("cos_q6"),
+        (F.col("cos") >= _DECON_COS_TAU).alias("is_contaminated"),
+    )

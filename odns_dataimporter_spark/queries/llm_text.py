@@ -1473,3 +1473,54 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_u").desc(), "phrase")
         .limit(_RAKE_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-health statistics: hapax legomena per language slice.
+
+
+@register(
+    "text_hapax_vocab",
+    oracle="""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+       CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS dis,
+       floor(COUNT(*) FILTER (WHERE c = 1) * 1000000.0 / COUNT(*)) / 1000000.0
+         AS hapax_ratio_q6,
+       floor(SUM(c) * 1000000.0 / COUNT(*)) / 1000000.0 AS tokens_per_type_q6
+FROM f GROUP BY lang
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_hapax_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary health: type count, token count, hapax
+    and dis legomena (frequency 1 and 2), hapax ratio, mean tokens per
+    type. A corpus whose hapax ratio collapses is template/boilerplate
+    heavy; one that explodes is OCR noise or mojibake — either way the
+    Zipf tail is the first thing a data-quality pass inspects
+    (companion to text_zipf_fit, which fits the head).
+
+    Shape: explode → ONE (lang, token)-keyed map-side-combined count,
+    then a |lang|-sized rollup — both equi-keyed shuffles; the second
+    input is |vocabulary|, not corpus-sized. Integer ratios,
+    floor-quantized once."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return f.groupBy("lang").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count_if(F.col("c") == 1).cast("long").alias("hapax"),
+        F.count_if(F.col("c") == 2).cast("long").alias("dis"),
+        (F.floor(F.count_if(F.col("c") == 1) * 1_000_000.0 / F.count("*")) / 1_000_000.0)
+        .alias("hapax_ratio_q6"),
+        (F.floor(F.sum("c") * 1_000_000.0 / F.count("*")) / 1_000_000.0)
+        .alias("tokens_per_type_q6"),
+    )
