@@ -65,6 +65,9 @@ HEADLINE = [
     "graph_label_propagation",
     "events_survival_km",
     "stats_mann_whitney",
+    "etl_shard_pack",
+    "text_hapax_vocab",
+    "embed_decontaminate_cosine",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

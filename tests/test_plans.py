@@ -685,3 +685,42 @@ def test_winnow_pairs_bucket_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_winnow_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_no_sort_merge_join(spark, sf_dir):
+    # pairs come from a per-basket double explode over the checkpointed
+    # collect_set table, and the item-count sides broadcast — the old
+    # order-keyed self-join (SortMergeJoin) must not reappear
+    plan = _plan(spark, sf_dir, "mining_assoc_rules")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_pack_two_level_scan(spark, sf_dir):
+    # the exact prefix sum is the two-level scan: one UNPARTITIONED
+    # window over the tiny block table and one window PARTITIONED by
+    # block over the docs — never a single global sort of the corpus
+    plan = _plan(spark, sf_dir, "etl_shard_pack")
+    assert plan.count("Window") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_single_fingerprint_shuffle(spark, sf_dir):
+    # the cross-doc dup flag is a window over the fingerprint key: the
+    # gram scan (one Generate) is derived once — the groupBy+join-back
+    # formulation showed two Generates and re-ran the md5 pass per side
+    plan = _plan(spark, sf_dir, "text_dup_span_coverage")
+    assert plan.count("Generate") == 1
+
+
+def test_boilerplate_single_trigram_derivation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
+    assert plan.count("Generate") == 1  # trigram explode derived once
+
+
+def test_embed_decontaminate_big_side_streams(spark, sf_dir):
+    # eval slice broadcasts; the training side must NOT shuffle for the
+    # scoring join (the only exchange is the per-vector argmax regroup)
+    plan = _plan(spark, sf_dir, "embed_decontaminate_cosine")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
