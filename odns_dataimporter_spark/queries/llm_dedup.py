@@ -1242,3 +1242,97 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cos_cent") * 1_000_000.0) / 1_000_000.0).alias("cos_cent_q6"),
         F.col("hit").isNull().alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot-vs-batch) near-dedup: the production cadence is
+# never "dedup the whole corpus from scratch" — a new crawl batch is
+# checked against the standing index of everything already kept.
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_CAND_PAIRS_SQL
+    + """,
+x AS (
+  SELECT CASE WHEN doc_a % 10 < 8 THEN doc_a ELSE doc_b END AS prior_id,
+         CASE WHEN doc_a % 10 < 8 THEN doc_b ELSE doc_a END AS new_id
+  FROM cand
+  WHERE (doc_a % 10 < 8) <> (doc_b % 10 < 8)
+),
+tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       FROM documents),
+v AS (
+  SELECT x.new_id, x.prior_id,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un
+  FROM x JOIN tk a ON a.doc_id = x.new_id
+         JOIN tk b ON b.doc_id = x.prior_id
+),
+m AS (
+  SELECT new_id, prior_id, inter, un,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY CAST(inter AS DOUBLE) / un DESC,
+                                     prior_id) AS rn
+  FROM v WHERE inter * 1000000.0 >= 500000.0 * un
+)
+SELECT CAST(new_id AS BIGINT) AS new_id,
+       CAST(prior_id AS BIGINT) AS matched_prior_id,
+       floor(CAST(inter AS DOUBLE) / un * 1000000.0) / 1000000.0 AS jaccard_q6
+FROM m WHERE rn = 1
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: new-batch documents (doc_id % 10 >= 8,
+    standing in for the latest crawl) that near-duplicate (exact
+    token-Jaccard ≥ 0.5) something in the PRIOR corpus (doc_id % 10
+    < 8), each reporting its best prior match. Candidates come from
+    the same banded-LSH machinery as dedup_near_minhash, filtered to
+    cross-split pairs — so the pair space is the LSH bucket space, and
+    a batch is only ever compared against bucket-mates, never the
+    whole standing corpus. At 100 TB the prior side's band buckets are
+    a persisted index the batch probes (this query recomputes them
+    because the parquet corpus is the only storage in the harness —
+    the plan shape downstream of the bucket join is identical).
+    Verification joins token sets by doc_id with the TINY candidate
+    side broadcast; best-match is the min(struct) argmax with the
+    oracle's (jaccard DESC, prior_id) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _candidate_pairs(docs)
+    prior_a = F.col("doc_a") % 10 < 8
+    x = cand.filter(prior_a != (F.col("doc_b") % 10 < 8)).select(
+        F.when(prior_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("prior_id"),
+        F.when(prior_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("new_id"),
+    )
+    tk = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    j1 = tk.join(
+        F.broadcast(x), F.col("doc_id") == F.col("new_id"), "inner"
+    ).select("new_id", "prior_id", F.col("toks").alias("a_toks"))
+    v = tk.join(
+        F.broadcast(j1), F.col("doc_id") == F.col("prior_id"), "inner"
+    ).select(
+        "new_id",
+        "prior_id",
+        F.size(F.array_intersect("a_toks", "toks")).alias("inter"),
+        (
+            F.size("a_toks") + F.size("toks")
+            - F.size(F.array_intersect("a_toks", "toks"))
+        ).alias("un"),
+    )
+    jac = F.col("inter").cast("double") / F.col("un")
+    best = (
+        v.filter(F.col("inter") * 1_000_000.0 >= 500_000.0 * F.col("un"))
+        .select("new_id", "prior_id", jac.alias("jac"))
+        .groupBy("new_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("jac")).alias("nj"), F.col("prior_id").alias("p"))
+            ).alias("m")
+        )
+    )
+    return best.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("m.p").cast("long").alias("matched_prior_id"),
+        (F.floor(-F.col("m.nj") * 1_000_000.0) / 1_000_000.0).alias("jaccard_q6"),
+    )

@@ -951,3 +951,72 @@ def embed_decontaminate_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cos") * 1_000_000.0) / 1_000_000.0).alias("cos_q6"),
         (F.col("cos") >= _DECON_COS_TAU).alias("is_contaminated"),
     )
+
+
+def _combined_oracle() -> str:
+    from odns_dataimporter_spark.queries.llm_quality import _DECON_GRAMS
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_DECON_GRAMS}) AS gram FROM t),
+evg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+nh AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN evg USING (gram)
+       WHERE g.doc_id % 50 != 0 GROUP BY g.doc_id),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+es AS (SELECT tr.vec_id, max(list_dot_product(tr.e, ev.e) / (tr.nrm * ev.nrm)) AS mx
+       FROM v tr JOIN v ev ON ev.vec_id % 50 = 0
+       WHERE tr.vec_id % 50 != 0 GROUP BY tr.vec_id),
+base AS (SELECT doc_id FROM documents WHERE doc_id % 50 != 0)
+SELECT b.doc_id,
+       COALESCE(nh.n, 0) > 0 AS ngram_hit,
+       COALESCE(es.mx >= {_DECON_COS_TAU}, FALSE) AS embed_hit,
+       es.vec_id IS NOT NULL AS has_vector,
+       CASE WHEN COALESCE(nh.n, 0) > 0 AND COALESCE(es.mx >= {_DECON_COS_TAU}, FALSE)
+              THEN 'both'
+            WHEN COALESCE(nh.n, 0) > 0 THEN 'ngram'
+            WHEN COALESCE(es.mx >= {_DECON_COS_TAU}, FALSE) THEN 'embedding'
+            ELSE 'clean' END AS verdict
+FROM base b LEFT JOIN nh USING (doc_id) LEFT JOIN es ON es.vec_id = b.doc_id
+"""
+
+
+@register(
+    "decontam_combined",
+    oracle=_combined_oracle(),
+    tags=("llm", "similarity", "eval"),
+)
+def decontam_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-modality eval decontamination verdict per training document:
+    the n-gram pass (decontam_ngram — catches verbatim overlap) joined
+    with the embedding pass (embed_decontaminate_cosine — catches
+    paraphrase) into one of 'both' / 'ngram' / 'embedding' / 'clean',
+    plus a has_vector flag because at sf≥0.1 the embeddings table
+    covers only a prefix of the corpus (exactly the production
+    situation: vectors lag the crawl). Each component is its own
+    oracle-verified query; this composition stays one lazy plan — a
+    doc-keyed left join of two already-aggregated sides, so the extra
+    cost over the components is one |docs|-sized join."""
+    from odns_dataimporter_spark.queries.llm_quality import decontam_ngram
+
+    ng = decontam_ngram(spark, sf_dir).select(
+        "doc_id", (F.col("is_contaminated") > 0).alias("ngram_hit")
+    )
+    em = embed_decontaminate_cosine(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("is_contaminated").alias("_embed_hit"),
+    )
+    j = ng.join(em, "doc_id", "left")
+    embed_hit = F.coalesce(F.col("_embed_hit"), F.lit(False))
+    return j.select(
+        "doc_id",
+        "ngram_hit",
+        embed_hit.alias("embed_hit"),
+        F.col("_embed_hit").isNotNull().alias("has_vector"),
+        F.when(F.col("ngram_hit") & embed_hit, "both")
+        .when(F.col("ngram_hit"), "ngram")
+        .when(embed_hit, "embedding")
+        .otherwise("clean")
+        .alias("verdict"),
+    )

@@ -542,6 +542,7 @@ _BNLJ_ALLOWED = {
     "sim_incremental_topk",  # broadcast probe set, same shape as sim_topk_cosine
     "sim_topk_cosine",
     "embed_decontaminate_cosine",  # broadcast eval slice (2% of corpus), big side streams
+    "decontam_combined",  # inherits embed_decontaminate_cosine's broadcast eval NLJ
     "sql_api_q11",
     "stats_chi_square",
     "stream_watermark_late",
