@@ -590,3 +590,41 @@ def dedup_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("keeper"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 30)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev,
+       CAST(levenshtein(CAST(a.c_custkey AS VARCHAR),
+                        CAST(b.c_custkey AS VARCHAR)) AS INTEGER) AS lev_key,
+       a.c_name = b.c_name AS exact_match
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+""",
+    tags=("scalar", "dedup"),
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over a bounded candidate-pair set —
+    the fuzzy-match scalar behind entity resolution (typo'd names,
+    OCR'd records). The pair set here is a 30-key block (bounded by
+    construction — at scale the pairs come from a blocking join like
+    dedup_containment's, never a raw cross join; this op pins the
+    SCALAR's cross-engine semantics: both engines implement unit-cost
+    Levenshtein, so the integer distances hash-match exactly)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    a = cust.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = cust.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+            F.levenshtein(
+                F.col("key_a").cast("string"), F.col("key_b").cast("string")
+            ).alias("lev_key"),
+            (F.col("name_a") == F.col("name_b")).alias("exact_match"),
+        )
+    )

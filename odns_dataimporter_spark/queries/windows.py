@@ -461,3 +461,41 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.filter(F.col("rn") >= _MED_WIN).select(
         "event_id", "event_type", F.col("med").alias("rolling_median_cents")
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       floor(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank_q6,
+       floor(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cume_q6,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    ntile(4) — over order value within each priority class: the
+    percentile-position primitives behind spend-tier segmentation
+    (completes §2.5's window family next to rank/lag/frame
+    aggregates). The ORDER BY carries o_orderkey as a unique
+    tiebreaker so rank positions (and therefore every output) are
+    total-order deterministic on both engines. One shuffle on the
+    partition key, all three functions share a single Window node;
+    percent_rank's (rank−1)/(n−1) and cume_dist's rows≤x/n are single
+    IEEE divides of exact integers — floor-quantized once."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.floor(F.percent_rank().over(w) * 1_000_000.0) / 1_000_000.0).alias(
+            "pct_rank_q6"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1_000_000.0) / 1_000_000.0).alias("cume_q6"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

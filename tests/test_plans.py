@@ -543,6 +543,7 @@ _BNLJ_ALLOWED = {
     "sim_topk_cosine",
     "embed_decontaminate_cosine",  # broadcast eval slice (2% of corpus), big side streams
     "decontam_combined",  # inherits embed_decontaminate_cosine's broadcast eval NLJ
+    "fn_edit_distance",  # bounded 30-key pair block (scalar-semantics pin)
     "sql_api_q11",
     "stats_chi_square",
     "stream_watermark_late",
