@@ -155,3 +155,68 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, unnest(regexp_extract_all(hex(encode(text)), '..')) AS byte
+  FROM documents
+),
+c AS (SELECT doc_id, byte, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY doc_id, byte)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       floor((log2(CAST(SUM(c) AS DOUBLE))
+              - CAST(SUM(CAST(floor(c * log2(CAST(c AS DOUBLE)) * 1048576.0)
+                              AS BIGINT)) AS DOUBLE)
+                / 1048576.0 / SUM(c)) * 1000000.0) / 1000000.0
+         AS entropy_bits_q6
+FROM c GROUP BY doc_id
+""",
+    tags=("llm", "multimodal", "quality"),
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte entropy per blob — the binary-corpus forensic that
+    needs NO media library: near-8-bit entropy means compressed or
+    encrypted payloads (already-encoded media, ciphertext mislabeled
+    as text), low entropy means padding or template junk. Runs on the
+    utf-8 encoding of `text` as the deterministic blob stand-in (the
+    same substitution every multimodal op here uses).
+
+    Entirely JVM-side: hex() → byte-pair explode → one
+    (doc, byte)-keyed count (≤256 rows per doc survive the shuffle) →
+    per-doc rollup using H = log2(N) − Σ c·log2(c)/N with each
+    c·log2(c) term floor-quantized to the 2^20 grid and summed as
+    exact int64 — the order-independence discipline every float
+    aggregate in this repo follows (ARCHITECTURE.md), so the oracle
+    hash-matches bit for bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(hex(encode(text, 'utf-8')), '..', 0)")
+        ).alias("byte"),
+    )
+    c = b.groupBy("doc_id", "byte").agg(F.count("*").cast("long").alias("c"))
+    term_q20 = (
+        F.floor(
+            F.col("c") * F.log2(F.col("c").cast("double")) * 1_048_576.0
+        ).cast("long")
+    )
+    out = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bytes"),
+        F.count("*").cast("long").alias("n_distinct_bytes"),
+        F.sum(term_q20).alias("s_q20"),
+    )
+    h = F.log2(F.col("n_bytes").cast("double")) - (
+        F.col("s_q20").cast("double") / 1_048_576.0 / F.col("n_bytes")
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct_bytes",
+        (F.floor(h * 1_000_000.0) / 1_000_000.0).alias("entropy_bits_q6"),
+    )
