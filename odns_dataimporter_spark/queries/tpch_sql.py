@@ -117,3 +117,49 @@ def sql_api_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with the OR residual as a post-join filter, never a nested
     loop. Revenue is the exact integer-micros sum."""
     return _sql(spark, sf_dir, _Q19_SQL)
+
+
+_CORR_SCALAR_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      * 2
+      > 3 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("sql_correlated_scalar", oracle=_CORR_SCALAR_SQL, tags=("sql", "join"))
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders priced >1.5× their own
+    customer's average — stated as two per-row correlated aggregates,
+    which Catalyst must DECORRELATE into one grouped aggregate joined
+    back on o_custkey (RewriteCorrelatedScalarSubquery); the naive
+    reading is a re-scan of orders per row, O(n²) at 100 TB. The 1.5×
+    test is cross-multiplied into exact integer cents (2·price·n >
+    3·sum), so no float average ever decides a boundary row."""
+    return _sql(spark, sf_dir, _CORR_SCALAR_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.bal_cents
+FROM nation n, LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_SQL, tags=("sql", "join"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM (SPARK-35551): top-2
+    customers by account balance per nation, the per-row-subtable SQL
+    surface DuckDB/Postgres users expect — Spark plans the correlation
+    as a join + per-key limit, not a per-nation re-scan. The balance
+    is integer cents with a (bal, name) total order, so the LIMIT cut
+    is deterministic on both engines."""
+    return _sql(spark, sf_dir, _LATERAL_SQL)

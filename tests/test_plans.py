@@ -726,3 +726,21 @@ def test_embed_decontaminate_big_side_streams(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embed_decontaminate_cosine")
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_correlated_scalar_decorrelates(spark, sf_dir):
+    # two correlated scalar aggregates must rewrite to grouped
+    # aggregates joined back on the correlation key — a per-row
+    # re-scan would plan as a nested loop
+    plan = _plan(spark, sf_dir, "sql_correlated_scalar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lateral_topk_plans_as_join(spark, sf_dir):
+    # LATERAL with an equality correlation must become a join (+ the
+    # per-key limit), never a per-outer-row subquery execution
+    plan = _plan(spark, sf_dir, "sql_lateral_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
