@@ -379,3 +379,56 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+_ARES_K = 50
+
+
+@register(
+    "sample_weighted_ares",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         CAST('0x' || substr(md5('ares|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) / 1152921504606846976.0 AS u01
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS weight,
+         CAST(floor(ln(u01) / w * 1000000000.0) AS BIGINT) AS key_q9
+  FROM u
+)
+SELECT doc_id, weight, key_q9
+FROM (SELECT *, row_number() OVER (ORDER BY key_q9 DESC, doc_id) AS rn FROM k)
+WHERE rn <= {_ARES_K}
+""",
+    tags=("llm", "sampling"),
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each doc draws u ~ U(0,1) from a DETERMINISTIC hash of its
+    id and ranks by u^(1/w) — equivalently ln(u)/w, which is what both
+    engines compute — so inclusion probability is proportional to
+    weight (n_chars here, i.e. longer docs proportionally likelier)
+    yet the sample is reproducible run-to-run and engine-to-engine:
+    the randomness is md5, not an RNG. The ranking key is
+    floor-quantized to 1e-9 BEFORE the top-k cut with doc_id as the
+    tiebreak, so no boundary row ever depends on an unrounded float
+    comparison. Shape: pure map work + one TakeOrderedAndProject —
+    at 100 TB this is a scan plus a k-row heap per partition, the
+    canonical one-pass distributed weighted sampler."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u01 = F.expr(
+        "CAST(conv(substr(md5(concat('ares|', CAST(doc_id AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) / 1152921504606846976.0"
+    )
+    k = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.floor(F.log(u01) / F.col("n_chars").cast("double") * 1e9)
+        .cast("long")
+        .alias("key_q9"),
+    )
+    return (
+        k.orderBy(F.col("key_q9").desc(), "doc_id").limit(_ARES_K)
+    )
