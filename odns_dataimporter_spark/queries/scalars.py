@@ -628,3 +628,49 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("name_a") == F.col("name_b")).alias("exact_match"),
         )
     )
+
+
+@register(
+    "fn_map_core",
+    oracle="""
+SELECT event_id,
+       CAST(3 AS INTEGER) AS n_keys,
+       'k=' || json_extract_string(props, '$.k')
+         || ',type=' || upper(event_type) AS entries,
+       upper(event_type) = 'PURCHASE' AS is_purchase
+FROM events
+""",
+    tags=("scalar",),
+)
+def fn_map_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family end to end — create_map, map_concat,
+    transform_values, map_filter, map_entries — with the final map
+    rendered as canonical sorted `k=v` entries so the oracle (which
+    needs no maps: it recomputes the surviving entries from the base
+    columns directly) pins every intermediate's semantics. The uid
+    entry is filtered out by key, values are upper-cased by
+    transform_values, and the entry order comes from array_sort over
+    map_entries — all pure codegen row work, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ),
+        F.create_map(F.lit("k"), F.get_json_object("props", "$.k")),
+    )
+    mt = F.transform_values(m, lambda k, v: F.upper(v))
+    mf = F.map_filter(mt, lambda k, v: k != F.lit("uid"))
+    entries = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries(mf)),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        entries.alias("entries"),
+        (F.element_at(mt, "type") == "PURCHASE").alias("is_purchase"),
+    )
