@@ -932,9 +932,14 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("wcnt"))
     )
+    # |vocab|-row symbol table with DIVERGING consumers (each round's
+    # pair stats AND the next round's rewrite) — lazily checkpointed so
+    # the corpus-scale token-count shuffle above runs once, not once
+    # per consumer per round (the mining_assoc_rules rule; identical
+    # self-join subtrees would NOT need this, diverging ones do)
     w = v.select(
         "token", "wcnt", F.expr("regexp_extract_all(token, '.', 0)").alias("s")
-    )
+    ).localCheckpoint(eager=False)
     merge_expr = (
         "CASE WHEN size(s) <= 1 THEN s ELSE aggregate(s, "
         "CAST(array() AS array<string>), (acc, x) -> "
