@@ -264,11 +264,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # one-shuffle pair derivation (the graph_label_propagation shape),
+    # CHECKPOINTED: edges feed the degree aggregate, the rank joins,
+    # and (transitively) both wedge sides — without the checkpoint this
+    # plan re-derived the lineitem scan 36 times (scan-count audit,
+    # round 5); with it, once
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("x"))
@@ -285,6 +292,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t")
         )
+        # e feeds the adjacency aggregate AND both closing joins
+        .localCheckpoint(eager=False)
     )
     # Adjacency-intersection closing (not a wedge materialization): at
     # sf0.1 the oriented graph has 1.2M edges but 41M wedges — shuffling
@@ -377,17 +386,29 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # one-shuffle pair derivation + checkpoint (see graph_triangle_count
+    # — this plan re-derived the lineitem scan 26 times before)
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     adj = edges.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         edges.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
-    deg = adj.groupBy("c").agg(F.count("*").cast("long").alias("d"))
-    thin = adj.join(deg, "c").filter(F.col("d") <= _LP_HUB_CAP).select("c", "x")
+    # |parts|-row degree table, three diverging consumers (hub filter +
+    # both score joins) — checkpoint once, broadcast everywhere
+    deg = (
+        adj.groupBy("c")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    thin = adj.join(F.broadcast(deg), "c").filter(
+        F.col("d") <= _LP_HUB_CAP
+    ).select("c", "x")
     ta, tb = thin.alias("ta"), thin.alias("tb")
     cn = (
         ta.join(tb, (F.col("ta.c") == F.col("tb.c")) & (F.col("ta.x") < F.col("tb.x")))
@@ -398,8 +419,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("c").alias("u"), F.col("d").alias("deg_u"))
     dv = deg.select(F.col("c").alias("v"), F.col("d").alias("deg_v"))
     scored = (
-        cand.join(du, "u")
-        .join(dv, "v")
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             "u",
             "v",
@@ -459,19 +480,30 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # one-shuffle pair derivation + checkpoint (see graph_triangle_count
+    # — 12 redundant lineitem scans before); the |parts|-row degree
+    # table broadcasts into both endpoint joins
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bi = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = bi.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("d")
     )
     joined = (
-        bi.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        bi.join(
+            F.broadcast(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")),
+            "v",
+        )
     )
     s = joined.agg(
         F.count("*").cast("long").alias("n"),

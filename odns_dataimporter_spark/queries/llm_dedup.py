@@ -1170,12 +1170,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CartesianProduct anywhere; the crossJoin is the broadcast k-row
     centroid table."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantized vectors feed the centroid slice, the assignment cross,
+    # and the pair-stage join-back — checkpoint so the scan+quantize
+    # runs once (8 redundant embeddings scans before; scan-count audit)
     q = emb.select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
         ).alias("qe"),
-    )
+    ).localCheckpoint(eager=False)
     cent = q.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("cvec")
     )

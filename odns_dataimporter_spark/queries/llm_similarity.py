@@ -548,10 +548,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact top-k, and that codes compress to _PQ_SUB
     small ints per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantized vectors feed codebook init, refine, encode, and the
+    # probe LUT — checkpoint so the scan+quantize runs once (18
+    # redundant embeddings scans before; scan-count audit)
     q = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * _KNN_SCALE)).alias("qe"),
-    )
+    ).localCheckpoint(eager=False)
     subs = F.array(*[F.lit(i) for i in range(_PQ_SUB)])
     # (vec_id, sub, sv): sub-vector view via slice — zero shuffle
     sv = q.select(

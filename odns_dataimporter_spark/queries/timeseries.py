@@ -866,11 +866,14 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax window; the global endpoints are two TakeOrdered 1-row
     limits. Nothing scales with more than one pass over the series."""
     ev = load_table(spark, sf_dir, "events")
+    # the slim point series feeds the bounds aggregate, the bucketed
+    # scoring chain, and both endpoint TakeOrdereds — checkpoint so the
+    # events scan runs once (8 redundant scans before; scan audit)
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         F.unix_seconds(F.col("ts")).alias("xs"),
         F.round(F.col("value") * 100).cast("long").alias("yc"),
-    )
+    ).localCheckpoint(eager=False)
     b0 = p.agg(
         F.min("xs").cast("long").alias("x0"), F.max("xs").cast("long").alias("x1")
     )
