@@ -585,13 +585,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The prefix bound uses integer math ((4·sz+4) DIV 5), not
     ceil(0.8·sz) in doubles, so the bound is exact for every size."""
     docs = load_table(spark, sf_dir, "documents")
+    # token table feeds the posting explode AND both exact-verify
+    # sides; the explode feeds the df aggregate, probe prefix, and the
+    # full index — checkpoint both divergence points so the documents
+    # scan runs once (5 redundant scans before; scan-count audit)
     t = docs.select(
         "doc_id", "lang", "n_chars",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
+    ).withColumn("sz", F.size("toks")).localCheckpoint(eager=False)
     tok = t.select(
         "doc_id", "lang", "n_chars", "sz", F.explode("toks").alias("token")
-    )
+    ).localCheckpoint(eager=False)
     # global token order: document frequency ascending, then token
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     ranked = tok.join(dfreq, "token").withColumn(
@@ -752,7 +756,11 @@ def _minhash_recall(
     spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = _candidate_pairs(docs, n_hashes, band_size)
+    # candidate set and truth token table each feed multiple count
+    # branches (n_candidates, n_hits / n_truth, n_hits and both truth
+    # self-join sides) — checkpoint so the signature pipeline and the
+    # token explode run once (8 redundant documents scans before)
+    cand = _candidate_pairs(docs, n_hashes, band_size).localCheckpoint(eager=False)
     t = docs.select(
         "doc_id", "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenbucket"),
@@ -764,6 +772,7 @@ def _minhash_recall(
         t.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _RECALL_BLOCK_CAP)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
