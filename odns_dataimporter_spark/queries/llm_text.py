@@ -1025,7 +1025,7 @@ w AS (SELECT doc_id, n_tokens, CAST(len(hs) AS BIGINT) AS n_grams,
       FROM h)
 SELECT doc_id, n_tokens, n_grams,
        CAST(len(fps) AS BIGINT) AS n_fingerprints,
-       md5(array_to_string(fps, ',')) AS fingerprint_digest
+       md5(COALESCE(array_to_string(fps, ','), '')) AS fingerprint_digest
 FROM w
 """,
     tags=("llm", "text", "dedup"),
