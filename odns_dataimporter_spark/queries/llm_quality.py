@@ -33,8 +33,11 @@ def _toks():
 
 def _q6(numer, denom):
     # floor-quantize, scaling BEFORE the divide (identical IEEE ops on
-    # both engines — see ARCHITECTURE.md "Determinism conventions")
-    return F.floor(numer * F.lit(1_000_000.0) / denom) / 1_000_000.0
+    # both engines — see ARCHITECTURE.md "Determinism conventions").
+    # try_divide: a zero denominator (empty n-gram set on a 1-token
+    # doc) is NULL on DuckDB and an ANSI crash on Spark without it —
+    # found by the round-5 degenerate-docs sweep
+    return F.floor(F.try_divide(numer * F.lit(1_000_000.0), denom)) / 1_000_000.0
 
 
 @register(
@@ -109,10 +112,16 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def ngrams(words, n):
-        return F.transform(
-            F.sequence(F.lit(1), F.size(words) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
+        # guard: Spark's sequence(1, k) is DESCENDING for k < 1 (a
+        # 1-token doc would feed slice() a 0/negative start — ANSI
+        # crash); DuckDB's range is empty there
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
     def dup_frac(arr):
         return _q6(F.size(arr) - F.size(F.array_distinct(arr)), F.size(arr))
@@ -134,11 +143,13 @@ WITH t AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars FROM documents)
 u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dch FROM t)
 SELECT doc_id,
   CAST(len(dch) AS BIGINT) AS n_distinct_chars,
-  round(ln(CAST(len(chars) AS DOUBLE))
-        - list_sum(list_transform(dch,
-            c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
-                 * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE))))
-          / len(chars), 6) AS entropy_nats
+  CASE WHEN len(chars) > 0 THEN
+    round(ln(CAST(len(chars) AS DOUBLE))
+          - list_sum(list_transform(dch,
+              c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                   * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE))))
+            / len(chars), 6)
+  END AS entropy_nats
 FROM u
 """,
     tags=("llm", "text"),
@@ -168,7 +179,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size("dch").cast("long").alias("n_distinct_chars"),
-        F.round(F.log(n) - sum_nlogn / n, 6).alias("entropy_nats"),
+        # empty doc → NULL on both engines (ln(0) is a DuckDB error and
+        # the /0 an ANSI crash; CASE branches are lazy on both)
+        F.when(n > 0, F.round(F.log(n) - sum_nlogn / n, 6)).alias("entropy_nats"),
     )
 
 
@@ -343,12 +356,17 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps')."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - _DECON_N + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)),
-        )
-    )
+    # guard: descending sequence() on docs shorter than the n-gram
+    # (see the ngrams() note in text_repetition_score)
+    grams_arr = F.when(
+        F.size(toks) >= _DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - _DECON_N + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, _DECON_N)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     g = docs.select("doc_id", F.explode(grams_arr).alias("gram"))
     ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     hits = (

@@ -267,10 +267,15 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the token array BEFORE the lambda: slicing the raw
     # split() expression re-splits the string per element (O(len²)/doc)
     base = docs.withColumn("words", F.split(F.col("text"), " "))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("words") - 1),
-        lambda i: F.concat_ws(" ", F.slice("words", i, 2)),
-    )
+    # guard: sequence(1, 0) is DESCENDING [1, 0] on Spark (slice start
+    # 0 is an ANSI crash on a 1-token doc); DuckDB's range is empty
+    bigrams = F.when(
+        F.size("words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
         base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -1223,8 +1228,12 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_sub").cast("long").alias("n_subwords"),
             F.sum("n_chars").cast("long").alias("n_chars"),
+            # try_divide: an empty-text doc's only "token" is '' with 0
+            # subwords — DuckDB yields NULL, ANSI Spark would crash
             (
-                F.floor(F.sum("n_chars") * 1_000_000.0 / F.sum("n_sub"))
+                F.floor(
+                    F.try_divide(F.sum("n_chars") * 1_000_000.0, F.sum("n_sub"))
+                )
                 / 1_000_000.0
             ).alias("chars_per_subword_q6"),
         )
