@@ -87,3 +87,67 @@ def test_degenerate_corpus_parity(name, spark, degen_dir):
     finally:
         con.close()
     assert res.ok, f"{name} on degenerate docs: {res.detail}"
+
+
+# --- degenerate EVENTS sweep ------------------------------------------------
+# single-event user, all-tied timestamps, a type with one row: the
+# boundary inputs the ANSI-division audit (COVERAGE.md) reasoned about,
+# verified empirically for every events/timeseries/stats/graph op.
+
+_EV_OPS = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.oracle
+    and any(
+        k in (s.tags or ())
+        for k in ("events", "timeseries", "graph", "stats", "streaming")
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def degen_events_dir(tmp_path_factory):
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("degen_ev"))
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (0, base, 1, "signup", 0.0, '{"k": 1}'),
+        (1, base, 2, "signup", 1.0, '{"k": 2}'),
+        (2, base, 2, "purchase", 2.0, '{"k": 3}'),
+        (3, base, 2, "purchase", 2.0, '{"k": 4}'),
+        (4, base, 2, "view", 0.5, '{"k": 5}'),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d
+
+
+@pytest.mark.parametrize("name", _EV_OPS)
+def test_degenerate_events_parity(name, spark, degen_events_dir):
+    spec = REGISTRY[name]
+    try:
+        df = spec.fn(spark, degen_events_dir)
+        df.limit(1).count()
+    except Exception as ex:  # noqa: BLE001 — only table-absence is skippable
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            pytest.skip("op reads tables absent from the events-only fixture")
+        raise
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{degen_events_dir}/events.parquet')"
+        )
+        res = compare(name, df, con, spec.oracle)
+    except duckdb.Error as ex:
+        if "Catalog Error" in str(ex):
+            pytest.skip("oracle reads tables absent from the events-only fixture")
+        raise
+    finally:
+        con.close()
+    assert res.ok, f"{name} on degenerate events: {res.detail}"
