@@ -171,9 +171,12 @@ def roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == "csv":
             w = w.option("header", True)
         getattr(w, fmt)(path)
-        r = spark.read
+        # explicit schema on every read-back: an EMPTY write leaves no
+        # data files to infer from (legal degenerate input), and the
+        # pinned schema also keeps the comparison type-exact
+        r = spark.read.schema("o_orderkey long")
         if fmt == "csv":
-            r = r.options(header=True, inferSchema=False).schema("o_orderkey long")
+            r = r.options(header=True, inferSchema=False)
         back = getattr(r, fmt)(path)
         outs.append(
             back.agg(
@@ -812,11 +815,15 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     e = s.select("n", F.explode(rows).alias("c"))
+    # try_divide: an empty table is a legal input to a DQ suite — the
+    # global aggregate still emits its row (n=0) and DuckDB reports
+    # NULL ratios, not a crash (empty-input sweep, round 5)
     return e.select(
         F.col("c.constraint_name").alias("constraint_name"),
-        (F.floor(F.col("c.num") * 1_000_000.0 / F.col("n")) / 1_000_000.0).alias(
-            "observed_q6"
-        ),
+        (
+            F.floor(F.try_divide(F.col("c.num") * 1_000_000.0, F.col("n")))
+            / 1_000_000.0
+        ).alias("observed_q6"),
         (F.col("c.num") == F.col("n")).alias("passed"),
     )
 

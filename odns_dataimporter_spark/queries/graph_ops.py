@@ -310,7 +310,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")), "t"
         )
         .agg(
-            F.sum(F.size(F.array_intersect("ns", "nt")))
+            # coalesce: SUM over an empty closing join is NULL while
+            # the oracle's COUNT formulation gives 0 — an edge-free
+            # graph has zero triangles on both engines
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ns", "nt"))), F.lit(0)
+            )
             .cast("long")
             .alias("n_triangles")
         )

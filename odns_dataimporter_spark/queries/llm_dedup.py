@@ -1093,7 +1093,11 @@ def ml_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.agg(
         F.count("*").cast("long").alias("n_candidate_pairs"),
         cross.cast("long").alias("n_cross_split"),
-        (F.floor(cross * 1e8 / F.count("*")) / 1e6).alias("leakage_pct_q6"),
+        # try_divide: zero candidate pairs (tiny/empty corpus) is a
+        # legal outcome of a leakage audit — DuckDB yields NULL
+        (F.floor(F.try_divide(cross * 1e8, F.count("*"))) / 1e6).alias(
+            "leakage_pct_q6"
+        ),
     )
 
 

@@ -925,7 +925,10 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("pair_count"),
         )
         out = row if out is None else out.unionAll(row)
-    return out
+    # an empty corpus learns no merges: the per-round best-pair 1-row
+    # aggregates still emit NULL rows (global agg over empty) that the
+    # oracle's CTEs never produce — drop them
+    return out.filter(F.col("left_sym").isNotNull())
 
 
 def _bpe_learn(spark: SparkSession, sf_dir: str):

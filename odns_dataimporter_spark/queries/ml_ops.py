@@ -141,7 +141,9 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "n_sources",
         ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
-        (F.floor(chi2 * 1e6) / 1e6).alias("chi2_q6"),
+        # empty contingency table → NULL statistic (DuckDB's
+        # list_reduce over an empty list), not the fold's 0.0 init
+        F.when(F.size("a") > 0, F.floor(chi2 * 1e6) / 1e6).alias("chi2_q6"),
     )
 
 
@@ -368,7 +370,10 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
-    return out
+    # an empty input has no picks: the per-round 1-row aggregates still
+    # emit NULL rows (global agg over empty), which the oracle's CTE
+    # chain never produces — drop them (empty-input sweep, round 5)
+    return out.filter(F.col("vec_id").isNotNull())
 
 
 _LR_SCALE = 1048576  # 2^20: float32 embeddings -> exact integer grid

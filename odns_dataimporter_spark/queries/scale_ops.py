@@ -86,7 +86,9 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = os.path.join(tempfile.mkdtemp(prefix="layout_"), "events_by_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY source writes no partition directories,
+    # leaving nothing to infer from (legal degenerate input)
+    back = spark.read.schema(ev.schema).parquet(out)
     return (
         back.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")

@@ -1227,6 +1227,10 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             n.alias("n_days"),
             "s_stat",
-            (F.floor(zc / F.sqrt(var) * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
+            # try_divide: var is 0 for a 0/1-day series (legal input);
+            # DuckDB yields NULL for the z statistic there
+            (F.floor(F.try_divide(zc, F.sqrt(var)) * 1_000_000.0) / 1_000_000.0).alias(
+                "z_q6"
+            ),
         )
     )
