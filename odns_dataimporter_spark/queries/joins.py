@@ -631,3 +631,41 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
     )
+
+
+@register(
+    "join_hash_hinted",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join",),
+)
+def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints: the same orders⋈lineitem aggregate as the
+    plain equi join, but with an explicit SHUFFLE_HASH hint — the
+    operator a tuner reaches for when the build side fits executor
+    memory and the sort-merge sort is the bottleneck (no sort, no
+    spill-to-sort; the classic win on pre-bucketed or medium build
+    sides). The plan pin asserts ShuffledHashJoin actually planned —
+    hints are advisory and silently ignored when malformed, which is
+    exactly the regression this entry guards against."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    return (
+        o.hint("shuffle_hash")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

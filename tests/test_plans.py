@@ -744,3 +744,11 @@ def test_lateral_topk_plans_as_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_lateral_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
+    # the SHUFFLE_HASH hint must survive planning (hints are advisory:
+    # a typo'd hint silently falls back to sort-merge)
+    plan = _plan(spark, sf_dir, "join_hash_hinted")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
