@@ -27,7 +27,10 @@ _TOP_K = 5
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product over double-cast arrays (bit-identical
-    to DuckDB's list_dot_product on DOUBLE[])."""
+    to DuckDB's list_dot_product on DOUBLE[]). Every cosine built on
+    this uses try_divide: a zero-norm vector (legal input) makes the
+    denominator 0, where DuckDB yields NULL and ANSI Spark would crash
+    (zero-vector sweep, round 5)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -84,7 +87,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "cand_id",
-            (_dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))).alias("cos"),
+            (F.try_divide(_dot(F.col("pe"), F.col("ce")), F.col("pn") * F.col("cn"))).alias("cos"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
@@ -192,7 +195,7 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = F.try_divide(_dot(F.col("a.e"), F.col("b.e")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(cos >= 0.3)
@@ -846,7 +849,7 @@ def sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "probe_id",
                 "cand_id",
-                (_dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))).alias(
+                (F.try_divide(_dot(F.col("pe"), F.col("ce")), F.col("pn") * F.col("cn"))).alias(
                     "cos"
                 ),
             )
@@ -935,7 +938,7 @@ def embed_decontaminate_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("enrm"),
     )
     t = v.filter(F.col("vec_id") % 50 != 0)
-    cos = _dot(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("enrm"))
+    cos = F.try_divide(_dot(F.col("e"), F.col("ee")), F.col("nrm") * F.col("enrm"))
     scored = t.crossJoin(F.broadcast(ev)).select(
         "vec_id", "eval_id", cos.alias("cos")
     )
@@ -1009,6 +1012,10 @@ def decontam_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = embed_decontaminate_cosine(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.col("is_contaminated").alias("_embed_hit"),
+        # row-presence marker: a zero-norm vector has a row but a NULL
+        # contamination flag (NULL cosine), so has_vector must key off
+        # the JOIN match, not flag nullity (zero-vector sweep, round 5)
+        F.lit(True).alias("_has_vec"),
     )
     j = ng.join(em, "doc_id", "left")
     embed_hit = F.coalesce(F.col("_embed_hit"), F.lit(False))
@@ -1016,7 +1023,7 @@ def decontam_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ngram_hit",
         embed_hit.alias("embed_hit"),
-        F.col("_embed_hit").isNotNull().alias("has_vector"),
+        F.coalesce(F.col("_has_vec"), F.lit(False)).alias("has_vector"),
         F.when(F.col("ngram_hit") & embed_hit, "both")
         .when(F.col("ngram_hit"), "ngram")
         .when(embed_hit, "embedding")
