@@ -1219,8 +1219,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "qe",
             _qdot(qe, qe).alias("n2"),
-            (
-                _qdot(qe, cvec) / (F.sqrt(_qdot(qe, qe)) * F.sqrt(_qdot(cvec, cvec)))
+            # try_divide: a zero-norm vector (legal input) has no
+            # defined centroid cosine — NULL on both engines
+            F.try_divide(
+                _qdot(qe, cvec), F.sqrt(_qdot(qe, qe)) * F.sqrt(_qdot(cvec, cvec))
             ).alias("cos_cent"),
         )
     )

@@ -55,12 +55,11 @@ def degen_dir(tmp_path_factory):
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    vecs = [np.arange(64, dtype=np.float32) / 64 for _ in range(4)]
+    vecs[1] = np.zeros(64, dtype=np.float32)  # zero norm: NULL cosine
+    vecs[2] = np.full(64, 1e-8, dtype=np.float32)  # near-zero norm
     pd.DataFrame(
-        {
-            "vec_id": range(4),
-            "embedding": [np.arange(64, dtype=np.float32) / 64 for _ in range(4)],
-            "label": [0, 1, 0, 1],
-        }
+        {"vec_id": range(4), "embedding": vecs, "label": [0, 1, 0, 1]}
     ).to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
     return d
 
