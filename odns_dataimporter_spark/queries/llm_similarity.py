@@ -155,9 +155,9 @@ def _ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int) -> DataFrame:
         .select(
             "probe_id",
             "cand_id",
-            (
-                _dot(F.col("pe"), F.col("ce"))
-                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+            F.try_divide(
+                _dot(F.col("pe"), F.col("ce")),
+                F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))),
             ).alias("cos"),
         )
     )
@@ -287,9 +287,9 @@ def _ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select(
             "probe_id",
             "cand_id",
-            (
-                _dot(F.col("pe"), F.col("ce"))
-                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+            F.try_divide(
+                _dot(F.col("pe"), F.col("ce")),
+                F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce"))),
             ).alias("cos"),
         )
     )
@@ -669,7 +669,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "cand_id",
-            (F.col("dot_hat") / (F.col("pn") * F.sqrt(F.col("cn2_sum")))).alias("cos_hat"),
+            # try_divide: zero-norm probes/candidates (legal) have no
+            # defined reconstructed cosine
+            F.try_divide(
+                F.col("dot_hat"), F.col("pn") * F.sqrt(F.col("cn2_sum"))
+            ).alias("cos_hat"),
         )
     )
     wk = W.partitionBy("probe_id").orderBy(F.col("cos_hat").desc(), F.col("cand_id"))
