@@ -196,9 +196,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         run(name)  # warmup
-        # best-of-2 warm runs: machine-load noise is ±25% on this box,
-        # and the minimum is the stable estimator of intrinsic cost
-        timings[name] = round(min(run(name), run(name)), 4)
+        # best-of-3 warm runs: machine-load noise reached ±2x across
+        # round-5 runs; the minimum is the stable estimator of
+        # intrinsic cost and 3 samples tame the outlier tail
+        timings[name] = round(min(run(name), run(name), run(name)), 4)
 
     ingest = _bench_ingest(spark)
 
