@@ -156,3 +156,49 @@ def test_burn_rate_stream_equals_batch(spark, sf_dir, src_dir):
     # hour has no watermark past it); everything emitted must match
     assert got <= want
     assert len(got) >= len(want) - 2
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics: a file-source stream stopped and restarted
+    against the SAME checkpoint must process each input file exactly
+    once — new files picked up, old files never reprocessed, and an
+    idle restart writing nothing. This is the recovery contract that
+    makes the ODNS archive-watch ingest (stream_odns_archive_ingest)
+    safe to crash anywhere."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # phase 1: first half
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == half1.count()
+
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # phase 2: restart from checkpoint, pick up only new file
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total  # no dupes
+
+    run_once()  # phase 3: idle restart reprocesses nothing
+    assert spark.read.parquet(sink).count() == total
