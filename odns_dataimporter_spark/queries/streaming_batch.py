@@ -285,3 +285,48 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_final_count, "user_id long, n_events long")
     )
+
+
+@register(
+    "stream_join_interval_outer",
+    oracle=f"""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       {ts_str_sql('v.ts')} AS view_ts, {ts_str_sql('p.ts')} AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER view→purchase attribution within 4 hours — the batch
+    twin of the outer stream-stream join (jobs.stream_stream_join_outer):
+    every view appears, with NULL purchase columns when no purchase
+    followed in the window. In the streaming form the NULL rows are the
+    hard part — they can only be emitted once the watermark proves no
+    match can still arrive; the batch twin pins exactly which rows
+    those must be."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+        "left",
+    )
+    return j.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        ts_str("v_ts").alias("view_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+    )

@@ -35,7 +35,9 @@ def prepare_stream_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str
     return out_dir
 
 
-def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, src_dir: str, options: dict | None = None
+) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -46,7 +48,10 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    return spark.readStream.schema(schema).parquet(src_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(src_dir)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -346,3 +351,46 @@ def stream_burn_rate(spark: SparkSession, src_dir: str) -> DataFrame:
         (F.floor(F.col("n_err") * 1e8 / F.col("n_tot")) / 1e6).alias("burn_1h_q6"),
         (F.col("n_err") * 1000 > 144 * F.col("n_tot")).alias("page_1h"),
     )
+
+
+def stream_stream_join_outer(
+    spark: SparkSession, src_dir: str, options: dict | None = None
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — with
+    its purchase when one lands within 4 h, with NULLs once the
+    watermark proves none can. Same bounded-state mechanics as the
+    inner join (stream_stream_join); the outer part is WHY the
+    watermark is mandatory here: without it Spark could never conclude
+    a view is unmatched. NULL rows surface only as the watermark
+    passes view_ts + 4 h, so a finite drain needs a flush event past
+    the horizon (the equivalence test appends one)."""
+    v = (
+        read_events_stream(spark, src_dir, options)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts"))
+    )
+    p = (
+        read_events_stream(spark, src_dir, options)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        ts_str("v_ts").alias("view_ts"),
+        ts_str("p_ts").alias("purchase_ts"),
+    )
+    return _run_to_memory(j, "append")

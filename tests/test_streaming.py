@@ -202,3 +202,63 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
 
     run_once()  # phase 3: idle restart reprocesses nothing
     assert spark.read.parquet(sink).count() == total
+
+
+def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """Outer-join NULL emission: augment the source with a far-future
+    flush view so the watermark passes every real view's horizon, then
+    the streamed result (minus the flush row) must equal the batch
+    twin exactly — matched rows AND watermark-proven NULL rows."""
+    from pyspark.sql import functions as F
+
+    from odns_dataimporter_spark.queries.streaming_batch import (
+        stream_join_interval_outer,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src2 = str(tmp_path / "src_flush")
+    ev.write.mode("append").parquet(src2)
+    # flush BOTH streams: the global watermark is the MIN of the two
+    # sides' watermarks, so a view-only flush leaves the purchase side
+    # pinned at the last real purchase and the final views' NULL rows
+    # withheld forever
+    mx = ev.agg(F.max("ts").alias("mx"))
+    flush = mx.selectExpr(
+        "stack(2, -1L, 'view', -2L, 'purchase') AS (event_id, event_type)",
+        "mx + INTERVAL 30 DAYS AS ts",
+    ).select(
+        "event_id",
+        "ts",
+        F.col("event_id").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    # schema-align the flush row to the parquet layout before appending.
+    # TWO flush files in increasing time order: watermark-driven NULL
+    # emission happens one micro-batch AFTER the watermark advances, so
+    # the first flush unlocks the real views' NULLs in the second
+    # flush's batch (the second flush's own NULL row stays withheld —
+    # and is filtered out below anyway)
+    flush.select([F.col(c).cast(t) for c, t in ev.dtypes]).write.mode(
+        "append"
+    ).parquet(src2)
+    flush2 = flush.select(
+        (F.col("event_id") - 2).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        (F.col("user_id") - 2).alias("user_id"),
+        *[F.col(c) for c in ["event_type", "value", "props"]],
+    )
+    flush2.select([F.col(c).cast(t) for c, t in ev.dtypes]).write.mode(
+        "append"
+    ).parquet(src2)
+
+    # one file per micro-batch: watermark advancement (end of the first
+    # flush's batch) and NULL emission (the second flush's batch) land
+    # in deterministic separate batches
+    streamed = jobs.stream_stream_join_outer(
+        spark, src2, options={"maxFilesPerTrigger": "1"}
+    ).filter("view_id >= 0")
+    batch = stream_join_interval_outer(spark, sf_dir)
+    cols = ["view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
