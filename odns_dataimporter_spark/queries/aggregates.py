@@ -646,3 +646,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("approx_cents", 2).alias("p95_cents"),
         F.element_at("approx_cents", 3).alias("p99_cents"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+       CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("agg",),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) over the
+    order keys per status — the flag-mask rollup primitive (capability
+    intersections, parity checksums, set-membership masks). All three
+    are associative/commutative integer folds, so they map-side combine
+    like SUM and are exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").cast("long").alias("key_and"),
+        F.bit_or("o_orderkey").cast("long").alias("key_or"),
+        F.bit_xor("o_orderkey").cast("long").alias("key_xor"),
+        F.count("*").cast("long").alias("n"),
+    )
