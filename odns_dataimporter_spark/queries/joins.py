@@ -634,38 +634,39 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_hash_hinted",
+    "join_merge_hinted",
     oracle="""
-SELECT o.o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-         AS price_cents
-FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-GROUP BY o.o_orderpriority
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
 """,
-    tags=("join",),
+    tags=("join", "physical"),
 )
-def join_hash_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-strategy hints: the same orders⋈lineitem aggregate as the
-    plain equi join, but with an explicit SHUFFLE_HASH hint — the
-    operator a tuner reaches for when the build side fits executor
-    memory and the sort-merge sort is the bottleneck (no sort, no
-    spill-to-sort; the classic win on pre-bucketed or medium build
-    sides). The plan pin asserts ShuffledHashJoin actually planned —
-    hints are advisory and silently ignored when malformed, which is
-    exactly the regression this entry guards against."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    )
+def join_merge_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPPOSITE planner override from `join_shuffle_hash_hint`: a
+    customer⋈orders join where the customer side is small enough that
+    the planner would pick a BROADCAST hash join, pinned to SORT-MERGE
+    via `.hint("merge")`. This is the tuner's escape hatch when the
+    "small" side is small in rows but wide/explosive in bytes (or the
+    driver is memory-starved) and broadcasting it OOMs the executors —
+    sort-merge spills gracefully where a hash build cannot. The plan
+    test asserts SortMergeJoin planned AND no broadcast exchange of
+    the customer side — the inverse pin of the shuffle-hash entry, so
+    each guards a distinct hint pathway (round-6 ADVICE: the previous
+    `join_hash_hinted` duplicated the shuffle-hash pin)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     return (
-        o.hint("shuffle_hash")
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderpriority")
+        c.hint("merge")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
         .agg(
-            F.count("*").cast("long").alias("n_items"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
             .cast("long")
-            .alias("price_cents"),
+            .alias("total_cents"),
         )
     )

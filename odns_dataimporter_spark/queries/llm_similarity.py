@@ -897,7 +897,7 @@ WITH v AS (
 s AS (
   SELECT t.vec_id, ev.vec_id AS eval_id,
          list_dot_product(t.e, ev.e) / (t.nrm * ev.nrm) AS cos
-  FROM v t JOIN v ev ON ev.vec_id % 50 = 0
+  FROM v t JOIN v ev ON ev.vec_id % 50 = 0 AND ev.nrm > 0
   WHERE t.vec_id % 50 != 0
 ),
 best AS (
@@ -936,7 +936,14 @@ def embed_decontaminate_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    ev = v.filter(F.col("vec_id") % 50 == 0).select(
+    # Zero-norm eval vectors are excluded (enrm > 0): cos against them
+    # is NULL (try_divide), and Spark's min(struct) sorts a NULL field
+    # FIRST while the oracle's ORDER BY cos DESC sorts NULLs LAST — a
+    # degenerate eval vector would otherwise hijack every argmax
+    # (round-6 ADVICE fix). A zero-norm TRAINING vector is fine: all
+    # its cos are NULL on both sides and both engines tiebreak to the
+    # min eval_id with NULL score.
+    ev = v.filter((F.col("vec_id") % 50 == 0) & (F.col("nrm") > 0)).select(
         F.col("vec_id").alias("eval_id"),
         F.col("e").alias("ee"),
         F.col("nrm").alias("enrm"),
@@ -976,7 +983,7 @@ v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings),
 es AS (SELECT tr.vec_id, max(list_dot_product(tr.e, ev.e) / (tr.nrm * ev.nrm)) AS mx
-       FROM v tr JOIN v ev ON ev.vec_id % 50 = 0
+       FROM v tr JOIN v ev ON ev.vec_id % 50 = 0 AND ev.nrm > 0
        WHERE tr.vec_id % 50 != 0 GROUP BY tr.vec_id),
 base AS (SELECT doc_id FROM documents WHERE doc_id % 50 != 0)
 SELECT b.doc_id,

@@ -635,8 +635,12 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(3 AS INTEGER) AS n_keys,
-       'k=' || json_extract_string(props, '$.k')
-         || ',type=' || upper(event_type) AS entries,
+       -- mirrors Spark exactly (round-6 ADVICE): transform_values
+       -- upper-cases EVERY value incl. $.k, and concat_ws SKIPS a
+       -- NULL value (entry renders as bare 'k' / 'type', never NULL)
+       ('k' || COALESCE('=' || upper(json_extract_string(props, '$.k')), ''))
+         || ','
+         || ('type' || COALESCE('=' || upper(event_type), '')) AS entries,
        upper(event_type) = 'PURCHASE' AS is_purchase
 FROM events
 """,

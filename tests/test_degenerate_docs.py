@@ -55,11 +55,20 @@ def degen_dir(tmp_path_factory):
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
-    vecs = [np.arange(64, dtype=np.float32) / 64 for _ in range(4)]
+    vecs = [np.arange(64, dtype=np.float32) / 64 for _ in range(6)]
     vecs[1] = np.zeros(64, dtype=np.float32)  # zero norm: NULL cosine
     vecs[2] = np.full(64, 1e-8, dtype=np.float32)  # near-zero norm
+    # vec_id 50: zero-norm vector at an EVAL position (% 50 == 0) — the
+    # round-6 ADVICE case: a NULL-cosine eval vector must not hijack
+    # the decontamination argmax (Spark min(struct) sorts NULL first).
+    vecs[4] = np.zeros(64, dtype=np.float32)
+    vecs[5] = -np.arange(64, dtype=np.float32) / 64  # valid eval, cos=-1ish
     pd.DataFrame(
-        {"vec_id": range(4), "embedding": vecs, "label": [0, 1, 0, 1]}
+        {
+            "vec_id": [0, 1, 2, 3, 50, 100],
+            "embedding": vecs,
+            "label": [0, 1, 0, 1, 0, 1],
+        }
     ).to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
     return d
 

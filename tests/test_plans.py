@@ -749,6 +749,16 @@ def test_lateral_topk_plans_as_join(spark, sf_dir):
 def test_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
     # the SHUFFLE_HASH hint must survive planning (hints are advisory:
     # a typo'd hint silently falls back to sort-merge)
-    plan = _plan(spark, sf_dir, "join_hash_hinted")
+    plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_hint_overrides_broadcast(spark, sf_dir):
+    # the MERGE hint must beat the planner's broadcast preference for
+    # the small customer side — the inverse pin of the shuffle-hash
+    # test (a no-op hint would silently leave BroadcastHashJoin)
+    plan = _plan(spark, sf_dir, "join_merge_hinted")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
