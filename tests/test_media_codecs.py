@@ -1,0 +1,141 @@
+"""Pure-Python media codec tests (media.py): golden byte-level
+assertions against hand-computed BMP/WAV layouts, round-trip property
+tests, and malformed-input rejection. These run with NO Spark session —
+the codecs are plain bytes -> tuple functions; their distributed use is
+covered by the multimodal_extract / multimodal_wav_stats oracle parity
+(test_oracle_parity.py) and the degenerate-docs sweep."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from odns_dataimporter_spark.media import (
+    BMP_WIDTH,
+    decode_bmp,
+    decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+# --- BMP goldens -------------------------------------------------------------
+
+
+def test_bmp_golden_header_layout():
+    blob = encode_bmp(bytes(range(16)))  # exactly one 16px row
+    assert blob[:2] == b"BM"
+    (file_size,) = struct.unpack_from("<I", blob, 2)
+    assert file_size == len(blob) == 54 + 48  # header + one 16*3 row
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    assert offset == 54
+    header_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    assert (header_size, width, height) == (40, 16, 1)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    assert (planes, bpp) == (1, 24)
+    # pixel 0 is byte value 0 in BGR, pixel 5 is (5,5,5)
+    assert blob[54:57] == b"\x00\x00\x00"
+    assert blob[54 + 15 : 54 + 18] == b"\x05\x05\x05"
+
+
+def test_bmp_bottom_up_row_order():
+    # 2 rows: payload row 0 (values 1) must be stored LAST (bottom-up)
+    payload = bytes([1] * 16 + [2] * 16)
+    blob = encode_bmp(payload)
+    assert blob[54] == 2  # first stored row = image bottom = row 1
+    assert blob[54 + 48] == 1
+    w, h, c, px = decode_bmp(blob)
+    assert (w, h, c) == (16, 2, 3)
+    assert px == 16 * 1 + 16 * 2  # decode re-inverts row order correctly
+
+
+def test_bmp_stride_padding_nondivisible_width():
+    # width 5 -> 15 pixel bytes -> stride 16: decoder must skip 1 pad
+    # byte per row or the channel offsets shear
+    payload = bytes([10] * 5 + [20] * 5)
+    blob = encode_bmp(payload, width=5)
+    w, h, c, px = decode_bmp(blob)
+    assert (w, h) == (5, 2)
+    assert px == 5 * 10 + 5 * 20
+
+
+def test_bmp_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNGGARBAGE")
+    blob = bytearray(encode_bmp(b"abc"))
+    struct.pack_into("<H", blob, 28, 8)  # claim 8bpp
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(blob))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(bytes(100))[:-10])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_bmp_roundtrip_property(payload):
+    w, h, c, px = decode_bmp(encode_bmp(payload))
+    assert w == BMP_WIDTH
+    assert h == max(1, -(-len(payload) // BMP_WIDTH))
+    assert c == 3
+    assert px == sum(payload)  # zero padding adds nothing
+
+
+# --- WAV goldens -------------------------------------------------------------
+
+
+def test_wav_golden_chunk_layout():
+    blob = encode_wav(bytes([128, 129, 127]))  # samples 0, 256, -256
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert blob[12:16] == b"fmt "
+    fmt_size, audio_fmt, ch, rate = struct.unpack_from("<IHHI", blob, 16)
+    assert (fmt_size, audio_fmt, ch, rate) == (16, 1, 1, 8000)
+    assert blob[36:40] == b"data"
+    assert struct.unpack_from("<3h", blob, 44) == (0, 256, -256)
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    # splice a LIST chunk (odd size -> pad byte) between fmt and data:
+    # a real-world WAV often carries one; the walker must skip it
+    blob = encode_wav(bytes([130] * 4))
+    fmt_end = 36
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # odd + pad
+    spliced = blob[:fmt_end] + junk + blob[fmt_end:]
+    # patch RIFF size
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    rate, frames, ch, s = decode_wav(spliced)
+    assert (rate, frames, ch) == (8000, 4, 1)
+    assert s == 4 * abs((130 - 128) * 256)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 64)
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_wav_roundtrip_property(payload):
+    rate, frames, ch, s = decode_wav(encode_wav(payload))
+    assert (rate, ch) == (8000, 1)
+    assert frames == len(payload)
+    assert s == sum(abs((b - 128) * 256) for b in payload)
+
+
+# --- dispatch ----------------------------------------------------------------
+
+
+def test_decode_image_dispatch():
+    assert decode_image(encode_bmp(b"xyz"))[2] == 3
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"GIF89a")

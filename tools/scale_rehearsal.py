@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Round-6 scale rehearsal: measure the headline query set at sf0.1 AND
+sf1 (10x) in one session and report per-query scaling ratios.
+
+The 100-TB design claims in ARCHITECTURE.md are arguments; this is the
+measurement. Data growth is 10x, so a query whose runtime scales ~<=10x
+is at-worst-linear; >15x earns a root-cause note (VERDICT r5 item 1).
+Ratios use min-of-N warm runs (min is the stable estimator under the
++-2x machine-load noise measured in round 5); medians are recorded too.
+
+sf1 data: python tools/gen_sf.py --sf 1 --out .sfdata/sf1  (shape-
+faithful to the driver testdata; see the gen_sf docstring).
+
+Output: SCALING.json (raw min/median per query per sf + ratios).
+Usage: python tools/scale_rehearsal.py [--runs 3] [--only name,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from odns_dataimporter_spark.registry import REGISTRY, all_queries  # noqa: E402
+from odns_dataimporter_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".sfdata", "sf1")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--only", default="")
+    a = ap.parse_args()
+
+    spark = get_spark(app_name="scale_rehearsal", cpus="32")
+    all_queries()
+    names = [n for n in HEADLINE if n in REGISTRY]
+    if a.only:
+        keep = set(a.only.split(","))
+        names = [n for n in names if n in keep]
+
+    def run_once(name: str, sf_dir: str) -> float:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def measure(name: str, sf_dir: str) -> dict:
+        run_once(name, sf_dir)  # warm (plan cache, file listing, JIT)
+        ts = sorted(run_once(name, sf_dir) for _ in range(a.runs))
+        return {
+            "min": round(ts[0], 4),
+            "median": round(ts[len(ts) // 2], 4),
+        }
+
+    out: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        r01 = measure(name, SF01)
+        r1 = measure(name, SF1)
+        ratio = round(r1["min"] / r01["min"], 2) if r01["min"] > 0 else None
+        out[name] = {"sf0.1": r01, "sf1": r1, "ratio": ratio}
+        print(
+            f"[{i + 1}/{len(names)}] {name}: sf0.1 {r01['min']}s -> "
+            f"sf1 {r1['min']}s ({ratio}x)",
+            flush=True,
+        )
+
+    payload = {
+        "data_growth": 10.0,
+        "runs_per_point": a.runs,
+        "queries": out,
+        "worst": sorted(
+            ((n, v["ratio"]) for n, v in out.items() if v["ratio"]),
+            key=lambda t: -t[1],
+        )[:10],
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print("WROTE SCALING.json", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
