@@ -194,28 +194,46 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in names:
         run(name)  # warmup
         # best-of-3 warm runs: machine-load noise reached ±2x across
         # round-5 runs; the minimum is the stable estimator of
-        # intrinsic cost and 3 samples tame the outlier tail
-        timings[name] = round(min(run(name), run(name), run(name)), 4)
+        # intrinsic cost and 3 samples tame the outlier tail. The
+        # median rides along (round-6: noise-floor hardening — trend
+        # analysis uses mins, medians expose how noisy the run was)
+        samples = sorted(run(name) for _ in range(3))
+        timings[name] = round(samples[0], 4)
+        stats[name] = {"min": round(samples[0], 4), "median": round(samples[1], 4)}
 
     ingest = _bench_ingest(spark)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ingest": ingest,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_warm",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "queries_stats": stats,
+        "ingest": ingest,
+        "sf": sf,
+    }
+    # sf1 scale rehearsal (round 6): per-query sf0.1 -> sf1 ratios,
+    # measured by tools/scale_rehearsal.py on locally generated 10x
+    # data (tools/gen_sf.py). Embedded as a RECORDED artifact — a live
+    # sf1 pass would blow the driver's bench budget; regenerate with:
+    #   python tools/gen_sf.py --sf 1 --out .sfdata/sf1
+    #   python tools/scale_rehearsal.py
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        payload["sf1_rehearsal"] = {
+            "provenance": "recorded by tools/scale_rehearsal.py (see SCALING.md)",
+            "data_growth": sc.get("data_growth"),
+            "ratios": {n: v.get("ratio") for n, v in sc.get("queries", {}).items()},
+            "worst": sc.get("worst"),
+        }
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -446,49 +446,77 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishing a snapshot, and the natural guard in front of the
     reference's delete-then-reload sink (a bad file would otherwise
     replace a good snapshot, reference dataimporter.py:187-200). Scale
-    shape: each check is an aggregate or anti join that Catalyst plans
-    independently; the FK check broadcasts the orders key set at small
-    scale and sort-merges at large — never a nested loop."""
+    shape (round-6 single-pass rewrite — the previous version scanned
+    orders 5x and lineitem 4x, one per constraint): every table is
+    scanned ONCE. Orders fold to a per-key row (count + bad-status
+    count riding the same shuffle) that serves pk-uniqueness, the row
+    total, the domain check, AND the FK key set — checkpointed once
+    for its diverging consumers. Lineitem's three checks (row count,
+    FK orphans via a left join against that key set, qty range) ride
+    one scan + one join; customer's two ride one scan. The five report
+    rows then inline() out of the single assembled stats row — the
+    1-row crossJoins are broadcast-trivial."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
 
-    def one(name, n_violations, n_checked):
-        return n_violations.crossJoin(n_checked).select(
+    per_key = (
+        orders.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: stats + FK keys
+    )
+    o_stats = per_key.agg(
+        # coalesce: SUM over an EMPTY orders table is NULL where the
+        # oracle's COUNT(*) is 0 (empty-table sweep)
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("o_total"),
+        F.count(F.when(F.col("n") > 1, 1)).cast("long").alias("o_pk_dups"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("o_bad_status"),
+    )
+    li_joined = li.select("l_orderkey", "l_quantity").join(
+        per_key.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    li_stats = li_joined.agg(
+        F.count("*").cast("long").alias("l_total"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1))
+        .cast("long")
+        .alias("l_orphans"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).cast("long").alias("l_bad_qty"),
+    )
+    c_stats = cust.agg(
+        F.count("*").cast("long").alias("c_total"),
+        F.count(F.when(F.col("c_acctbal").isNull(), 1)).cast("long").alias("c_nulls"),
+    )
+
+    def entry(name: str, v, c):
+        return F.struct(
             F.lit(name).alias("constraint_name"),
-            F.col("v").cast("long").alias("n_violations"),
-            F.col("c").cast("long").alias("n_checked"),
+            v.alias("n_violations"),
+            c.alias("n_checked"),
         )
 
-    pk_dups = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .agg(F.count("*").alias("v"))
-    )
-    fk_orphans = (
-        li.join(orders.select("o_orderkey"),
-                li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count("*").alias("v"))
-    )
-    null_bal = cust.agg(
-        F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("v")
-    )
-    bad_status = orders.agg(
-        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("v")
-    )
-    bad_qty = li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("v"))
-
-    n_orders = orders.agg(F.count("*").alias("c"))
-    n_li = li.agg(F.count("*").alias("c"))
-    n_cust = cust.agg(F.count("*").alias("c"))
-
     return (
-        one("orders_pk_unique", pk_dups, n_orders)
-        .unionByName(one("lineitem_fk_orders", fk_orphans, n_li))
-        .unionByName(one("customer_acctbal_not_null", null_bal, n_cust))
-        .unionByName(one("orders_status_domain", bad_status, n_orders))
-        .unionByName(one("lineitem_qty_positive", bad_qty, n_li))
+        o_stats.crossJoin(li_stats)
+        .crossJoin(c_stats)
+        .select(
+            F.inline(
+                F.array(
+                    entry("orders_pk_unique", F.col("o_pk_dups"), F.col("o_total")),
+                    entry("lineitem_fk_orders", F.col("l_orphans"), F.col("l_total")),
+                    entry(
+                        "customer_acctbal_not_null", F.col("c_nulls"), F.col("c_total")
+                    ),
+                    entry("orders_status_domain", F.col("o_bad_status"), F.col("o_total")),
+                    entry("lineitem_qty_positive", F.col("l_bad_qty"), F.col("l_total")),
+                )
+            )
+        )
     )
 
 
@@ -579,7 +607,14 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows past the horizon never materialize).
     """
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    # four diverging consumers (spine, dau, wau, mau): checkpoint so
+    # the events scan + (day,user) distinct shuffle run once (was 4
+    # full re-derivations, round-6 scan audit)
+    du = (
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     spine = du.select("d").distinct()
 
     def rolled(width: int, name: str) -> DataFrame:

@@ -158,11 +158,19 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     )
     anchor = ev.agg(F.max(day).alias("anchor_day"))
-    u = u.crossJoin(F.broadcast(anchor)).select(
-        "user_id",
-        F.datediff("anchor_day", "last_day").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary_cents",
+    u = (
+        u.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        # two diverging consumers (quantile agg + scoring join):
+        # checkpoint so the events scan + per-user reduction run once
+        # (round-6 scan audit; the remaining second scan is the benign
+        # 2-column anchor scalar)
+        .localCheckpoint(eager=False)
     )
     qexpr = {
         f"{p}{int(q * 100)}": F.expr(

@@ -1084,7 +1084,7 @@ def ml_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = docs.select(
         "doc_id", F.when(bucket < 8, "train").otherwise("test").alias("split")
-    )
+    ).localCheckpoint(eager=False)  # joined twice (doc_a + doc_b sides)
     labeled = (
         pairs.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), "doc_a")
         .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), "doc_b")

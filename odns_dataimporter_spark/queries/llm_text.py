@@ -786,6 +786,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "_z"),
         )
         .select("doc_id", "pos", F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
+        # three diverging consumers (bigram counts, prefix counts, the
+        # scoring join): checkpoint so the scan + bigram explode run
+        # once (round-6 scan audit; the remaining second scan is the
+        # text-only vocab-size scalar)
+        .localCheckpoint(eager=False)
     )
     bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
     pc = bi.groupBy("w1").agg(F.count("*").cast("long").alias("cp"))
@@ -1457,10 +1462,20 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = W.partitionBy("doc_id").orderBy("pos")
     ph = e.withColumn("pid", F.sum("is_stop").over(wcum))
-    pw0 = ph.filter(F.col("is_stop") == 0).select("doc_id", "pid", "pos", "tok")
+    # checkpoints (round-6 scan audit): pw0's explode+window subtree
+    # feeds both the phrase-length aggregate and the join back; pw then
+    # feeds both word stats and phrase scoring — without them the
+    # documents scan re-runs 4x
+    pw0 = (
+        ph.filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "pos", "tok")
+        .localCheckpoint(eager=False)
+    )
     plen = pw0.groupBy("doc_id", "pid").agg(F.count("*").cast("long").alias("plen"))
-    pw = pw0.join(plen, ["doc_id", "pid"]).filter(
-        F.col("plen") <= _RAKE_MAX_PHRASE
+    pw = (
+        pw0.join(plen, ["doc_id", "pid"])
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+        .localCheckpoint(eager=False)
     )
     ws = pw.groupBy("tok").agg(
         F.count("*").cast("long").alias("freq"),

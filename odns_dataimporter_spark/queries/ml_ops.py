@@ -109,8 +109,13 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 floor quantization; expected counts are computed
     scale-before-divide (rt*ct/n) on both sides."""
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count("*").cast("long").alias("obs")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("obs"))
+        # four diverging consumers (row/col/grand totals + the join):
+        # checkpoint so the documents scan + cell reduction run once
+        # (round-6 scan audit)
+        .localCheckpoint(eager=False)
     )
     rt = cells.groupBy("lang").agg(F.sum("obs").alias("rt"))
     ct = cells.groupBy("source").agg(F.sum("obs").alias("ct"))

@@ -1001,8 +1001,13 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw rows)."""
     o = load_table(spark, sf_dir, "orders")
     cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.sum(cents_col).cast("long").alias("cents")
+    c = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(cents_col).cast("long").alias("cents"))
+        # diverging consumers (ix, nn twice): checkpoint so the orders
+        # scan + day reduction run once (was 5 orders scans, round-6
+        # scan audit)
+        .localCheckpoint(eager=False)
     )
     ix = c.select(
         "cents", (F.row_number().over(W.orderBy("day")) - 1).cast("long").alias("idx")
@@ -1186,8 +1191,14 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     length grows with the time span, not the data volume."""
     o = load_table(spark, sf_dir, "orders")
     cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.sum(cents_col).cast("long").alias("cents")
+    c = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(cents_col).cast("long").alias("cents"))
+        # four diverging consumers (pair sides a/b, n, tie counts):
+        # checkpoint so the orders scan + day reduction run once
+        # (round-6 scan audit; the projections differ per consumer, so
+        # ReusedExchange does NOT dedupe these)
+        .localCheckpoint(eager=False)
     )
     a = c.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
     b = c.select(F.col("day").alias("db"), F.col("cents").alias("cb"))

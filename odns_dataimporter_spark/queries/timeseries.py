@@ -682,6 +682,11 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_late"),
         )
+        # two diverging consumers (totals scalar + final select):
+        # checkpoint so the events scan + per-type reduction run once
+        # (round-6 scan audit; the midpoint scalar's pruned ts-only
+        # scan remains, and is the benign broadcast-scalar pattern)
+        .localCheckpoint(eager=False)
     )
     tot = c.agg(
         F.sum("n_early").cast("long").alias("te"),
@@ -1053,9 +1058,16 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     events; for decade-long series the standard move is repeated-median
     on a day sample, same plan shape."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("long").alias("y"))
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+        # diverging consumers (min-day scalar + both pair sides):
+        # checkpoint so the events scan + day reduction run once
+        # (round-6 scan audit)
+        .localCheckpoint(eager=False)
+    )
     m = d.agg(F.min("day").alias("d0"))
     x = d.crossJoin(F.broadcast(m)).select(
         "event_type", F.datediff("day", "d0").cast("long").alias("xi"), "y"

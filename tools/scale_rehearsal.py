@@ -73,12 +73,19 @@ def main() -> None:
             flush=True,
         )
 
+    # --only reruns merge into the existing file instead of clobbering
+    # the full table
+    path = os.path.join(REPO, "SCALING.json")
+    merged = out
+    if a.only and os.path.exists(path):
+        with open(path) as f:
+            merged = {**json.load(f).get("queries", {}), **out}
     payload = {
         "data_growth": 10.0,
         "runs_per_point": a.runs,
-        "queries": out,
+        "queries": merged,
         "worst": sorted(
-            ((n, v["ratio"]) for n, v in out.items() if v["ratio"]),
+            ((n, v["ratio"]) for n, v in merged.items() if v["ratio"]),
             key=lambda t: -t[1],
         )[:10],
     }
