@@ -140,6 +140,72 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
     return sample_rate, n_samples // (channels or 1), channels or 1, abs_sum
 
 
+def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL BMP decode to the full pixel grid: returns (width, height,
+    gray) where gray is the blue channel row-major TOP-DOWN — i.e. the
+    original payload order for encode_bmp output. Shares the header
+    validation with decode_bmp; walks the bottom-up stride-padded rows
+    and re-inverts them."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    (data_offset,) = struct.unpack_from("<I", blob, 10)
+    header_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    _, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        off = data_offset + src_row * stride
+        row = blob[off : off + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated pixel data")
+        rows.append(row[0::3])  # blue channel (BGR)
+    return width, height, b"".join(rows)
+
+
+def resize_bmp_nn(blob: bytes, factor: int = 2) -> tuple[int, int, int, int, bytes]:
+    """Nearest-neighbor downsample of a decoded BMP by an integer
+    factor: out[r][c] = in[factor*r][factor*c]. Returns (in_w, in_h,
+    out_w, out_h, out_gray). Output dims floor-divide, clamped to >= 1
+    (a 1-row image stays 1 row)."""
+    w, h, gray = decode_bmp_pixels(blob)
+    ow, oh = max(1, w // factor), max(1, h // factor)
+    out = bytes(gray[factor * r * w + factor * c] for r in range(oh) for c in range(ow))
+    return w, h, ow, oh, out
+
+
+def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL WAV decode returning the PCM16 samples themselves:
+    (sample_rate, n_channels, samples). Same chunk walk as decode_wav."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, channels = 12, None, None
+    samples: list[int] = []
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, pos)
+            (bits,) = struct.unpack_from("<H", blob, pos + 14)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            samples = list(struct.unpack_from(f"<{size // 2}h", blob, pos))
+        pos += size + (size & 1)
+    if sample_rate is None:
+        raise ValueError("missing fmt chunk")
+    return sample_rate, channels or 1, samples
+
+
 # --- dispatch ----------------------------------------------------------------
 
 

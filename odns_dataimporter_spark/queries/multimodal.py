@@ -215,6 +215,185 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_px_sum", T.LongType()),
+        T.StructField("out_digest", T.StringType()),
+    ]
+)
+
+
+def resize_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: encode each doc's bytes as a real BMP, decode
+    the pixel grid back, nearest-neighbor downsample by 2, and report
+    output dims + exact pixel sum + a canonical digest of the resized
+    pixels — the thumbnailing stage of a media curation pipeline."""
+    import hashlib
+
+    from odns_dataimporter_spark.media import encode_bmp, resize_bmp_nn
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w, h, ow, oh, out = resize_bmp_nn(encode_bmp(text.encode("utf-8")))
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    ow,
+                    oh,
+                    sum(out),
+                    hashlib.md5(",".join(str(v) for v in out).encode()).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> CAST('0x' || x AS INTEGER)) AS bytes,
+         octet_length(encode(text)) AS n
+  FROM documents
+), dims AS (
+  SELECT doc_id, bytes, n,
+         greatest(1, CAST(ceil(n / 16.0) AS BIGINT)) AS h
+  FROM b
+), sampled AS (
+  SELECT doc_id, n, h,
+         greatest(1, h // 2) AS oh,
+         flatten(list_transform(range(0, greatest(1, h // 2)), r ->
+           list_transform(range(0, 8), c ->
+             CASE WHEN 32 * r + 2 * c < n
+                  THEN bytes[CAST(32 * r + 2 * c + 1 AS INTEGER)]
+                  ELSE 0 END))) AS vals
+  FROM dims
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS in_w,
+       CAST(h AS INTEGER) AS in_h,
+       CAST(8 AS INTEGER) AS out_w,
+       CAST(oh AS INTEGER) AS out_h,
+       CAST(COALESCE(list_sum(vals), 0) AS BIGINT) AS out_px_sum,
+       md5(array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ','))
+         AS out_digest
+FROM sampled
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize — the thumbnail stage the task's multimodal
+    north-star names (decode / feature-extract / RESIZE / frame-sample):
+    each payload round-trips through an actual BMP file, the decoder
+    recovers the pixel grid (stride padding, bottom-up rows), and a
+    nearest-neighbor 2x downsample emits exact output dims, pixel sum
+    and a canonical md5 of the resized pixels. The oracle recomputes
+    the expected resized pixels straight from the source bytes
+    (out[r][c] = padded_in[32r + 2c]) — any decoder/resampler offset
+    error breaks the digest. Same zero-shuffle two-stage mapInPandas
+    shape as multimodal_extract; at 100 TB this runs embarrassingly
+    parallel per partition with Arrow in/out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        resize_worker, schema=_RESIZE_SCHEMA
+    )
+
+
+_AUDIO_FRAME = 128  # samples per analysis frame
+_AUDIO_THR = 10_000_000_000  # active-frame energy threshold (exact int)
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("active_frames", T.LongType()),
+        T.StructField("max_energy", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+def audio_energy_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real WAV decode to PCM16 samples, then
+    non-overlapping frame energies (Σ s² per frame, exact int64) — the
+    voice-activity/segmentation primitive of an audio curation
+    pipeline. Tail samples short of a full frame are dropped (standard
+    framing)."""
+    from odns_dataimporter_spark.media import decode_wav_samples, encode_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            _, _, s = decode_wav_samples(encode_wav(text.encode("utf-8")))
+            nf = len(s) // _AUDIO_FRAME
+            energies = [
+                sum(v * v for v in s[f * _AUDIO_FRAME : (f + 1) * _AUDIO_FRAME])
+                for f in range(nf)
+            ]
+            rows.append(
+                (
+                    doc_id,
+                    nf,
+                    sum(1 for e in energies if e >= _AUDIO_THR),
+                    max(energies) if energies else 0,
+                    sum(energies),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                        x -> (CAST('0x' || x AS INTEGER) - 128) * 256) AS smp
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+         len(smp) // {_AUDIO_FRAME} AS nf,
+         list_transform(range(0, len(smp) // {_AUDIO_FRAME}), f ->
+           list_sum(list_transform(range(0, {_AUDIO_FRAME}), i ->
+             CAST(smp[CAST(f * {_AUDIO_FRAME} + i + 1 AS INTEGER)] AS BIGINT)
+             * smp[CAST(f * {_AUDIO_FRAME} + i + 1 AS INTEGER)]))) AS energies
+  FROM s
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(len(list_filter(energies, e -> e >= {_AUDIO_THR})), 0)
+            AS BIGINT) AS active_frames,
+       CAST(COALESCE(list_max(energies), 0) AS BIGINT) AS max_energy,
+       CAST(COALESCE(list_sum(energies), 0) AS BIGINT) AS total_energy
+FROM fr
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio segmentation: payloads round-trip through actual PCM16
+    WAV files; the chunk-walking decoder recovers the samples and
+    non-overlapping {_AUDIO_FRAME}-sample frame energies (Σ s², exact
+    int64 — no float anywhere) drive an active-frame count against a
+    fixed threshold: the energy-VAD primitive that segments speech
+    from silence before any expensive ASR/embedding stage. The oracle
+    recomputes frame energies from the raw bytes, so a framing or
+    sample-decode error (offset, endianness, tail handling) breaks the
+    hash. Zero shuffles; Arrow-batched per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        audio_energy_worker, schema=_AUDIO_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash near-dup for media: production pipelines pHash the
 # decoded image and bucket on the hash (optionally with Hamming-ball

@@ -139,3 +139,44 @@ def test_decode_image_dispatch():
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"GIF89a")
+
+
+# --- pixel-grid decode / resize / sample extraction (round-6 wave 2) ---------
+
+
+def test_bmp_pixel_grid_roundtrip():
+    from odns_dataimporter_spark.media import decode_bmp_pixels
+
+    payload = bytes(range(40))  # 3 rows: 16 + 16 + 8(+8 pad)
+    w, h, gray = decode_bmp_pixels(encode_bmp(payload))
+    assert (w, h) == (16, 3)
+    assert gray[:40] == payload  # top-down original order restored
+    assert gray[40:] == bytes(8)  # zero padding
+
+
+def test_resize_nn_golden():
+    from odns_dataimporter_spark.media import resize_bmp_nn
+
+    # 2 rows of known values: out = in[0][0], in[0][2], ... (row 0 only)
+    payload = bytes([10, 11, 12, 13] * 4 + [200] * 16)
+    w, h, ow, oh, out = resize_bmp_nn(encode_bmp(payload))
+    assert (w, h, ow, oh) == (16, 2, 8, 1)
+    assert out == bytes([10, 12, 10, 12, 10, 12, 10, 12])
+
+
+def test_resize_single_row_clamps():
+    from odns_dataimporter_spark.media import resize_bmp_nn
+
+    w, h, ow, oh, out = resize_bmp_nn(encode_bmp(b"abc"))
+    assert (h, oh, ow) == (1, 1, 8)
+    assert out[0] == ord("a") and out[1] == ord("c")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_samples_roundtrip_property(payload):
+    from odns_dataimporter_spark.media import decode_wav_samples
+
+    rate, ch, s = decode_wav_samples(encode_wav(payload))
+    assert (rate, ch) == (8000, 1)
+    assert s == [(b - 128) * 256 for b in payload]

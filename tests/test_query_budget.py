@@ -36,3 +36,30 @@ def test_query_within_budget(name, spark, sf_dir):
         "sf0.01 sampling run; look for a lost broadcast, an accidental "
         "cartesian, or driver-side iteration"
     )
+
+
+# --- sf0.01 tier (round-6 VERDICT item 4) -----------------------------------
+# The driver samples at sf0.01, 10x the tier above. A query that is
+# accidentally SUPERLINEAR (the CollapseProject-in-HOF O(n^2) class
+# round 5 caught at 20 s/sf0.001) can pass the small gate and still
+# blow the driver's run — this tier times every query at the driver's
+# own scale. Budget 20 s is ~15x the observed p99 at sf0.01 (~1.3 s).
+
+_BUDGET01_SEC = 20.0
+
+
+@pytest.mark.budget01
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_within_budget_sf001(name, spark):
+    spec = REGISTRY[name]
+    t0 = time.perf_counter()
+    df = spec.fn(spark, "/root/testdata/sf0.01")
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    assert elapsed <= _BUDGET01_SEC, (
+        f"{name} took {elapsed:.1f}s at sf0.01 (budget {_BUDGET01_SEC}s) — "
+        "this is the driver's sampling scale; a trip here that the "
+        "sf0.001 gate missed usually means superlinear work "
+        "(re-evaluated HOF lambda, quadratic pair blowup, re-derived "
+        "subtree)"
+    )

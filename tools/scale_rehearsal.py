@@ -63,6 +63,12 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for i, name in enumerate(names):
+        # drop py4j handles so ContextCleaner can evict prior queries'
+        # lazy localCheckpoint blocks — at sf1 forty queries' worth of
+        # retained checkpoint RDDs otherwise exhaust the driver heap
+        import gc
+
+        gc.collect()
         r01 = measure(name, SF01)
         r1 = measure(name, SF1)
         ratio = round(r1["min"] / r01["min"], 2) if r01["min"] > 0 else None
