@@ -1088,3 +1088,102 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias("slope_med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing: the level+trend recursion
+# l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}
+# is inherently SEQUENTIAL — no window frame expresses it — so it uses
+# this repo's sequential-fold pattern: the per-group day series
+# collapses to one sorted array and F.aggregate folds it left-to-right,
+# the exact order DuckDB's list_reduce uses, making the doubles
+# bit-identical. α=1/2 and β=1/4 are exact binary fractions.
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, list(y ORDER BY day) AS ys FROM d GROUP BY 1
+), f AS (
+  SELECT event_type, len(ys) AS n,
+         list_reduce(
+           list_prepend(
+             [ys[1], CASE WHEN len(ys) > 1 THEN ys[2] - ys[1] ELSE 0 END],
+             list_transform(ys[3:], y -> [y, CAST(0 AS DOUBLE)])),
+           (acc, x) -> [
+             {_HOLT_ALPHA} * x[1] + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+             {_HOLT_BETA} * ({_HOLT_ALPHA} * x[1]
+                             + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]) - acc[1])
+               + {1 - _HOLT_BETA} * acc[2]]
+         ) AS lb
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       floor(lb[1] * 1000000.0) / 1000000.0 AS level_q6,
+       floor(lb[2] * 1000000.0) / 1000000.0 AS trend_q6,
+       floor((lb[1] + 7 * lb[2]) * 1000000.0) / 1000000.0 AS forecast7_q6
+FROM f
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per event_type over the daily count
+    series, plus the 7-day-ahead forecast l + 7b — the classic capacity
+    forecast a pipeline-operations dashboard runs on ingest volume.
+
+    Init l=y_0, b=y_1−y_0 (0 for a singleton series); the recursion
+    folds the remaining days IN ORDER. Scale shape: one events-scale
+    shuffle to (type, day) counts, then each series collapses to ONE
+    array row (30 entries here; a 10-year daily series is still only
+    3.7k doubles/group) and the fold is per-row codegen — the same
+    discipline as tokenizer_bpe_encode / ml_logreg_step. Wait-free at
+    100 TB: per-type state never leaves one row.
+
+    NOTE on the fold encoding: the oracle wraps tail elements as
+    [y, 0] lists so DuckDB's 2-arg list_reduce (first element = init
+    accumulator) carries the [level, trend] pair; Spark's F.aggregate
+    takes an explicit init instead. The smoothing expression appears
+    twice in each step on both engines (no let-binding in either
+    lambda dialect) — recomputed, therefore bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("p")
+    ).select(
+        "event_type",
+        F.transform("p", lambda x: x["y"]).alias("ys"),
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    init = F.array(
+        F.element_at(ys, 1),
+        F.when(n > 1, F.element_at(ys, 2) - F.element_at(ys, 1)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    a, b1 = F.lit(_HOLT_ALPHA), F.lit(1 - _HOLT_ALPHA)
+    g, g1 = F.lit(_HOLT_BETA), F.lit(1 - _HOLT_BETA)
+
+    def step(acc, y):
+        lp = a * y + b1 * (acc[0] + acc[1])
+        return F.array(lp, g * (lp - acc[0]) + g1 * acc[1])
+
+    lb = F.aggregate(F.slice(ys, 3, F.greatest(n - 2, F.lit(0))), init, step)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        (F.floor(lb[0] * 1e6) / 1e6).alias("level_q6"),
+        (F.floor(lb[1] * 1e6) / 1e6).alias("trend_q6"),
+        (F.floor((lb[0] + 7 * lb[1]) * 1e6) / 1e6).alias("forecast7_q6"),
+    )

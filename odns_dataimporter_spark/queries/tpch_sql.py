@@ -163,3 +163,7 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer cents with a (bal, name) total order, so the LIMIT cut
     is deterministic on both engines."""
     return _sql(spark, sf_dir, _LATERAL_SQL)
+
+
+# (A recursive-CTE entry already exists: `sql_recursive_cte` in
+# graph_ops.py runs one WITH RECURSIVE text verbatim on both engines.)

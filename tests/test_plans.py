@@ -398,12 +398,20 @@ def test_keywords_vocab_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dq_fk_check_is_anti_join(spark, sf_dir):
-    # referential-integrity probe must be an anti join, never a
-    # nested-loop NOT EXISTS
+def test_dq_fk_check_single_pass(spark, sf_dir):
+    # round-6 single-pass shape: the FK probe is a LEFT OUTER join
+    # against the checkpointed orders key set whose null matches are
+    # counted in the SAME aggregate as the row count and qty check —
+    # one lineitem scan serves all three lineitem constraints (the
+    # previous anti-join formulation re-scanned per constraint).
+    # Never a nested-loop NOT EXISTS.
     plan = _plan(spark, sf_dir, "dq_constraint_check")
-    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    )  # the 1-row stats-assembly cross joins are broadcast-trivial
+    assert plan.count("lineitem.parquet") <= 1
 
 
 def test_ohlc_is_partial_then_final_aggregate(spark, sf_dir):
@@ -762,3 +770,24 @@ def test_merge_hint_overrides_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_bloom_prefilter_shape(spark, sf_dir):
+    # the Bloom stage must stay pre-shuffle: one broadcast of the 1-row
+    # dense bitmap (a trivial nested loop), the bit tests inline in the
+    # scan stage's filter, and never a cartesian of real cardinality
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    # the exact join that kills false positives is broadcast (dim small)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_holt_linear_single_series_shuffle(spark, sf_dir):
+    # the recursion folds per-row over a collected array: after the
+    # (type, day) count shuffle and the per-type collect there must be
+    # no further exchange and no window
+    plan = _plan(spark, sf_dir, "ts_holt_linear")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("events.parquet") == 1
