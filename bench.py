@@ -68,6 +68,10 @@ HEADLINE = [
     "etl_shard_pack",
     "text_hapax_vocab",
     "embed_decontaminate_cosine",
+    # round-6 additions
+    "join_bloom_prefilter",
+    "multimodal_resize",
+    "ts_holt_linear",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

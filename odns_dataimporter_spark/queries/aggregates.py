@@ -673,3 +673,43 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("o_orderkey").cast("long").alias("key_xor"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_distinct_bitmap",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "physical"),
+)
+def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 3.5's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the RE-AGGREGATABLE exact-distinct pattern: each
+    (group, bucket) folds its keys into a fixed 4 KB bitmap, and
+    distinct-count is the SUM of per-bucket popcounts. Unlike
+    COUNT(DISTINCT) — whose Expand-based plan must re-touch raw rows
+    for every regrouping — the bitmaps are mergeable state: persist
+    them per (group, day) once and any later rollup (week, month,
+    all-time) is bitmap_or_agg + popcount over TINY state, never a
+    re-scan. The same role HLL sketches play (agg_hll_sketch) but
+    EXACT; cost is bounded because each bucket covers 32768 key values.
+    Oracle: plain COUNT(DISTINCT) — the result is identical, only the
+    plan shape differs (that equivalence is the point)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"), F.count("*").alias("n"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_cust"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )

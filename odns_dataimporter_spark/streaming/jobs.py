@@ -394,3 +394,58 @@ def stream_stream_join_outer(
         ts_str("p_ts").alias("purchase_ts"),
     )
     return _run_to_memory(j, "append")
+
+
+def stream_jdbc_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    properties: dict | None = None,
+) -> int:
+    """Exactly-once streaming ingest into a JDBC table — the streaming
+    completion of the reference's sink (dataimporter.py:119-127 batched
+    inserts + :187-200 delete-then-reload): each micro-batch first
+    DELETEs any rows carrying its own batch_id, then appends the batch
+    tagged with that id. foreachBatch may re-run a batch after a crash
+    (micro-batch replay is at-least-once); the delete makes the write
+    IDEMPOTENT, so the table converges to exactly-once — the standard
+    recipe for transactional-enough JDBC sinks from Structured
+    Streaming. The checkpoint must be STABLE across restarts (passed
+    in, not a tempdir): it is what maps source offsets to batch_ids.
+
+    Returns the number of micro-batches processed this run (0 on a
+    restart with no new data — the restart-idempotence test's claim).
+    """
+    ev = read_events_stream(spark, src_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        jvm = batch_df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.prepareStatement(f"DELETE FROM {table} WHERE batch_id = ?")
+            st.setLong(1, batch_id)
+            st.execute()
+            st.close()
+        except Exception:  # noqa: BLE001 — first batch: table not created yet
+            pass
+        finally:
+            conn.close()
+        w = batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append")
+        for k, v in (properties or {}).items():
+            w = w.option(k, v)
+        w.option("url", url).option("dbtable", table).format("jdbc").save()
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

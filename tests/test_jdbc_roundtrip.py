@@ -129,3 +129,49 @@ def test_jdbc_snapshot_replace_by_protocol(spark, sf_dir, derby_url):
     reloaded = scan_jdbc_partitioned(spark, url=derby_url, table="events_snap")
     assert reloaded.count() == n_tcp + n_udp
     assert reloaded.filter("protocol = 'tcp'").count() == n_tcp
+
+
+def test_stream_jdbc_upsert_exactly_once(spark, sf_dir, derby_url, tmp_path):
+    """Streaming -> JDBC with the idempotent delete-then-append recipe
+    (streaming/jobs.py::stream_jdbc_upsert): (1) a full availableNow
+    pass lands every source row exactly once; (2) a RESTART from the
+    same checkpoint with no new data writes nothing; (3) new source
+    files append only their own rows. This is the streaming completion
+    of the reference's batched-JDBC sink."""
+    from pyspark.sql import functions as F
+
+    from odns_dataimporter_spark.streaming.jobs import (
+        prepare_stream_source,
+        stream_jdbc_upsert,
+    )
+
+    src = prepare_stream_source(spark, sf_dir, str(tmp_path / "src"))
+    ckpt = str(tmp_path / "ckpt")
+    n_src = spark.read.parquet(src).count()
+
+    n1 = stream_jdbc_upsert(spark, src, derby_url, "events_stream", ckpt)
+    assert n1 >= 1
+    back = scan_jdbc_partitioned(spark, url=derby_url, table="events_stream")
+    assert back.count() == n_src
+    assert back.select("event_id").distinct().count() == n_src
+
+    # restart, no new data: checkpoint replays nothing, table unchanged
+    n2 = stream_jdbc_upsert(spark, src, derby_url, "events_stream", ckpt)
+    assert n2 == 0 or scan_jdbc_partitioned(
+        spark, url=derby_url, table="events_stream"
+    ).count() == n_src
+
+    # new arrivals: exactly the new rows land
+    extra = spark.range(5).select(
+        (F.col("id") + 10_000_000).alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("signup").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    extra.write.mode("append").parquet(src)
+    stream_jdbc_upsert(spark, src, derby_url, "events_stream", ckpt)
+    final = scan_jdbc_partitioned(spark, url=derby_url, table="events_stream")
+    assert final.count() == n_src + 5
+    assert final.filter("event_id >= 10000000").count() == 5
