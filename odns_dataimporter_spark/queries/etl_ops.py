@@ -154,30 +154,37 @@ UNION ALL
 SELECT 'csv', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'orc', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'xml', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
 """,
     tags=("etl", "scan"),
 )
 def roundtrip_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source/sink format breadth: write orders to parquet/JSON/CSV/ORC
-    and read each back — every row survives every format (count +
+    """Source/sink format breadth: write orders to parquet/JSON/CSV/ORC/
+    XML and read each back — every row survives every format (count +
     key-checksum proof). The CSV leg re-exercises the reference's
-    format family; ORC/JSON are the warehouse/interchange legs."""
+    format family; ORC/JSON are the warehouse/interchange legs; XML is
+    Spark 4's newly built-in spark-xml (round 6)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     base = tempfile.mkdtemp(prefix="fmt_")
     outs = []
-    for fmt in ("parquet", "json", "csv", "orc"):
+    for fmt in ("parquet", "json", "csv", "orc", "xml"):
         path = os.path.join(base, fmt)
         w = orders.write.mode("overwrite")
         if fmt == "csv":
             w = w.option("header", True)
-        getattr(w, fmt)(path)
+        if fmt == "xml":
+            w = w.option("rowTag", "row")
+        w.format(fmt).save(path)
         # explicit schema on every read-back: an EMPTY write leaves no
         # data files to infer from (legal degenerate input), and the
         # pinned schema also keeps the comparison type-exact
         r = spark.read.schema("o_orderkey long")
         if fmt == "csv":
             r = r.options(header=True, inferSchema=False)
-        back = getattr(r, fmt)(path)
+        if fmt == "xml":
+            r = r.option("rowTag", "row")
+        back = r.format(fmt).load(path)
         outs.append(
             back.agg(
                 F.lit(fmt).alias("fmt"),

@@ -678,3 +678,53 @@ def fn_map_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries.alias("entries"),
         (F.element_at(mt, "type") == "PURCHASE").alias("is_purchase"),
     )
+
+
+@register(
+    "fn_xml_core",
+    oracle="""
+SELECT event_id,
+       event_type AS t,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type = 'purchase' AS is_purchase
+FROM events
+""",
+    tags=("scalar",),
+)
+def fn_xml_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar family (Spark 4's built-in spark-xml merge): render
+    each event as an XML fragment, parse it BACK with from_xml against
+    an explicit schema, and cross-check one field through the xpath
+    accessor — the feed-ingestion surface (sitemaps, RSS, SOAP-era
+    enterprise exports). The oracle recomputes the expected fields from
+    the base columns directly (the ground-truth-construction pattern
+    every fn_* entry uses), so a parser regression — entity handling,
+    type coercion, xpath axis — breaks the hash. All JVM codegen, one
+    projection, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    # coalesce the json value: a missing/NULL $.k must render an EMPTY
+    # <k></k> element (parsed back as NULL BIGINT, matching the
+    # oracle's CAST(NULL)) — plain concat would NULL the whole XML and
+    # silently change t/is_purchase too (the fn_map_core ADVICE class)
+    k_str = F.coalesce(F.get_json_object("props", "$.k"), F.lit(""))
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><k>"),
+        k_str,
+        F.lit("</k></e>"),
+    )
+    parsed = F.from_xml(xml, "STRUCT<t: STRING, k: BIGINT>")
+    return ev.select(
+        "event_id",
+        parsed["t"].alias("t"),
+        # xpath_string + try_cast, NOT xpath_long: the long variant
+        # returns 0 for an absent text node, indistinguishable from a
+        # legal k=0 (probed; from_xml/oracle both say NULL there)
+        F.expr(
+            "try_cast(xpath_string(concat('<e><t>', event_type, '</t><k>', "
+            "coalesce(get_json_object(props, '$.k'), ''), '</k></e>'), "
+            "'/e/k/text()') AS BIGINT)"
+        ).alias("k"),
+        (parsed["t"] == "purchase").alias("is_purchase"),
+    )
