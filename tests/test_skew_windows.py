@@ -36,6 +36,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from odns_dataimporter_spark.oracle import compare
 from odns_dataimporter_spark.registry import REGISTRY, all_queries
@@ -131,3 +132,76 @@ def test_window_op_correct_and_bounded_under_skew(name, spark, skew_dirs):
         "two-pass windowing (range-split the hot key by time, stitch "
         "boundaries) or pre-aggregation before the window"
     )
+
+
+def test_aqe_splits_skewed_join_partition(spark, skew_dirs, tmp_path):
+    """AQE skew-join evidence: with a 50%-hot-key fact side, Spark's
+    adaptive OptimizeSkewedJoin must split the hot partition into
+    multiple reader splits (plan tagged `SortMergeJoin(skew=true)` /
+    `AQEShuffleRead ... skewed`) instead of serializing the whole key
+    on one task. This is the AUTOMATIC half of the skew story —
+    join_skew_salted pins the manual half.
+
+    Three preconditions, all probed empirically (round 6), each a
+    production lesson in its own right:
+    1. the skewed side needs MULTIPLE MAP TASKS — AQE splits a skewed
+       reduce partition by mapper ranges, so a single-file/-task input
+       CANNOT be split (the fixture repartitions to 8 files);
+    2. only ONE join side may be skewed on the partition — a self-join
+       skews both sides identically and the rule skips it;
+    3. the join output must not require hashpartitioning on the join
+       key downstream (a groupBy on the key would add a shuffle, which
+       the rule refuses by default) — asserted with a global agg.
+    Thresholds are lowered to engage at test scale (prod defaults:
+    256 MB / factor 5); broadcast disabled to force the shuffle join.
+    The payload column rides THROUGH the join so pruning can't shrink
+    the hot partition below threshold."""
+    bal, skw = skew_dirs
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # skewed side with an unprunable payload, split across 8 files
+        src = str(tmp_path / "skew8")
+        (
+            spark.read.parquet(f"{skw}/events.parquet")
+            .withColumn("pay", F.concat(F.lit("p"), F.repeat(F.col("props"), 20)))
+            .select("user_id", "event_id", "pay")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(f"{bal}/events.parquet").select(
+            F.col("user_id").alias("u2"), F.col("event_id").alias("e2")
+        )
+        j = a.join(b, a.user_id == b.u2).agg(F.sum(F.length("pay")).alias("n"))
+        # execute through the DataFrame's OWN plan: a sink write runs a
+        # clone, leaving this plan isFinalPlan=false with no AQE result
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not mark the hot partition as skewed — "
+            "OptimizeSkewedJoin regressed or a precondition drifted:\n"
+            + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
