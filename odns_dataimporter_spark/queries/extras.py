@@ -352,3 +352,54 @@ def arrow_batch_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(norms, "vec_id long, l2_q6 double")
+
+
+@register(
+    "udtf_polymorphic_ngrams",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 10)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       toks[i] AS g1, toks[i + 1] AS g2, toks[i + 2] AS g3
+FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+WHERE len(toks) >= 3
+""",
+    tags=("python", "udf"),
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4's static `analyze()` API): the
+    output schema is not fixed at registration — it is COMPUTED at
+    plan time from the constant `n` argument (here 3 → columns g1..g3;
+    call it with 2 and you get g1..g2 without touching the class).
+    This is the dynamic-schema table-function surface (think
+    read_files-style functions whose shape depends on arguments) that
+    the static-`returnType` UDTF (`udtf_token_explode`) cannot
+    express. The oracle is DuckDB's unnest-with-range trigram
+    formulation; production n-gram extraction stays in the pure-DF
+    shingle construction (llm_dedup), asserted equivalent there — this
+    entry pins the API surface."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise Exception("n must be a constant")
+            width = int(n.value)
+            fields = [T.StructField("pos", T.LongType())]
+            fields += [T.StructField(f"g{i + 1}", T.StringType()) for i in range(width)]
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def eval(self, text: str, n: int):  # noqa: ANN001
+            toks = (text or "").split(" ")
+            for pos in range(len(toks) - n + 1):
+                yield (pos, *toks[pos : pos + n])
+
+    spark.udtf.register("poly_ngrams", udtf(NGrams))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    docs.select("doc_id", "text").createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.g1, t.g2, t.g3 "
+        "FROM _poly_docs d, LATERAL poly_ngrams(d.text, 3) t"
+    )

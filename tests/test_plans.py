@@ -558,6 +558,10 @@ _BNLJ_ALLOWED = {
     "text_quality_buckets",
     "text_unigram_logprob",
     "ts_gapfill_locf",
+    # 1-row dense Bloom bitmap broadcast into the fact scan (round 6):
+    # the nested loop is over exactly one row; the real join below it
+    # is a BroadcastHashJoin (plan-pinned in test_bloom_prefilter_shape)
+    "join_bloom_prefilter",
 }
 
 
