@@ -72,6 +72,9 @@ HEADLINE = [
     "join_bloom_prefilter",
     "multimodal_resize",
     "ts_holt_linear",
+    "text_strip_dup_spans",
+    "dedup_sorted_neighborhood",
+    "ml_tree_split_finder",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

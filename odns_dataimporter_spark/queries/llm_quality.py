@@ -692,6 +692,121 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRIP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + {_DUPSPAN_N - 1}), ' ')), 1, {_DUPSPAN_HEX})
+           AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_DUPSPAN_N} + 2)) AS i
+        FROM base WHERE len(toks) >= {_DUPSPAN_N})
+),
+df AS (SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+c AS (SELECT g.doc_id, g.pos, g.pos + {_DUPSPAN_N} AS e FROM g JOIN df USING (h)),
+cov AS (SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(range(pos, e)) AS p FROM c)),
+pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM base)),
+kept AS (SELECT pos.doc_id, pos.p, pos.tok
+         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               substr(md5(string_agg(tok, ' ' ORDER BY p)), 1, 16) AS clean_md5
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(agg.clean_md5, substr(md5(''), 1, 16)) AS clean_md5
+FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register(
+    "text_strip_dup_spans",
+    oracle=_STRIP_ORACLE,
+    tags=("llm", "text", "dedup", "quality"),
+)
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM, not just a score: rewrite
+    each document with every cross-document duplicated {N}-gram span
+    REMOVED (Lee et al. 2022 — `text_dup_span_coverage` measures the
+    duplicated mass; this op actually strips it, which is the step a
+    training pipeline ships). Shape: the same single gram explode →
+    one window over the 60-bit fingerprint key marks cross-doc spans;
+    spans then merge per document into disjoint intervals via a
+    gaps-islands window (running max of span ends → island ids —
+    bounded output, never one row per covered token on the wire), and
+    the final rewrite is a per-row Catalyst HOF: `filter(toks, (t, i)
+    -> no merged interval covers i)` — token text itself never
+    shuffles; only fingerprints and merged intervals do. Per-token
+    cost is O(#islands in doc), not O(#covered positions). Output is
+    (kept count, md5-prefix of the cleaned text) so the row stays
+    fixed-width. Docs shorter than the gram width pass through
+    untouched (left join → NULL interval list → identity filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        _toks().alias("toks"),
+    )
+    n = _DUPSPAN_N
+    g = base.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), i -> "
+                f"CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), "
+                f"1, {_DUPSPAN_HEX}), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h")
+    c = (
+        g.withColumn("lo", F.min("doc_id").over(wh))
+        .withColumn("hi", F.max("doc_id").over(wh))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("doc_id", "pos", (F.col("pos") + n).alias("e"))
+    )
+    # merge overlapping spans per doc (gaps-islands): both windows ride
+    # the SAME (doc_id, pos) sort — one shuffle
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        c.withColumn(
+            "new_island",
+            F.when(
+                F.col("pos") > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    clean = F.expr(
+        "filter(toks, (t, i) -> ivs IS NULL OR "
+        "NOT exists(ivs, v -> i >= v.s AND i < v.e))"
+    )
+    return base.join(islands, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.size(clean).cast("long").alias("kept_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", clean)), 1, 16).alias("clean_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weighting (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): score every raw document

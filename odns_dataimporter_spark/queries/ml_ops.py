@@ -553,3 +553,120 @@ def ml_feature_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("first_purchase").isNotNull().cast("long").alias("label"),
     )
+
+
+_TREE_ORACLE = """
+WITH f AS (
+  SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'discount' AS feature, CAST(l_discount AS DOUBLE) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+),
+g AS (SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM f GROUP BY feature, v),
+c AS (SELECT feature, v,
+             CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pl,
+             CAST(SUM(cnt) OVER (PARTITION BY feature) AS BIGINT) AS n,
+             CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS p
+      FROM g),
+s AS (SELECT feature, v, nl, pl, n,
+             CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)
+           + CAST(p - pl AS DOUBLE) * CAST(p - pl AS DOUBLE)
+             / CAST(n - nl AS DOUBLE) AS score
+      FROM c WHERE nl < n),
+r AS (SELECT feature, v, nl, pl, n, score,
+             row_number() OVER (PARTITION BY feature
+                                ORDER BY score DESC, v ASC) AS rn
+      FROM s)
+SELECT feature, v AS threshold,
+       CAST(nl AS BIGINT) AS left_n, CAST(pl AS BIGINT) AS left_pos,
+       floor(score * 1000000.0 / n) / 1000000.0 AS gain_q6
+FROM r WHERE rn = 1
+"""
+
+
+@register("ml_tree_split_finder", oracle=_TREE_ORACLE, tags=("ml",))
+def ml_tree_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search — the distributed primitive every
+    tree ensemble (MLlib RandomForest/GBT) runs per node: for each
+    numeric feature, find the threshold maximizing the Bernoulli
+    impurity decrease of (label = returned?) over lineitem. Shape:
+    unpivot features → ONE (feature, value) aggregate (map-side
+    combined — the full fact table collapses to |distinct values| rows
+    before any wide exchange) → prefix sums of (count, positives) via
+    a window ordered by value, with per-feature totals riding the SAME
+    partition (no second shuffle) → split score pl²/nl + pr²/nr from
+    EXACT integer counts (maximizing it ≡ minimizing weighted Gini;
+    doubles enter only in the final division, identically shaped on
+    both engines) → per-feature argmax as a map-side-combined
+    min-struct (never a second window; see sim_ann_ivf). Candidates
+    with an empty right side are excluded (nl < n), so the struct's
+    sort key is never NULL. Parallelism at scale is the feature axis ×
+    map-side partial aggregation; per-feature state is |distinct
+    values|, the same histogram-compression MLlib uses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.selectExpr(
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        "stack(2, 'quantity', CAST(l_quantity AS DOUBLE), "
+        "'discount', CAST(l_discount AS DOUBLE)) AS (feature, v)",
+    )
+    g = f.groupBy("feature", "v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wcum = (
+        W.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(wcum).cast("long").alias("nl"),
+        F.sum("pos").over(wcum).cast("long").alias("pl"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+        F.sum("pos").over(wall).cast("long").alias("p"),
+    )
+    score = (
+        F.col("pl").cast("double") * F.col("pl").cast("double")
+        / F.col("nl").cast("double")
+        + (F.col("p") - F.col("pl")).cast("double")
+        * (F.col("p") - F.col("pl")).cast("double")
+        / (F.col("n") - F.col("nl")).cast("double")
+    )
+    s = c.filter(F.col("nl") < F.col("n")).select(
+        "feature",
+        "v",
+        "nl",
+        "pl",
+        "n",
+        score.alias("score"),
+    )
+    best = s.groupBy("feature").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("v").alias("thr"),
+                F.col("nl").alias("nl"),
+                F.col("pl").alias("pl"),
+                F.col("n").alias("n"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "feature",
+        F.col("m.thr").alias("threshold"),
+        F.col("m.nl").alias("left_n"),
+        F.col("m.pl").alias("left_pos"),
+        (
+            F.floor(-F.col("m.ns") * 1_000_000.0 / F.col("m.n")) / 1_000_000.0
+        ).alias("gain_q6"),
+    )

@@ -126,3 +126,40 @@ def test_asof_offsets_bounded_by_direction(spark, sf_dir):
     for pid, off in near.items():
         if pid in back:
             assert abs(off) <= back[pid], (pid, off, back[pid])
+
+
+def test_strip_dup_spans_complements_coverage(spark, sf_dir):
+    """text_strip_dup_spans removes exactly the token positions that
+    text_dup_span_coverage counts as covered: kept_tokens must equal
+    n_tokens - covered_tokens for EVERY document (both ops derive from
+    the same cross-doc span union; a divergence means one of the two
+    interval sweeps is wrong)."""
+    cov = REGISTRY["text_dup_span_coverage"].fn(spark, sf_dir).select(
+        "doc_id", "n_tokens", "covered_tokens"
+    )
+    strip = REGISTRY["text_strip_dup_spans"].fn(spark, sf_dir).select(
+        "doc_id", F.col("kept_tokens").alias("kept")
+    )
+    bad = (
+        cov.join(strip, "doc_id")
+        .filter(F.col("kept") != F.col("n_tokens") - F.col("covered_tokens"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_snm_pairs_linear_and_thresholded(spark, sf_dir):
+    """Sorted-neighborhood invariants: every emitted pair really meets
+    the integer-exact Jaccard >= 0.5 bar, pair ids are distinct, and
+    the candidate count is bounded by n_docs * window (the linearity
+    guarantee that distinguishes SNM from the hash-bucket families)."""
+    from odns_dataimporter_spark.queries.llm_dedup import _SNM_WINDOW
+    from odns_dataimporter_spark.tables import load_table
+
+    df = REGISTRY["dedup_sorted_neighborhood"].fn(spark, sf_dir)
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) <= n_docs * _SNM_WINDOW
+    for r in rows:
+        assert r.a_id != r.b_id
+        assert 2 * r.inter >= r.uni > 0
