@@ -75,6 +75,7 @@ HEADLINE = [
     "text_strip_dup_spans",
     "dedup_sorted_neighborhood",
     "ml_tree_split_finder",
+    "sim_maxsim_late_interaction",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -1083,3 +1083,108 @@ def decontam_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval scoring (Khattab & Zaharia 2020, ColBERT):
+# documents and queries are BAGS of token vectors, and relevance is
+# MaxSim — for each query token, the max cosine over the document's
+# tokens, summed over query tokens. The shipped embeddings table models
+# the multi-vector layout as 8 consecutive vec_ids per logical doc.
+
+_MAXSIM_TOKS = 8      # token vectors per logical document
+_MAXSIM_QDOCS = 4     # fixed query registry: docs 0..3 (vec_id < 32) —
+#                       bounded by construction, never a fraction of the
+#                       corpus (the round-6 scaling rule: a query set
+#                       that grows with the data turns this linear
+#                       broadcast loop quadratic)
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+t AS (SELECT vec_id // {_MAXSIM_TOKS} AS doc, vec_id % {_MAXSIM_TOKS} AS tok,
+             e, nrm
+      FROM v WHERE nrm > 0),
+q AS (SELECT doc AS q_doc, tok AS q_tok, e AS qe, nrm AS qn
+      FROM t WHERE doc < {_MAXSIM_QDOCS}),
+c AS (SELECT doc AS cand_doc, e AS ce, nrm AS cn FROM t),
+m AS (SELECT c.cand_doc, q.q_doc, q.q_tok,
+             MAX(list_dot_product(q.qe, c.ce) / (q.qn * c.cn)) AS mx
+      FROM c JOIN q ON c.cand_doc <> q.q_doc
+      GROUP BY c.cand_doc, q.q_doc, q.q_tok)
+SELECT CAST(q_doc AS BIGINT) AS q_doc,
+       CAST(cand_doc AS BIGINT) AS cand_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CAST(floor(mx * 1000000.0) AS BIGINT)) AS BIGINT) * 1.0
+         / 1000000.0 AS maxsim_q6
+FROM m GROUP BY q_doc, cand_doc
+""",
+    tags=("llm", "similarity"),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction scoring: every corpus doc
+    is a bag of 8 token vectors (consecutive vec_ids) and score(q, d)
+    = sum over query tokens of (max over doc tokens of cosine). Shape:
+    the FIXED query registry (≤ 32 token vectors) broadcasts; corpus
+    token vectors stream once through the broadcast nested loop —
+    linear in corpus size because the query side is bounded by id, not
+    by fraction. The per-(cand, query-token) max is a map-side-combined
+    hash aggregate keyed on (cand_doc, q_doc, q_tok) — max partials
+    combine before the exchange — and the final per-pair score sums
+    FLOOR-QUANTIZED integer micros (max of doubles is order-free;
+    summing raw doubles across 8 terms would be order-sensitive and
+    break cross-engine hashing). Zero-norm token vectors are filtered
+    on BOTH sides before any division (the round-6 NULL-argmax
+    lesson). At 100 TB the per-doc token count is the constant and the
+    plan is one scan + one bounded-key shuffle; a PLAID-style
+    centroid prefilter would compose in front as an extra filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    t = v.filter(F.col("nrm") > 0).select(
+        F.expr(f"vec_id div {_MAXSIM_TOKS}").alias("doc"),
+        (F.col("vec_id") % _MAXSIM_TOKS).alias("tok"),
+        "e",
+        "nrm",
+    )
+    q = t.filter(F.col("doc") < _MAXSIM_QDOCS).select(
+        F.col("doc").alias("q_doc"),
+        F.col("tok").alias("q_tok"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = t.select(
+        F.col("doc").alias("cand_doc"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    m = (
+        c.join(F.broadcast(q), F.col("cand_doc") != F.col("q_doc"))
+        .groupBy("cand_doc", "q_doc", "q_tok")
+        .agg(
+            F.max(
+                _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+            ).alias("mx")
+        )
+    )
+    return m.groupBy("q_doc", "cand_doc").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        (
+            F.sum(F.floor(F.col("mx") * 1_000_000.0).cast("long")).cast("long")
+            * 1.0
+            / 1_000_000.0
+        ).alias("maxsim_q6"),
+    ).select(
+        F.col("q_doc").cast("long").alias("q_doc"),
+        F.col("cand_doc").cast("long").alias("cand_doc"),
+        "n_terms",
+        "maxsim_q6",
+    )
