@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "ml_tree_split_finder",
     "sim_maxsim_late_interaction",
+    "ml_point_in_time_features",
+    "text_bigram_kneser_ney",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -1556,3 +1556,101 @@ def text_hapax_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sum("c") * 1_000_000.0 / F.count("*")) / 1_000_000.0)
         .alias("tokens_per_type_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
+# interpolated form) — the standard n-gram LM estimator: absolute
+# discounting plus a continuation-probability backoff that asks "in how
+# many distinct contexts does this word appear?" rather than "how often?"
+
+_KN_D = 0.75  # absolute discount (exactly representable in binary)
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY w1, w2),
+pre AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM bc GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1d FROM bc GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tbt FROM bc)
+SELECT bc.w1, bc.w2, bc.cb,
+       floor((
+           (CAST(bc.cb AS DOUBLE) - {_KN_D}) / CAST(pre.cp AS DOUBLE)
+         + {_KN_D} * CAST(pre.n1p AS DOUBLE) / CAST(pre.cp AS DOUBLE)
+           * CAST(cont.n1d AS DOUBLE) / CAST(tt.tbt AS DOUBLE)
+       ) * 1000000.0) / 1000000.0 AS p_kn_q6
+FROM bc JOIN pre USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained over the corpus — the
+    estimator that made n-gram LMs competitive and still the baseline
+    scorer in data-quality pipelines: p(w2|w1) = max(c(w1w2)-D, 0)/c(w1·)
+    + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), D = 0.75 (observed bigrams
+    only, so the max() never clamps). Shape: ONE corpus pass builds the
+    bigram-count table (map-side combined, vocabulary²-bounded), which
+    is lazily checkpointed once and feeds every statistic — prefix
+    totals AND distinct-continuation counts come from a single groupBy
+    (SUM + COUNT over the same key), context diversity from a groupBy
+    on w2, and the type total from a 1-row aggregate; all four join
+    back as broadcasts. The corpus-sized stream is touched exactly
+    once; everything downstream is vocabulary-sized. Probabilities are
+    ratios of exact integer counts in an identical expression shape on
+    both engines, floor-quantized once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = docs.select("doc_id", words.alias("_w"), F.size(words).alias("_n"))
+    bi = (
+        base.filter(F.col("_n") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_w", 1, F.col("_n") - 1),
+                    F.slice("_w", 2, F.col("_n") - 1),
+                )
+            ).alias("_z")
+        )
+        .select(F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
+    )
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cb"))
+        # four diverging consumers (prefix stats, continuation stats,
+        # type total, scoring join): checkpoint so the corpus explode
+        # and bigram aggregate run once (scan-audit discipline)
+        .localCheckpoint(eager=False)
+    )
+    pre = bc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cp"),
+        F.count("*").cast("long").alias("n1p"),
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").cast("long").alias("n1d"))
+    tt = bc.agg(F.count("*").cast("long").alias("tbt"))
+    p = (
+        (F.col("cb").cast("double") - _KN_D) / F.col("cp").cast("double")
+        + F.lit(_KN_D)
+        * F.col("n1p").cast("double")
+        / F.col("cp").cast("double")
+        * F.col("n1d").cast("double")
+        / F.col("tbt").cast("double")
+    )
+    return (
+        bc.join(F.broadcast(pre), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            (F.floor(p * 1_000_000.0) / 1_000_000.0).alias("p_kn_q6"),
+        )
+    )

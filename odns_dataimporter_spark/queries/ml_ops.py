@@ -670,3 +670,144 @@ def ml_tree_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(-F.col("m.ns") * 1_000_000.0 / F.col("m.n")) / 1_000_000.0
         ).alias("gain_q6"),
     )
+
+
+_PIT_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day trailing feature window
+
+
+@register(
+    "ml_point_in_time_features",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, event_type, us,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_events_7d,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER w, 0) AS BIGINT) AS n_errors_7d,
+         CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS spend_7d_cents
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_PIT_WINDOW_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS label_event_id, user_id, us AS label_ts_us,
+       n_events_7d, n_errors_7d, spend_7d_cents
+FROM f WHERE event_type = 'purchase'
+""",
+    tags=("ml", "events"),
+)
+def ml_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature extraction — the feature-store
+    primitive behind every leakage-free training table: for each label
+    row (a purchase), aggregate the SAME user's activity in the
+    trailing 7 days STRICTLY BEFORE the label timestamp (RANGE frame
+    ending at -1 microsecond — an event at the label instant itself is
+    the label, not a feature). Differs from `join_asof` (one nearest
+    row) — this is the windowed-aggregate form, and the RANGE frame
+    over epoch-microseconds computes it in ONE shuffle on user_id with
+    no self-join, no explode, no per-label re-scan: Spark's window
+    frame slides monotonically over each user's sorted events, so cost
+    is O(events) regardless of label density (the self-join
+    formulation every feature store warns about is O(labels x window)).
+    Money is exact integer cents; timestamps exact integer micros. At
+    100 TB the user_id shuffle is the only wide exchange and AQE
+    handles the hot-user tail (see tests/test_skew_windows.py for the
+    skew rehearsal of exactly this window family)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_WINDOW_US, -1)
+    )
+    f = b.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_errors_7d"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("long")
+        .alias("spend_7d_cents"),
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("us").alias("label_ts_us"),
+        "n_events_7d",
+        "n_errors_7d",
+        "spend_7d_cents",
+    )
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle="""
+WITH b AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY event_type)
+SELECT b.event_id, b.event_type,
+       floor((g.s - b.cents) * 10000.0 / (g.c - 1)) / 1000000.0
+         AS te_loo_q6
+FROM b JOIN g USING (event_type)
+WHERE g.c > 1
+""",
+    tags=("ml", "events"),
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder (each row's category is replaced by the target mean of all
+    OTHER rows in that category, so the row's own label never leaks
+    into its feature): te_i = (sum_cat - y_i) / (n_cat - 1). Shape:
+    ONE map-side-combined aggregate collapses the fact table to
+    |categories| rows, which broadcast-join straight back — the
+    per-row encode then runs inside whole-stage codegen with zero
+    additional shuffles (the naive per-row window formulation shuffles
+    every row; this shuffles only category totals). Money is exact
+    integer cents; the divide happens once, floor-quantized
+    (scale-before-divide: cents*1e4/(n-1) then /1e6 puts the result in
+    currency units at q6). Singleton categories are excluded on both
+    sides (n_cat = 1 has no leave-one-out estimate)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    return (
+        b.join(F.broadcast(g), "event_type")
+        .filter(F.col("c") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.floor(
+                    (F.col("s") - F.col("cents")) * 10_000.0 / (F.col("c") - 1)
+                )
+                / 1_000_000.0
+            ).alias("te_loo_q6"),
+        )
+    )

@@ -163,3 +163,21 @@ def test_snm_pairs_linear_and_thresholded(spark, sf_dir):
     for r in rows:
         assert r.a_id != r.b_id
         assert 2 * r.inter >= r.uni > 0
+
+
+def test_kneser_ney_is_a_probability_distribution(spark, sf_dir):
+    """Interpolated KN must produce a (near-)normalized conditional
+    distribution: for every context w1, sum over OBSERVED w2 of
+    p_kn(w2|w1) <= 1 + eps, and contexts whose observed continuations
+    cover the whole continuation mass sum to ~1. A discount/backoff
+    arithmetic slip (wrong denominator, unscaled continuation term)
+    breaks this immediately."""
+    df = REGISTRY["text_bigram_kneser_ney"].fn(spark, sf_dir)
+    sums = (
+        df.groupBy("w1").agg(F.sum("p_kn_q6").alias("s")).collect()
+    )
+    assert sums
+    for r in sums:
+        # observed-bigram mass can be < 1 (unseen w2 carry backoff
+        # mass) but may never exceed 1 beyond quantization error
+        assert r.s <= 1.0 + 1e-4, (r.w1, r.s)
