@@ -78,6 +78,11 @@ HEADLINE = [
     "sim_maxsim_late_interaction",
     "ml_point_in_time_features",
     "text_bigram_kneser_ney",
+    "events_cuped_adjustment",
+    "text_bm25_topk",
+    "ml_auc_roc",
+    "ml_ols_normal_eq",
+    "stats_fdr_bh",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

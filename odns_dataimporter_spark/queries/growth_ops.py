@@ -767,3 +767,136 @@ def events_sankey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_q6"
         ),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 'treatment' ELSE 'control' END AS arm,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM u
+),
+v AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sxv, CAST(SUM(y) AS BIGINT) AS syv
+  FROM u GROUP BY arm
+),
+th AS (
+  SELECT n, sx,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+  FROM g
+)
+SELECT v.arm, v.n_users,
+       floor(CAST(v.syv AS DOUBLE) / v.n_users * 10000.0) / 1000000.0
+         AS mean_post_q6,
+       floor(th.theta * 1000000.0) / 1000000.0 AS theta_q6,
+       floor((CAST(v.syv AS DOUBLE) / v.n_users
+              - th.theta * (CAST(v.sxv AS DOUBLE) / v.n_users
+                            - CAST(th.sx AS DOUBLE) / th.n)) * 10000.0)
+         / 1000000.0 AS mean_adj_q6
+FROM v CROSS JOIN th
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, 'Improving the
+    Sensitivity of Online Controlled Experiments') — the experimentation
+    staple between SRM (`events_ab_assignment_srm`) and diff-in-diff:
+    each user's post-period purchase revenue is adjusted by the pooled
+    pre-period covariate, Y_adj = Y - θ(X - X̄) with θ = cov(X,Y)/var(X),
+    shrinking arm-mean variance without biasing the treatment effect.
+    Shape: ONE user-level aggregate (map-side combined — the event
+    stream collapses to |users| rows), then θ from exact integer sums
+    (Σx, Σy, Σxy, Σx² — doubles enter only in the final closed-form
+    products, identically shaped on both engines) in a 1-row broadcast,
+    and per-arm means from a |arms|-row aggregate. try_divide keeps a
+    degenerate var(X)=0 corpus NULL on both engines (DuckDB double/0 is
+    NULL, IEEE Spark would say Inf). Money is exact cents end to end;
+    means are floor-quantized to currency q6 (cents·1e4/1e6)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(f"{_DID_CUTOFF} 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(is_p & (F.col("ts") < cutoff), cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(is_p & (F.col("ts") >= cutoff), cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+                " 16, 10) AS BIGINT) % 100 < 50"
+            ),
+            F.lit("treatment"),
+        ).otherwise(F.lit("control")),
+    )
+    # One user-level aggregate serves BOTH the pooled theta and the
+    # per-arm means: roll the |arms|-row per-arm stats up to the global
+    # sums (exact integers commute) instead of re-deriving the events
+    # scan; the lazy checkpoint pins the shared 2-row subtree.
+    v2 = (
+        u.groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("sxv"),
+            F.sum("y").cast("long").alias("syv"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxyv"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxxv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = v2.agg(
+        F.sum("n_users").cast("long").alias("n"),
+        F.sum("sxv").cast("long").alias("sx"),
+        F.sum("syv").cast("long").alias("sy"),
+        F.sum("sxyv").cast("long").alias("sxy"),
+        F.sum("sxxv").cast("long").alias("sxx"),
+    )
+    theta = F.try_divide(
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double"),
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+    )
+    v = v2.select("arm", "n_users", "sxv", "syv")
+    th = g.select("n", "sx", theta.alias("theta"))
+    mean_y = F.col("syv").cast("double") / F.col("n_users")
+    mean_x_v = F.col("sxv").cast("double") / F.col("n_users")
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    return v.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n_users",
+        (F.floor(mean_y * 10_000.0) / 1_000_000.0).alias("mean_post_q6"),
+        (F.floor(F.col("theta") * 1_000_000.0) / 1_000_000.0).alias("theta_q6"),
+        (
+            F.floor((mean_y - F.col("theta") * (mean_x_v - mean_x)) * 10_000.0)
+            / 1_000_000.0
+        ).alias("mean_adj_q6"),
+    )

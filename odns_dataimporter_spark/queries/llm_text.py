@@ -1654,3 +1654,120 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(p * 1_000_000.0) / 1_000_000.0).alias("p_kn_q6"),
         )
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "window", "query")  # FIXED query registry
+_BM25_TOPK = 10
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM d),
+tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS token FROM d),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(MAX(dl) AS BIGINT) AS dl
+       FROM tok WHERE token IN ({_BM25_TERMS_SQL})
+       GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+                           / (CAST(df.df AS DOUBLE) + 0.5))
+              * (tf.tf * CAST({_BM25_K1 + 1.0} AS DOUBLE))
+              / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                 * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                    + CAST({_BM25_B} AS DOUBLE) * tf.dl
+                      / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+              * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN df USING (token) CROSS JOIN st),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             CAST(SUM(micro) AS BIGINT) AS sm
+      FROM sc GROUP BY doc_id)
+SELECT doc_id, n_hit_terms, sm / 1000000.0 AS score_q6
+FROM g ORDER BY sm DESC, doc_id LIMIT {_BM25_TOPK}
+""",
+    tags=("llm", "text"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Walker; k1=1.2, b=0.75) — the
+    lexical-search scorer layered on the `text_inverted_index`
+    substrate: top-10 documents for a FIXED query-term registry
+    (bounded by construction — never a fraction of the corpus, per the
+    embed_decontaminate lesson). Shape: doc length comes from
+    size(split(text)) at scan time with NO explode-shuffle; the explode
+    is filtered to query terms BEFORE the (doc, term) aggregate, so the
+    only corpus-scale shuffle carries just query-term hits; df and the
+    (N, Σdl) corpus stats are tiny broadcast sides; the final top-10 is
+    TakeOrderedAndProject. Determinism: each per-term BM25 score is
+    floor-quantized to integer micros BEFORE the per-doc sum (float
+    addition order never matters), one identical IEEE expression tree
+    on both engines; ties broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        # tf feeds both df and the scorer: the lazy checkpoint pins the
+        # explode+aggregate subtree so df never re-derives the tokenize.
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / avgdl
+            )
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * 1_000_000.0).cast("long").alias("micro"),
+        )
+    )
+    g = sc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_terms"),
+        F.sum("micro").cast("long").alias("sm"),
+    )
+    return (
+        g.orderBy(F.desc("sm"), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id", "n_hit_terms", (F.col("sm") / 1_000_000.0).alias("score_q6")
+        )
+    )

@@ -811,3 +811,295 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo_q6"),
         )
     )
+
+_AUC_SALT = "auc|"  # deterministic pseudo-model score seed
+_AUC_NOISE = 1000  # noise span of the synthetic score (integer milli-units)
+_AUC_LIFT = 150  # additive score lift on positive labels => AUC ~ 0.6
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+d AS (SELECT s, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      FROM b GROUP BY s),
+c AS (SELECT s, c1, c0, c1 + c0 AS ct,
+             CAST(COALESCE(SUM(c1 + c0) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c1) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum1,
+             CAST(SUM(c0) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum0,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c0) OVER () AS BIGINT) AS n0
+      FROM d),
+agg AS (SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n0) AS BIGINT) AS n0,
+               CAST(SUM(c1 * (2 * cum + ct + 1)) AS BIGINT) AS r1_x2,
+               CAST(MAX(abs(cum1 * n0 - cum0 * n1)) AS BIGINT) AS ks_num
+        FROM c)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       floor(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS auc_q6,
+       floor(CAST(r1_x2 - n1 * (n1 + 1) - n1 * n0 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS gini_q6,
+       floor(CAST(ks_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS ks_q6
+FROM agg
+""",
+    tags=("ml", "stats"),
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation triple — ROC AUC (rank/Mann-Whitney
+    formulation with exact average-rank tie handling), Gini (2·AUC−1),
+    and the KS statistic (max |TPR−FPR| over thresholds) — the standard
+    scorecard a training pipeline runs after every model fit. The
+    "model" is a deterministic hash score with an additive lift on
+    positives (priority URGENT/HIGH), so every engine reproduces the
+    same score column. Exact integers until the final divisions: per
+    DISTINCT score, 2·R₁ = Σc₁(2·cum+t+1) is an int64 (doubled average
+    ranks are integers), and the KS numerator max|cum₁·n₀ − cum₀·n₁| is
+    an exact cross-multiplied int64, so AUC/Gini/KS each perform ONE
+    double division, identically shaped on both engines. Shape: one
+    map-side-combined groupBy collapses the table to |distinct scores|
+    rows (≤ noise span + lift, bounded by construction — never grows
+    with the corpus), one ordered window over that tiny table
+    (range-partition it at 100 TB), one 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    d = b.groupBy("s").agg(
+        F.sum("y").cast("long").alias("c1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("c0"),
+    )
+    ct = F.col("c1") + F.col("c0")
+    wprev = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("s").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = d.select(
+        "c1",
+        ct.alias("ct"),
+        F.coalesce(F.sum(ct).over(wprev), F.lit(0)).cast("long").alias("cum"),
+        F.sum("c1").over(wcum).cast("long").alias("cum1"),
+        F.sum("c0").over(wcum).cast("long").alias("cum0"),
+        F.sum("c1").over(wall).cast("long").alias("n1"),
+        F.sum("c0").over(wall).cast("long").alias("n0"),
+    )
+    agg = c.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * (2 * F.col("cum") + F.col("ct") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.max(F.abs(F.col("cum1") * F.col("n0") - F.col("cum0") * F.col("n1")))
+        .cast("long")
+        .alias("ks_num"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n1n0 = n1.cast("double") * n0.cast("double")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    return agg.select(
+        n1.alias("n_pos"),
+        n0.alias("n_neg"),
+        (F.floor(u1_x2.cast("double") / (2.0 * n1n0) * 1_000_000.0) / 1_000_000.0).alias(
+            "auc_q6"
+        ),
+        (
+            F.floor((u1_x2 - n1 * n0).cast("double") / n1n0 * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("gini_q6"),
+        (
+            F.floor(F.col("ks_num").cast("double") / n1n0 * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("ks_q6"),
+    )
+
+
+def _det3_sql(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant SQL text — the SAME parenthesisation the Spark
+    side builds, so both engines evaluate an identical IEEE tree."""
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+_OLS_DET_A = _det3_sql("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+_OLS_DET_0 = _det3_sql("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+_OLS_DET_1 = _det3_sql("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+_OLS_DET_2 = _det3_sql("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+
+@register(
+    "ml_ols_normal_eq",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(CAST(y AS DECIMAL(18, 0)) * y) AS DECIMAL(38, 0)) AS syy
+  FROM b
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+         s.n AS n_rows
+  FROM s
+),
+beta AS (
+  SELECT n_rows, n, sy, s1y, s2y, syy,
+         {_OLS_DET_0} / {_OLS_DET_A} AS b0,
+         {_OLS_DET_1} / {_OLS_DET_A} AS b1,
+         {_OLS_DET_2} / {_OLS_DET_A} AS b2
+  FROM d
+)
+SELECT CAST(n_rows AS BIGINT) AS n,
+       floor(b0 * 10000.0) / 1000000.0 AS beta0_q6,
+       floor(b1 * 10000.0) / 1000000.0 AS beta1_q6,
+       floor(b2 * 10000.0) / 1000000.0 AS beta2_q6,
+       floor((b0 * sy + b1 * s1y + b2 * s2y - sy * sy / n)
+             / (syy - sy * sy / n) * 1000000.0) / 1000000.0 AS r2_q6
+FROM beta
+""",
+    tags=("ml", "stats"),
+)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression via the normal equations
+    — the distributed OLS fit (price ~ quantity + discount over
+    lineitem) every feature pipeline runs for baselines and leakage
+    probes. The entire fact table collapses in ONE map-side-combined
+    aggregate to the 3x3 Gram matrix XᵀX and XᵀY (nine sufficient
+    statistics — this is how MLlib's normal-equation solver works,
+    except here the solve is a 1-row Cramer's rule instead of a
+    driver-side LAPACK call, so the whole fit is a single reduce).
+    Sums are exact int64 (y in cents, x1 integer quantity, x2 discount
+    percent); Σy² alone exceeds int64 at ~sf1 so it rides a
+    DECIMAL(38,0) exact sum. Doubles enter only in the determinant
+    expressions, built from ONE shared parenthesisation (_det3_sql) on
+    both engines, so β and the closed-form R² = (βᵀXᵀy − nȳ²)/(Σy² −
+    nȳ²) are bit-identical. β is floor-quantized in currency units
+    (cents·1e4/1e6 = q6 dollars)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    s = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    dbl = {
+        k: F.col(k).cast("double")
+        for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+    }
+
+    def det3(a, bb, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - bb * (d * i - f * g) + c * (d * h - e * g)
+
+    det_a = det3(
+        dbl["n"], dbl["s1"], dbl["s2"],
+        dbl["s1"], dbl["s11"], dbl["s12"],
+        dbl["s2"], dbl["s12"], dbl["s22"],
+    )
+    b0 = F.try_divide(
+        det3(
+            dbl["sy"], dbl["s1"], dbl["s2"],
+            dbl["s1y"], dbl["s11"], dbl["s12"],
+            dbl["s2y"], dbl["s12"], dbl["s22"],
+        ),
+        det_a,
+    )
+    b1 = F.try_divide(
+        det3(
+            dbl["n"], dbl["sy"], dbl["s2"],
+            dbl["s1"], dbl["s1y"], dbl["s12"],
+            dbl["s2"], dbl["s2y"], dbl["s22"],
+        ),
+        det_a,
+    )
+    b2 = F.try_divide(
+        det3(
+            dbl["n"], dbl["s1"], dbl["sy"],
+            dbl["s1"], dbl["s11"], dbl["s1y"],
+            dbl["s2"], dbl["s12"], dbl["s2y"],
+        ),
+        det_a,
+    )
+    beta = s.select(
+        F.col("n").alias("n_rows"),
+        dbl["n"].alias("nd"),
+        dbl["sy"].alias("syd"),
+        dbl["s1y"].alias("s1yd"),
+        dbl["s2y"].alias("s2yd"),
+        dbl["syy"].alias("syyd"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    sst = F.col("syyd") - F.col("syd") * F.col("syd") / F.col("nd")
+    ssr = (
+        F.col("b0") * F.col("syd")
+        + F.col("b1") * F.col("s1yd")
+        + F.col("b2") * F.col("s2yd")
+        - F.col("syd") * F.col("syd") / F.col("nd")
+    )
+    return beta.select(
+        F.col("n_rows").alias("n"),
+        (F.floor(F.col("b0") * 10_000.0) / 1_000_000.0).alias("beta0_q6"),
+        (F.floor(F.col("b1") * 10_000.0) / 1_000_000.0).alias("beta1_q6"),
+        (F.floor(F.col("b2") * 10_000.0) / 1_000_000.0).alias("beta2_q6"),
+        (F.floor(F.try_divide(ssr, sst) * 1_000_000.0) / 1_000_000.0).alias(
+            "r2_q6"
+        ),
+    )

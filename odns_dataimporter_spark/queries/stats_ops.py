@@ -1245,3 +1245,119 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FDR_Q = 0.05  # BH rejection level on the quantized adjusted p
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, hod, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM h
+),
+z AS (
+  SELECT event_type, hod, obs, m,
+         (obs - tot / 24.0) * (obs - tot / 24.0) / (tot / 24.0) AS z2
+  FROM t
+),
+r AS (
+  SELECT event_type, hod, obs, m, z2,
+         CAST(row_number() OVER (ORDER BY z2 DESC, event_type, hod)
+              AS BIGINT) AS rk
+  FROM z
+),
+a AS (
+  SELECT event_type, hod, obs, z2,
+         MIN(exp(-z2 / 2.0) * m / rk) OVER (
+           ORDER BY rk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+  FROM r
+)
+SELECT event_type, hod, obs,
+       floor(z2 * 1000000.0) / 1000000.0 AS z2_q6,
+       floor(least(adj, 1.0) * 1000000.0) / 1000000.0 AS p_adj_q6,
+       floor(least(adj, 1.0) * 1000000.0) / 1000000.0 <= {_FDR_Q}
+         AS reject_05
+FROM a
+""",
+    tags=("stats", "events"),
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the (event_type x hour-of-
+    day) hypothesis grid — the multiple-testing step that belongs after
+    every per-cell drift/anomaly scan (one χ²-style deviation test per
+    cell against the uniform-across-hours null, then step-up adjusted
+    p-values p̃ᵢ = min_{{j≥i}} pⱼ·m/j so downstream alerts hold the false
+    discovery rate at q). The per-cell "p-value" is the Chernoff-style
+    Gaussian tail bound exp(−z²/2) — monotone in the deviation, closed
+    form on both engines (no incomplete-gamma in either SQL dialect),
+    and documented as a bound, not a calibrated tail area; BH only
+    needs the ORDER of the p's plus the m/j scaling, so the control
+    structure is the real thing. Shape: ONE events-scale map-side-
+    combined aggregate collapses to ≤ |types|·24 cells (bounded by
+    construction); per-type totals and the global m ride windows over
+    that tiny table; the step-up min is a cumulative window min walked
+    from the worst rank (range-partition by rank block at a 100 TB
+    hypothesis grid). z² is one double expression from exact integer
+    counts; rejection compares the ALREADY-quantized p̃ to q so a 1-ulp
+    exp() divergence can never flip the boolean."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").cast("long").alias("obs"))
+    wt = W.partitionBy("event_type")
+    wm = W.partitionBy()
+    t = h.select(
+        "event_type",
+        "hod",
+        "obs",
+        F.sum("obs").over(wt).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wm).cast("long").alias("m"),
+    )
+    exp_c = F.col("tot") / 24.0
+    z = t.select(
+        "event_type",
+        "hod",
+        "obs",
+        "m",
+        (
+            (F.col("obs") - exp_c) * (F.col("obs") - exp_c) / exp_c
+        ).alias("z2"),
+    )
+    r = z.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("z2"), "event_type", "hod"))
+        .cast("long")
+        .alias("rk"),
+    )
+    wstep = W.orderBy(F.desc("rk")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    a = r.select(
+        "event_type",
+        "hod",
+        "obs",
+        "z2",
+        F.min(F.exp(-F.col("z2") / 2.0) * F.col("m") / F.col("rk"))
+        .over(wstep)
+        .alias("adj"),
+    )
+    p_adj_q6 = F.floor(F.least(F.col("adj"), F.lit(1.0)) * 1_000_000.0) / 1_000_000.0
+    return a.select(
+        "event_type",
+        "hod",
+        "obs",
+        (F.floor(F.col("z2") * 1_000_000.0) / 1_000_000.0).alias("z2_q6"),
+        p_adj_q6.alias("p_adj_q6"),
+        (p_adj_q6 <= _FDR_Q).alias("reject_05"),
+    )

@@ -532,6 +532,12 @@ _BNLJ_ALLOWED = {
     "tokenizer_bpe_encode",  # same trainer chain + broadcast vocab join
     "text_keywords_topk",  # broadcast single-row corpus-size aggregate
     "text_tfidf",  # broadcast single-row corpus-size aggregate
+    "sim_maxsim_late_interaction",  # broadcast FIXED query-token registry
+    #   (<= 32 rows by id bound) against the streaming corpus side —
+    #   the designed linear late-interaction loop
+    "text_bigram_kneser_ney",  # broadcast 1-row bigram-type-total aggregate
+    "events_cuped_adjustment",  # broadcast 1-row theta/global-means aggregate
+    "text_bm25_topk",  # broadcast 1-row corpus (N, sum_dl) stats aggregate
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
