@@ -83,6 +83,9 @@ HEADLINE = [
     "ml_auc_roc",
     "ml_ols_normal_eq",
     "stats_fdr_bh",
+    "embed_covariance",
+    "profile_fk_inference",
+    "ml_lift_gains",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -996,3 +996,101 @@ def etl_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# Inclusion-dependency candidates: (pair label, child table.column,
+# parent table.column). A FIXED registry — profiling enumerates
+# bounded candidate pairs (pruned by type/name heuristics upstream),
+# never the quadratic column cross product.
+_FK_CANDIDATES = (
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    # negative control: key ranges overlap but inclusion < 1
+    ("orders.o_orderkey->customer.c_custkey", "orders", "o_orderkey",
+     "customer", "c_custkey"),
+)
+
+
+def _fk_pair_sql(label, ct, cc, pt, pc):
+    return f"""
+SELECT '{label}' AS fk_pair,
+       CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+       CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       floor(CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000.0) / 1000000.0
+         AS inclusion_q6,
+       SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) = COUNT(*) AS is_fk
+FROM (SELECT DISTINCT {cc} AS k FROM {ct}) c
+LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p USING (k)"""
+
+
+@register(
+    "profile_fk_inference",
+    oracle="\nUNION ALL\n".join(
+        _fk_pair_sql(*cand) for cand in _FK_CANDIDATES
+    ),
+    tags=("etl", "profiling"),
+)
+def profile_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key / inclusion-dependency discovery (the SPIDER/SINDY
+    profiling primitive): for each candidate (child, parent) column
+    pair, the inclusion coefficient |child ∩ parent| / |child| over
+    DISTINCT key values, flagging exact containment as an FK — the
+    metadata a lakehouse catalog needs before it can plan riskless
+    joins, CDC merges, or referential-integrity checks. The candidate
+    list is a FIXED registry (type/name-pruned upstream), so cost is
+    linear per pair: distinct child keys (one map-side-combined
+    dedup shuffle), left join against distinct parent keys
+    (co-partitioned on the key — no broadcast assumption, parents can
+    be huge), one 1-row reduce; pairs run independently and union.
+    Includes a deliberate negative control (orderkey vs custkey:
+    overlapping integer ranges, inclusion << 1) so the threshold
+    behavior is tested, not vacuous. Counters are exact int64; the
+    coefficient is one double division, floor-q6; is_fk is an integer
+    equality, immune to float rounding."""
+    out = None
+    for label, ct, cc, pt, pc in _FK_CANDIDATES:
+        c = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .distinct()
+        )
+        p = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        matched = F.sum(
+            F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+        ).cast("long")
+        one = (
+            c.join(p, "k", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child_keys"),
+                matched.alias("n_matched"),
+            )
+            .select(
+                F.lit(label).alias("fk_pair"),
+                "n_child_keys",
+                "n_matched",
+                (
+                    F.floor(
+                        F.col("n_matched").cast("double")
+                        / F.col("n_child_keys")
+                        * 1_000_000.0
+                    )
+                    / 1_000_000.0
+                ).alias("inclusion_q6"),
+                (F.col("n_matched") == F.col("n_child_keys")).alias("is_fk"),
+            )
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

@@ -1188,3 +1188,99 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         "maxsim_q6",
     )
+
+
+_COV_DIM = 64  # embedding dimensionality (fixed by the table schema)
+
+
+@register(
+    "embed_covariance",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT gi.i AS i, gj.j AS j,
+         list_extract(qv, gi.i) AS xi, list_extract(qv, gj.j) AS xj
+  FROM q, generate_series(1, {_COV_DIM}) gi(i),
+          generate_series(1, {_COV_DIM}) gj(j)
+  WHERE gj.j >= gi.i
+),
+g AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi * xj) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2),
+m AS (SELECT CAST(gs.i - 1 AS BIGINT) AS i,
+             CAST(SUM(list_extract(qv, gs.i)) AS BIGINT) AS s
+      FROM q, generate_series(1, {_COV_DIM}) gs(i) GROUP BY 1)
+SELECT g.i, g.j, g.n,
+       floor(((CAST(g.sxy AS DOUBLE) / 1000000000000.0)
+              - (CAST(mi.s AS DOUBLE) / 1000000.0)
+                * (CAST(mj.s AS DOUBLE) / 1000000.0) / g.n) / g.n
+             * 1000000.0) / 1000000.0 AS cov_q6
+FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+""",
+    tags=("llm", "embedding"),
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical covariance matrix of the embedding corpus (upper
+    triangle, d(d+1)/2 = 2080 cells at d=64) — the statistic behind
+    whitening, PCA initialisation, Mahalanobis outlier gates, and
+    drift monitors over embedding spaces. Shape: the Gram sums Σxᵢxⱼ
+    come from a double posexplode whose 64·64 rows per vector are
+    map-side combined down to ≤ d² partial cells per partition BEFORE
+    the one tiny shuffle (the same collapse MLlib's RowMatrix Gramian
+    uses), and the per-dimension sums are a second 64-row aggregate
+    broadcast back twice; the corpus is never shuffled row-wise.
+    Determinism: coordinates are floor-quantized to integer micros
+    FIRST, so Σxᵢxⱼ and Σxᵢ are exact int64 on both engines (population
+    covariance = Sxy/1e12/n − mean·mean then one floor-q6; doubles
+    enter once, identical tree). At 100 TB the explode factor d² is
+    the knob — for d ≥ 512 switch to per-partition numpy Gram via
+    mapInArrow (the sim_knn_graph block pattern); this declarative
+    form is the oracle-able twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv")
+    )
+    a = q.select(F.posexplode("qv").alias("i", "xi"), "qv")
+    b = a.select(
+        F.col("i").cast("long").alias("i"),
+        "xi",
+        F.posexplode("qv").alias("j", "xj"),
+    ).filter(F.col("j") >= F.col("i"))
+    g = b.groupBy("i", F.col("j").cast("long").alias("j")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sxy"),
+    )
+    m = (
+        q.select(F.posexplode("qv").alias("i", "xi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum("xi").cast("long").alias("s"))
+    )
+    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("si"))
+    mj = m.select(F.col("i").alias("mj_i"), F.col("s").alias("sj"))
+    cov = (
+        (
+            F.col("sxy").cast("double") / 1_000_000_000_000.0
+            - (F.col("si").cast("double") / 1_000_000.0)
+            * (F.col("sj").cast("double") / 1_000_000.0)
+            / F.col("n")
+        )
+        / F.col("n")
+    )
+    return (
+        g.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.floor(cov * 1_000_000.0) / 1_000_000.0).alias("cov_q6"),
+        )
+    )

@@ -1103,3 +1103,133 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_q6"
         ),
     )
+
+
+_LIFT_BUCKETS = 10
+
+
+@register(
+    "ml_lift_gains",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+r AS (
+  SELECT y,
+         CAST(row_number() OVER (ORDER BY s DESC, o_orderkey) AS BIGINT)
+           AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+  FROM b
+),
+d AS (SELECT CAST(floor((rnk - 1) * {_LIFT_BUCKETS} / nn) + 1 AS BIGINT)
+               AS decile, y
+      FROM r),
+g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile),
+c AS (SELECT decile, n, n_pos,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM g)
+SELECT decile, n, n_pos,
+       floor((CAST(n_pos AS DOUBLE) / n) / (CAST(tot_pos AS DOUBLE) / tot_n)
+             * 1000000.0) / 1000000.0 AS lift_q6,
+       floor(CAST(cum_pos AS DOUBLE) / tot_pos * 1000000.0) / 1000000.0
+         AS cum_gain_q6
+FROM c
+""",
+    tags=("ml", "stats"),
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gains table — the campaign-targeting /
+    model-monitoring companion to `ml_auc_roc` (same deterministic
+    hash-score model): rows ranked by score descending are cut into 10
+    equal-count buckets via rank → floor((rank−1)·10/N)+1, and each
+    decile reports its positive-rate lift over the base rate plus the
+    cumulative share of all positives captured. Scale shape: the
+    global rank is NOT a single-partition window — a |distinct
+    scores|-row histogram (map-side combined) yields per-score prefix
+    offsets (tiny broadcast), and rank = offset + row_number
+    PARTITIONED BY score (parallel windows over bounded groups, since
+    the score span is fixed by construction); the identical
+    formulation on the oracle side is a plain global row_number, which
+    is equal by definition because (score DESC, orderkey) is a total
+    order. Counts are exact int64; lift/gain are single double
+    divisions, floor-q6."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        "o_orderkey",
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    hist = b.groupBy("s").agg(F.count("*").cast("long").alias("n_s"))
+    woff = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy(F.desc("s")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    off = hist.select(
+        "s",
+        F.coalesce(F.sum("n_s").over(woff), F.lit(0)).cast("long").alias("off"),
+        F.sum("n_s").over(wall).cast("long").alias("nn"),
+    )
+    wrn = W.partitionBy("s").orderBy("o_orderkey")
+    r = b.join(F.broadcast(off), "s").select(
+        "y",
+        (F.col("off") + F.row_number().over(wrn)).cast("long").alias("rnk"),
+        "nn",
+    )
+    d = r.select(
+        (F.floor((F.col("rnk") - 1) * _LIFT_BUCKETS / F.col("nn")) + 1)
+        .cast("long")
+        .alias("decile"),
+        "y",
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wtot = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+        F.sum("n").over(wtot).cast("long").alias("tot_n"),
+        F.sum("n_pos").over(wtot).cast("long").alias("tot_pos"),
+    )
+    lift = (F.col("n_pos").cast("double") / F.col("n")) / (
+        F.col("tot_pos").cast("double") / F.col("tot_n")
+    )
+    return c.select(
+        "decile",
+        "n",
+        "n_pos",
+        (F.floor(lift * 1_000_000.0) / 1_000_000.0).alias("lift_q6"),
+        (
+            F.floor(
+                F.col("cum_pos").cast("double") / F.col("tot_pos") * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("cum_gain_q6"),
+    )
