@@ -86,6 +86,10 @@ HEADLINE = [
     "embed_covariance",
     "profile_fk_inference",
     "ml_lift_gains",
+    "ts_holt_winters",
+    "ml_feature_hashing",
+    "events_mde_power",
+    "sample_balanced_classes",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

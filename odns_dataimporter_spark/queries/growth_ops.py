@@ -900,3 +900,152 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("mean_adj_q6"),
     )
+
+
+_Z_ALPHA = 1.959963984540054  # two-sided 5% normal quantile
+_Z_POWER = 0.8416212335729143  # 80% power normal quantile
+
+
+@register(
+    "events_mde_power",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS is_t,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(SUM(is_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(is_t) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+         CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+         CAST(SUM(CASE WHEN is_t = 1 THEN CAST(y AS DECIMAL(18, 0)) * y
+                       ELSE 0 END) AS DECIMAL(38, 0)) AS syy_t,
+         CAST(SUM(CASE WHEN is_t = 0 THEN CAST(y AS DECIMAL(18, 0)) * y
+                       ELSE 0 END) AS DECIMAL(38, 0)) AS syy_c
+  FROM u
+),
+v AS (
+  SELECT n_t, n_c,
+         CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS diff,
+         ((CAST(syy_t AS DOUBLE)
+           - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t)
+          + (CAST(syy_c AS DOUBLE)
+             - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n_c))
+         / (n_t + n_c - 2) AS s2p
+  FROM g
+)
+SELECT n_t AS n_treat, n_c AS n_ctrl,
+       floor(diff * 10000.0) / 1000000.0 AS diff_q6,
+       floor(({_Z_ALPHA} + {_Z_POWER})
+             * sqrt(s2p * (1.0 / n_t + 1.0 / n_c)) * 10000.0) / 1000000.0
+         AS mde_q6,
+       abs(floor(diff * 10000.0) / 1000000.0)
+         >= floor(({_Z_ALPHA} + {_Z_POWER})
+                  * sqrt(s2p * (1.0 / n_t + 1.0 / n_c)) * 10000.0) / 1000000.0
+         AS detectable
+FROM v
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect / power check for the running A-B
+    assignment — the design-of-experiments staple next to SRM
+    (`events_ab_assignment_srm`) and CUPED: pooled per-user revenue
+    variance gives MDE = (z_{{α/2}} + z_{{power}})·√(s²_p(1/n_t + 1/n_c))
+    at 5%/80%, and the observed arm difference is flagged detectable
+    iff |diff| ≥ MDE — the "is this experiment even big enough" gate.
+    Shape: ONE user-level aggregate (events collapse to |users| rows,
+    map-side combined), then ONE 1-row reduce carrying exact integer
+    Σy per arm plus DECIMAL(38,0) Σy² (outgrows int64 near sf10); all
+    doubles derive from those exact sums through one shared expression
+    tree, and the boolean compares the two ALREADY-quantized q6 values
+    so a 1-ulp sqrt divergence can never flip it. Money is exact cents;
+    q6 output is in currency units (cents·1e4/1e6)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "is_t",
+        F.when(
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+                " 16, 10) AS BIGINT) % 100 < 50"
+            ),
+            1,
+        ).otherwise(0),
+    )
+    is_t = F.col("is_t") == 1
+    g = u.agg(
+        F.sum("is_t").cast("long").alias("n_t"),
+        (F.count("*") - F.sum("is_t")).cast("long").alias("n_c"),
+        F.sum(F.when(is_t, F.col("y")).otherwise(0)).cast("long").alias("sy_t"),
+        F.sum(F.when(~is_t, F.col("y")).otherwise(0)).cast("long").alias("sy_c"),
+        F.sum(
+            F.when(is_t, F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_t"),
+        F.sum(
+            F.when(~is_t, F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("syy_c"),
+    )
+    n_t, n_c = F.col("n_t"), F.col("n_c")
+    # try_divide throughout: a degenerate corpus can land every user in
+    # one arm (n=0) or have exactly two users (pooled dof 0); DuckDB's
+    # float division yields NULL there where ANSI Spark would throw.
+    diff = F.try_divide(F.col("sy_t").cast("double"), n_t) - F.try_divide(
+        F.col("sy_c").cast("double"), n_c
+    )
+    s2p = F.try_divide(
+        (
+            F.col("syy_t").cast("double")
+            - F.try_divide(
+                F.col("sy_t").cast("double") * F.col("sy_t").cast("double"), n_t
+            )
+        )
+        + (
+            F.col("syy_c").cast("double")
+            - F.try_divide(
+                F.col("sy_c").cast("double") * F.col("sy_c").cast("double"), n_c
+            )
+        ),
+        (n_t + n_c - 2),
+    )
+    diff_q6 = F.floor(diff * 10_000.0) / 1_000_000.0
+    mde_q6 = (
+        F.floor(
+            (_Z_ALPHA + _Z_POWER)
+            * F.sqrt(
+                s2p
+                * (
+                    F.try_divide(F.lit(1.0), n_t)
+                    + F.try_divide(F.lit(1.0), n_c)
+                )
+            )
+            * 10_000.0
+        )
+        / 1_000_000.0
+    )
+    return g.select(
+        n_t.alias("n_treat"),
+        n_c.alias("n_ctrl"),
+        diff_q6.alias("diff_q6"),
+        mde_q6.alias("mde_q6"),
+        (F.abs(diff_q6) >= mde_q6).alias("detectable"),
+    )

@@ -1233,3 +1233,64 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("cum_gain_q6"),
     )
+
+
+_FH_SALT = "fh|"  # feature-hashing seed
+_FH_BUCKETS = 32  # hashed feature-vector width
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{_FH_SALT}' || token), 1, 8) AS BIGINT) AS hv
+  FROM tok
+),
+f AS (
+  SELECT doc_id, (hv // 2) % {_FH_BUCKETS} AS bucket,
+         CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM h
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS feat_val
+FROM f GROUP BY doc_id, bucket
+HAVING SUM(sgn) != 0
+""",
+    tags=("ml", "llm", "text"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009; sklearn
+    HashingVectorizer / VW's default featurizer): tokens map to a
+    FIXED-width feature vector through a salted hash — bucket from one
+    bit-slice, a +-1 sign from another — so the feature space never
+    grows with the vocabulary, no vocabulary table is ever built or
+    broadcast, and collisions cancel in expectation (the sign trick).
+    Output is the sparse (doc, bucket, value) triple table with exact
+    zeros dropped. Scale shape: tokenize-explode then ONE map-side-
+    combined (doc, bucket) aggregate — the per-partition combine
+    collapses each document's tokens to <= width cells before the
+    shuffle; no second pass, no joins, state bounded by construction.
+    Hash is the engine-portable md5-prefix idiom; counts are exact
+    int64 so the parity is trivially bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    hv = F.expr(
+        f"CAST(conv(substr(md5(concat('{_FH_SALT}', token)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    f = tok.select(
+        "doc_id",
+        (F.floor(hv / 2) % _FH_BUCKETS).cast("long").alias("bucket"),
+        F.when(hv % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        f.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("feat_val"))
+        .filter(F.col("feat_val") != 0)
+    )

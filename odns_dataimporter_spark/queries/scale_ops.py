@@ -434,3 +434,89 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         k.orderBy(F.col("key_q9").desc(), "doc_id").limit(_ARES_K)
     )
+
+
+_BAL_SALT = "bal|"  # deterministic class-balancing hash seed
+
+
+@register(
+    "sample_balanced_classes",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_orig
+  FROM events GROUP BY event_type
+),
+mn AS (SELECT CAST(MIN(n_orig) AS BIGINT) AS n_min FROM c),
+k AS (
+  SELECT e.event_type, e.event_id
+  FROM events e JOIN c USING (event_type) CROSS JOIN mn
+  WHERE CAST('0x' || substr(md5('{_BAL_SALT}' || CAST(e.event_id AS VARCHAR)),
+             1, 8) AS BIGINT) % c.n_orig < mn.n_min
+)
+SELECT c.event_type, c.n_orig,
+       CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(kk.kept_id_sum, 0) AS BIGINT) AS kept_id_sum,
+       floor(CAST(COALESCE(kk.n_kept, 0) AS DOUBLE) / c.n_orig * 1000000.0)
+         / 1000000.0 AS kept_ratio_q6
+FROM c LEFT JOIN (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(event_id) AS BIGINT) AS kept_id_sum
+  FROM k GROUP BY event_type) kk USING (event_type)
+""",
+    tags=("llm", "sampling", "events"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsampling — the imbalanced-
+    training-data lever (undersample every majority class to the
+    minority class size) as a pure hash filter: a row of class k
+    survives iff hash(id) mod n_k < n_min, giving each class an
+    expected n_min kept rows with NO shuffle of the fact table, no
+    per-class sort, and exact reproducibility across engines and runs
+    (the same property as `sample_hash_deterministic`, extended with a
+    per-class acceptance rate). Shape: one map-side-combined class
+    histogram (|classes| rows, broadcast back with the 1-row minimum),
+    then the keep-filter runs inside whole-stage codegen at scan
+    speed; the verification summary (per class: kept count, exact
+    id-sum checksum of the kept SET, acceptance ratio) is a second
+    tiny aggregate. At 100 TB the sampled subset never materializes
+    through a shuffle — downstream consumers chain onto the filtered
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_orig")
+    ).localCheckpoint(eager=False)
+    mn = c.agg(F.min("n_orig").cast("long").alias("n_min"))
+    hv = F.expr(
+        f"CAST(conv(substr(md5(concat('{_BAL_SALT}', CAST(event_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    kept = (
+        ev.select("event_type", "event_id")
+        .join(F.broadcast(c), "event_type")
+        .crossJoin(F.broadcast(mn))
+        .filter((hv % F.col("n_orig")) < F.col("n_min"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("kept_id_sum"),
+        )
+    )
+    return (
+        c.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            "n_orig",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+            (
+                F.floor(
+                    F.coalesce("n_kept", F.lit(0)).cast("double")
+                    / F.col("n_orig")
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("kept_ratio_q6"),
+        )
+    )

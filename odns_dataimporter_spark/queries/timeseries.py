@@ -1187,3 +1187,196 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(lb[1] * 1e6) / 1e6).alias("trend_q6"),
         (F.floor((lb[0] + 7 * lb[1]) * 1e6) / 1e6).alias("forecast7_q6"),
     )
+
+
+_HW_ALPHA = 0.5  # level gain   (exact binary fractions: no decimal-vs-
+_HW_BETA = 0.25  # trend gain    double literal divergence between engines)
+_HW_GAMMA = 0.25  # seasonal gain
+_HW_M = 7  # weekly season over the daily series
+
+
+def _hw_sql_lnew():
+    """l' expression (SQL dialect), duplicated wherever needed —
+    recomputed identically, therefore bit-identical across engines."""
+    idx = f"((CAST(x[2] AS BIGINT) - 1) % {_HW_M})"
+    return (
+        f"{_HW_ALPHA} * (x[1] - acc[3 + {idx}]) "
+        f"+ {1 - _HW_ALPHA} * (acc[1] + acc[2])"
+    )
+
+
+def _hw_sql_slot(k: int) -> str:
+    idx = f"((CAST(x[2] AS BIGINT) - 1) % {_HW_M})"
+    return (
+        f"CASE WHEN {idx} = {k - 1} THEN "
+        f"{_HW_GAMMA} * (x[1] - ({_hw_sql_lnew()})) "
+        f"+ {1 - _HW_GAMMA} * acc[{k + 2}] "
+        f"ELSE acc[{k + 2}] END"
+    )
+
+
+_HW_SQL_STEP = (
+    "[" + _hw_sql_lnew() + ", "
+    f"{_HW_BETA} * (({_hw_sql_lnew()}) - acc[1]) + {1 - _HW_BETA} * acc[2], "
+    + ", ".join(_hw_sql_slot(k) for k in range(1, _HW_M + 1))
+    + "]"
+)
+
+_HW_SQL_L0 = (
+    "((ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6] + ys[7]) / 7.0)"
+)
+_HW_SQL_B0 = (
+    "(((ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13] + ys[14]) / 7.0 "
+    f"- {_HW_SQL_L0}) / 7.0)"
+)
+_HW_SQL_INIT = (
+    "[" + _HW_SQL_L0 + ", " + _HW_SQL_B0 + ", "
+    + ", ".join(f"ys[{k}] - {_HW_SQL_L0}" for k in range(1, _HW_M + 1))
+    + "]"
+)
+
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, day, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS DOUBLE) AS t
+  FROM d
+), s AS (
+  SELECT event_type, list(y ORDER BY day) AS ys,
+         list([y, t] ORDER BY day) AS pairs
+  FROM o GROUP BY 1
+), f AS (
+  SELECT event_type, len(ys) AS n,
+         list_reduce(
+           list_prepend({_HW_SQL_INIT}, pairs[15:]),
+           (acc, x) -> {_HW_SQL_STEP}
+         ) AS st
+  FROM s WHERE len(ys) >= 15
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       floor(st[1] * 1000000.0) / 1000000.0 AS level_q6,
+       floor(st[2] * 1000000.0) / 1000000.0 AS trend_q6,
+       floor((st[3] + st[4] + st[5] + st[6] + st[7] + st[8] + st[9])
+             * 1000000.0) / 1000000.0 AS season_sum_q6,
+       floor((7.0 * st[1] + 28.0 * st[2]
+              + st[3] + st[4] + st[5] + st[6] + st[7] + st[8] + st[9])
+             * 1000000.0) / 1000000.0 AS forecast_week_q6
+FROM f
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential) smoothing with a
+    weekly season over the per-type daily count series — the seasonal
+    upgrade of `ts_holt_linear` and the standard ops-capacity forecast
+    for weekly-periodic ingest volume. Init from the first two seasons
+    (l₀ = mean of week 1, b₀ = (mean of week 2 − mean of week 1)/7,
+    sₖ = yₖ − l₀); the fold walks days 15..n carrying state
+    [l, b, s₁..s₇], updating the one season slot (t−1) mod 7 per step.
+    Forecast is the next full week Σₕ(l + h·b + s) = 7l + 28b + Σs.
+    Scale shape: one events-scale map-side-combined shuffle to
+    (type, day) counts, then each series collapses to ONE array row and
+    the fold is per-row codegen over ≤ a-few-thousand doubles/decade —
+    state never leaves the row (same discipline as ts_holt_linear /
+    ml_logreg_step). Determinism: smoothing constants are exact binary
+    fractions (0.5/0.25/0.25); the l' expression is recomputed (not
+    let-bound) in every place both engines use it, so the IEEE trees
+    are identical; series shorter than two seasons + 1 are excluded on
+    both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    s = (
+        d.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("p"))
+        .select(
+            "event_type",
+            F.transform("p", lambda x: x["y"]).alias("ys"),
+        )
+        .select(
+            "event_type",
+            "ys",
+            F.transform(
+                "ys", lambda x, i: F.array(x, (i + 1).cast("double"))
+            ).alias("pairs"),
+        )
+        .filter(F.size("ys") >= 2 * _HW_M + 1)
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+
+    def yk(k):
+        return F.element_at(ys, k)
+
+    l0 = (yk(1) + yk(2) + yk(3) + yk(4) + yk(5) + yk(6) + yk(7)) / 7.0
+    b0 = (
+        (yk(8) + yk(9) + yk(10) + yk(11) + yk(12) + yk(13) + yk(14)) / 7.0
+        - l0
+    ) / 7.0
+    init = F.array(l0, b0, *[yk(k) - l0 for k in range(1, _HW_M + 1)])
+
+    al, al1 = F.lit(_HW_ALPHA), F.lit(1 - _HW_ALPHA)
+    be, be1 = F.lit(_HW_BETA), F.lit(1 - _HW_BETA)
+    ga, ga1 = F.lit(_HW_GAMMA), F.lit(1 - _HW_GAMMA)
+
+    def step(acc, x):
+        idx = (F.element_at(x, 2).cast("long") - 1) % _HW_M
+
+        def lnew():
+            return al * (
+                F.element_at(x, 1) - F.element_at(acc, (F.lit(3) + idx).cast("int"))
+            ) + al1 * (F.element_at(acc, 1) + F.element_at(acc, 2))
+
+        slots = [
+            F.when(
+                idx == (k - 1),
+                ga * (F.element_at(x, 1) - lnew()) + ga1 * F.element_at(acc, k + 2),
+            ).otherwise(F.element_at(acc, k + 2))
+            for k in range(1, _HW_M + 1)
+        ]
+        return F.array(
+            lnew(),
+            be * (lnew() - F.element_at(acc, 1)) + be1 * F.element_at(acc, 2),
+            *slots,
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("pairs"), 2 * _HW_M + 1, F.greatest(n - 2 * _HW_M, F.lit(0))),
+        init,
+        step,
+    )
+    sk = [F.element_at(st, k) for k in range(3, 3 + _HW_M)]
+    season_sum = sk[0] + sk[1] + sk[2] + sk[3] + sk[4] + sk[5] + sk[6]
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        (F.floor(F.element_at(st, 1) * 1_000_000.0) / 1_000_000.0).alias(
+            "level_q6"
+        ),
+        (F.floor(F.element_at(st, 2) * 1_000_000.0) / 1_000_000.0).alias(
+            "trend_q6"
+        ),
+        (F.floor(season_sum * 1_000_000.0) / 1_000_000.0).alias(
+            "season_sum_q6"
+        ),
+        (
+            F.floor(
+                (
+                    7.0 * F.element_at(st, 1)
+                    + 28.0 * F.element_at(st, 2)
+                    + season_sum
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("forecast_week_q6"),
+    )
