@@ -90,6 +90,8 @@ HEADLINE = [
     "ml_feature_hashing",
     "events_mde_power",
     "sample_balanced_classes",
+    "ts_stl_decompose",
+    "events_ltv_cohort",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

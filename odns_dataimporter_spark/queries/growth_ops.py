@@ -1049,3 +1049,101 @@ def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde_q6.alias("mde_q6"),
         (F.abs(diff_q6) >= mde_q6).alias("detectable"),
     )
+
+
+@register(
+    "events_ltv_cohort",
+    oracle="""
+WITH c AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+       FROM c GROUP BY 1),
+r AS (
+  SELECT c.cohort_day,
+         CAST((CAST(date_trunc('day', e.ts) AS DATE) - c.cohort_day) // 7
+              AS BIGINT) AS age_week,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+g AS (SELECT cohort_day, age_week, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM r GROUP BY 1, 2),
+w AS (
+  SELECT cohort_day, age_week, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age_week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM g
+)
+SELECT w.cohort_day, w.age_week, sz.cohort_users, w.rev_cents, w.cum_cents,
+       floor(CAST(w.cum_cents AS DOUBLE) / sz.cohort_users * 10000.0)
+         / 1000000.0 AS ltv_per_user_q6
+FROM w JOIN sz USING (cohort_day)
+""",
+    tags=("analytics", "events"),
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion to
+    `events_retention`: users cohorted by first-activity day, purchase
+    revenue bucketed by weeks-since-acquisition, accumulated per
+    cohort, and normalised per acquired user (the payback-period /
+    LTV:CAC denominator every growth team tracks). Shape: the per-user
+    cohort assignment and the events join both shuffle on user_id (AQE
+    coalesces onto one partitioning); the cohort table is lazily
+    checkpointed because it feeds two consumers (sizes + join); the
+    LTV matrix is |days|·|weeks| tiny, so the cumulative window and
+    the per-user division run on a broadcast-scale table. Money is
+    exact integer cents end-to-end; the single division is
+    floor-quantized to currency q6 (cents·1e4/1e6)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    c = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
+    sz = c.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(F.datediff(day, F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("age_week"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = r.groupBy("cohort_day", "age_week").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    wcum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = g.select(
+        "cohort_day",
+        "age_week",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).cast("long").alias("cum_cents"),
+    )
+    return w.join(F.broadcast(sz), "cohort_day").select(
+        "cohort_day",
+        "age_week",
+        "cohort_users",
+        "rev_cents",
+        "cum_cents",
+        (
+            F.floor(
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_users")
+                * 10_000.0
+            )
+            / 1_000_000.0
+        ).alias("ltv_per_user_q6"),
+    )

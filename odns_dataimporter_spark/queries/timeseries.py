@@ -1380,3 +1380,140 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("forecast_week_q6"),
     )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, day, yc,
+         CAST(SUM(yc) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS BIGINT)
+           AS trend,
+         CAST(isodow(day) AS BIGINT) AS dow
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dt AS (
+  SELECT *, CAST(floor((yc - trend) * 1000000.0) AS BIGINT) AS det_micro
+  FROM tr
+),
+sm AS (
+  SELECT event_type, dow, CAST(SUM(det_micro) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dt GROUP BY 1, 2
+),
+ctr AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dow)),
+           (a, b) -> a + b) / len(list(dow)) AS center
+  FROM sm GROUP BY event_type
+),
+se AS (
+  SELECT sm.event_type, sm.dow,
+         CAST(sm.s AS DOUBLE) / sm.n / 1000000.0 - ctr.center AS seasonal
+  FROM sm JOIN ctr USING (event_type)
+)
+SELECT dt.event_type, dt.day, dt.yc AS y,
+       floor(dt.trend * 1000000.0) / 1000000.0 AS trend_q6,
+       floor(se.seasonal * 1000000.0) / 1000000.0 AS seasonal_q6,
+       floor((dt.yc - dt.trend - se.seasonal) * 1000000.0) / 1000000.0
+         AS resid_q6
+FROM dt JOIN se ON se.event_type = dt.event_type AND se.dow = dt.dow
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the per-type daily series —
+    trend (centered 7-day moving average), day-of-week seasonal
+    component (mean detrended value per weekday, centered so the seven
+    components sum to ~0), residual — the anomaly-detection /
+    forecasting preprocessor that pairs with `ts_holt_winters`.
+    Determinism chain: the moving-average trend is Σ(int counts)/n
+    (exact); the detrended series is floor-quantized to integer MICROS
+    before the per-weekday mean so no order-sensitive double sum ever
+    crosses an aggregate; the 7-term centering sum runs as a
+    SEQUENTIAL dow-ordered fold (list_reduce / F.aggregate — the
+    ts_holt_linear discipline) rather than a groupBy sum of doubles.
+    Shape: one events-scale shuffle to (type, day); everything after
+    is |days|-sized windows and |7·types| joins (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("yc"))
+    wmv = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = d.select(
+        "event_type",
+        "day",
+        "yc",
+        (
+            F.sum("yc").over(wmv).cast("double")
+            / F.count(F.lit(1)).over(wmv).cast("long")
+        ).alias("trend"),
+        F.dayofweek(F.date_add("day", -1)).cast("long").alias("dow"),
+    )
+    dt = tr.withColumn(
+        "det_micro",
+        F.floor((F.col("yc") - F.col("trend")) * 1_000_000.0).cast("long"),
+    ).localCheckpoint(eager=False)
+    sm = dt.groupBy("event_type", "dow").agg(
+        F.sum("det_micro").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    ctr = (
+        sm.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dow", "s", "n"))
+            ).alias("p")
+        )
+        .select(
+            "event_type",
+            (
+                F.aggregate(
+                    F.transform(
+                        "p",
+                        lambda x: x["s"].cast("double") / x["n"] / 1_000_000.0,
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.size("p")
+            ).alias("center"),
+        )
+    )
+    se = sm.join(ctr, "event_type").select(
+        "event_type",
+        "dow",
+        (
+            F.col("s").cast("double") / F.col("n") / 1_000_000.0
+            - F.col("center")
+        ).alias("seasonal"),
+    )
+    return dt.join(F.broadcast(se), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("yc").alias("y"),
+        (F.floor(F.col("trend") * 1_000_000.0) / 1_000_000.0).alias(
+            "trend_q6"
+        ),
+        (F.floor(F.col("seasonal") * 1_000_000.0) / 1_000_000.0).alias(
+            "seasonal_q6"
+        ),
+        (
+            F.floor(
+                (F.col("yc") - F.col("trend") - F.col("seasonal"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("resid_q6"),
+    )
