@@ -92,6 +92,8 @@ HEADLINE = [
     "sample_balanced_classes",
     "ts_stl_decompose",
     "events_ltv_cohort",
+    "ml_auc_pr",
+    "ml_confusion_thresholds",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

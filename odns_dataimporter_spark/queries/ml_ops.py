@@ -1294,3 +1294,235 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("feat_val"))
         .filter(F.col("feat_val") != 0)
     )
+
+
+@register(
+    "ml_auc_pr",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+d AS (SELECT s, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      FROM b GROUP BY s),
+c AS (SELECT s, c1, c0,
+             CAST(SUM(c1) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum1,
+             CAST(SUM(c1 + c0) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumt,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1
+      FROM d),
+f AS (
+  SELECT MAX(n1) AS n1,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(c1 AS DOUBLE) * cum1 / cumt ORDER BY s DESC)),
+           (a, x) -> a + x) AS ap_num
+  FROM c WHERE c1 > 0
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       floor(ap_num / n1 * 1000000.0) / 1000000.0 AS ap_q6
+FROM f
+""",
+    tags=("ml", "stats"),
+)
+def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-function definition sklearn uses) for the same deterministic
+    hash-score model as `ml_auc_roc` — the eval that matters when
+    positives are rare and ROC flatters: AP = Σ_k ΔRecall_k ·
+    Precision@k, computed per DISTINCT score group as
+    c1_g · (cum1_g / cumt_g) / n_pos with ties handled by group-end
+    precision (a fixed, documented convention — tie interpolation
+    differs across libraries). Determinism: cum1/cumt/n1 are exact
+    int64 window sums over the bounded score histogram; each group's
+    term is one double expression, and the cross-group sum runs as a
+    SEQUENTIAL score-descending fold (list_reduce / F.aggregate — the
+    ts_holt_linear discipline), never an order-free double aggregate.
+    Shape: one map-side-combined histogram shuffle, one tiny ordered
+    window, one fold row."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    d = b.groupBy("s").agg(
+        F.sum("y").cast("long").alias("c1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("c0"),
+    )
+    wcum = W.orderBy(F.desc("s")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.orderBy(F.desc("s")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = d.select(
+        "s",
+        "c1",
+        F.sum("c1").over(wcum).cast("long").alias("cum1"),
+        F.sum(F.col("c1") + F.col("c0")).over(wcum).cast("long").alias("cumt"),
+        F.sum("c1").over(wall).cast("long").alias("n1"),
+    ).filter(F.col("c1") > 0)
+    # terms ordered score-DESC == struct (-s) ASC; fold sequentially
+    f = c.groupBy().agg(
+        F.max("n1").alias("n1"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("s")).alias("ns"),
+                            F.col("c1").alias("c1"),
+                            F.col("cum1").alias("cum1"),
+                            F.col("cumt").alias("cumt"),
+                        )
+                    )
+                ),
+                lambda x: x["c1"].cast("double") * x["cum1"] / x["cumt"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ap_num"),
+    )
+    return f.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        (
+            F.floor(F.col("ap_num") / F.col("n1") * 1_000_000.0) / 1_000_000.0
+        ).alias("ap_q6"),
+    )
+
+
+_CONF_THRESHOLDS = (300, 550, 800)  # fixed operating points on the score
+
+
+@register(
+    "ml_confusion_thresholds",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+t AS (SELECT unnest([{", ".join(str(t) for t in _CONF_THRESHOLDS)}]) AS thr),
+g AS (
+  SELECT t.thr,
+         CAST(SUM(CASE WHEN b.s >= t.thr AND b.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN b.s >= t.thr AND b.y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN b.s < t.thr AND b.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN b.s < t.thr AND b.y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM b CROSS JOIN t GROUP BY t.thr
+)
+SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+       floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0) / 1000000.0
+         AS precision_q6,
+       floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0) / 1000000.0
+         AS recall_q6,
+       floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000.0)
+         / 1000000.0 AS f1_q6
+FROM g
+""",
+    tags=("ml", "stats"),
+)
+def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification report at fixed operating points: confusion
+    matrix (TP/FP/FN/TN) plus precision / recall / F1 for three score
+    thresholds of the shared hash-score model — the table a model
+    monitor alerts on after `ml_auc_roc` says the ranking is healthy.
+    Shape: the fact table streams ONCE through a 3-row broadcast
+    threshold cross join into a map-side-combined per-threshold
+    aggregate (never three separate passes); every metric is one
+    double division over exact int64 cells, floor-q6. F1 uses the
+    2tp/(2tp+fp+fn) identity so no intermediate precision/recall
+    rounding compounds."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(th) for th in _CONF_THRESHOLDS])
+        ).alias("thr")
+    )
+    hit = F.col("s") >= F.col("thr")
+    g = (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~hit & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    return g.select(
+        F.col("thr").cast("long").alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            F.floor(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("precision_q6"),
+        (
+            F.floor(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("recall_q6"),
+        (
+            F.floor(
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("f1_q6"),
+    )

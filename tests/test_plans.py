@@ -539,6 +539,7 @@ _BNLJ_ALLOWED = {
     "events_cuped_adjustment",  # broadcast 1-row theta/global-means aggregate
     "text_bm25_topk",  # broadcast 1-row corpus (N, sum_dl) stats aggregate
     "sample_balanced_classes",  # broadcast 1-row minority-class-count scalar
+    "ml_confusion_thresholds",  # broadcast FIXED 3-row threshold registry
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
