@@ -1284,3 +1284,194 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cov * 1_000_000.0) / 1_000_000.0).alias("cov_q6"),
         )
     )
+
+
+_PCA_ITERS = 12  # fixed power-iteration count (determinism over adaptivity)
+
+
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full d x d covariance grid (i, j, n, cov DOUBLE) from the same
+    quantize-then-exact-int-sums derivation as `embed_covariance`
+    (which emits the floor-q6 upper triangle; this keeps raw doubles
+    for downstream linear algebra)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv")
+    )
+    a = q.select(F.posexplode("qv").alias("i", "xi"), "qv")
+    b = a.select(
+        F.col("i").cast("long").alias("i"),
+        "xi",
+        F.posexplode("qv").alias("j", "xj"),
+    )
+    g = b.groupBy("i", F.col("j").cast("long").alias("j")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sxy"),
+    )
+    m = (
+        q.select(F.posexplode("qv").alias("i", "xi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum("xi").cast("long").alias("s"))
+    )
+    mi = m.select(F.col("i").alias("mi_i"), F.col("s").alias("si"))
+    mj = m.select(F.col("i").alias("mj_i"), F.col("s").alias("sj"))
+    cov = (
+        F.col("sxy").cast("double") / 1_000_000_000_000.0
+        - (F.col("si").cast("double") / 1_000_000.0)
+        * (F.col("sj").cast("double") / 1_000_000.0)
+        / F.col("n")
+    ) / F.col("n")
+    return (
+        g.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_i"))
+        .select("i", "j", "n", cov.alias("cov"))
+    )
+
+
+_PCA_COV_SQL = f"""
+q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT gi.i AS i, gj.j AS j,
+         list_extract(qv, gi.i) AS xi, list_extract(qv, gj.j) AS xj
+  FROM q, generate_series(1, {_COV_DIM}) gi(i),
+          generate_series(1, {_COV_DIM}) gj(j)
+),
+g AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi * xj) AS BIGINT) AS sxy
+      FROM p GROUP BY 1, 2),
+mns AS (SELECT CAST(gs.i - 1 AS BIGINT) AS i,
+               CAST(SUM(list_extract(qv, gs.i)) AS BIGINT) AS s
+        FROM q, generate_series(1, {_COV_DIM}) gs(i) GROUP BY 1),
+fc AS (
+  SELECT g.i, g.j,
+         (CAST(g.sxy AS DOUBLE) / 1000000000000.0
+          - (CAST(mi.s AS DOUBLE) / 1000000.0)
+            * (CAST(mj.s AS DOUBLE) / 1000000.0) / g.n) / g.n AS cov
+  FROM g JOIN mns mi ON mi.i = g.i JOIN mns mj ON mj.i = g.j
+),
+mat AS (
+  SELECT list(rw ORDER BY i) AS mm
+  FROM (SELECT i, list(cov ORDER BY j) AS rw FROM fc GROUP BY i)
+)
+"""
+
+_PCA_MATVEC = "list_transform(mat.mm, row -> list_dot_product(row, v))"
+
+
+@register(
+    "embed_pca_power",
+    oracle=f"""
+WITH RECURSIVE
+{_PCA_COV_SQL},
+pow(k, v) AS (
+  SELECT 0, list_transform(range(1, {_COV_DIM} + 1), x -> CAST(1.0 AS DOUBLE))
+  UNION ALL
+  SELECT k + 1,
+         list_transform({_PCA_MATVEC},
+           x -> x / sqrt(list_dot_product({_PCA_MATVEC}, {_PCA_MATVEC})))
+  FROM pow, mat WHERE k < {_PCA_ITERS}
+),
+fin AS (SELECT v FROM pow WHERE k = {_PCA_ITERS})
+SELECT CAST(gs.i - 1 AS BIGINT) AS dim,
+       floor(list_extract(fin.v, gs.i) * 1000000.0) / 1000000.0
+         AS loading_q6,
+       floor(list_dot_product(fin.v, {_PCA_MATVEC.replace("v)", "fin.v)")})
+             * 1000000000.0) / 1000000000.0 AS eigenvalue_q9
+FROM fin, mat, generate_series(1, {_COV_DIM}) gs(i)
+""",
+    tags=("llm", "embedding"),
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via power
+    iteration on the covariance matrix — PCA initialisation /
+    dominant-drift-direction extraction, and the engine's iterative
+    linear-algebra entry beside graph PageRank and k-means. A FIXED
+    {12}-step iteration (determinism over adaptive stopping) on the
+    d x d grid from `_cov_cells` (same exact-integer-sums derivation
+    as `embed_covariance`): v ← normalize(C·v) with an all-ones start.
+    Scale shape: the corpus collapses to the d² covariance cells once
+    (map-side combined); every iteration is a d²-row matvec — a
+    broadcast-scale join-aggregate that never touches the corpus
+    again, checkpointed per step so the plan stays constant-size (the
+    graph_pagerank discipline). Determinism: the matvec and the norm
+    are sequential folds / list_dot_product on DOUBLE[] (bit-identical
+    across engines, verified for the cosine family); try_divide guards
+    the zero-matrix degenerate where DuckDB float division yields
+    NULL. Output: 64 loadings (floor-q6, sign fixed by the all-ones
+    start) + the Rayleigh-quotient eigenvalue at q9."""
+    fc = _cov_cells(spark, sf_dir)
+    rows = fc.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("p")
+    ).select("i", F.transform("p", lambda x: x["cov"]).alias("rw"))
+    mat = (
+        rows.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "rw"))).alias("pp"))
+        .select(F.transform("pp", lambda x: x["rw"]).alias("mm"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    def matvec(acc):
+        return F.transform(F.col("mm"), lambda row: dot(row, acc))
+
+    # all iterations inside ONE fold over a dummy step list: the step
+    # lambda compiles once (no per-iteration plan analysis, no
+    # checkpoints). The matvec and the norm are LET-BOUND via the
+    # single-element-array idiom (the winnow lesson) so each evaluates
+    # once per step; the oracle recomputes them inline — pure doubles,
+    # bit-identical either way.
+    def step(acc, _):
+        return F.element_at(
+            F.transform(
+                F.array(matvec(acc)),
+                lambda w: F.element_at(
+                    F.transform(
+                        F.array(F.sqrt(dot(w, w))),
+                        lambda nrm: F.transform(
+                            w, lambda x: F.try_divide(x, nrm)
+                        ),
+                    ),
+                    1,
+                ),
+            ),
+            1,
+        )
+
+    cur = mat.select(
+        "mm",
+        F.aggregate(
+            F.array_repeat(F.lit(0), _PCA_ITERS),
+            F.array_repeat(F.lit(1.0), _COV_DIM),
+            step,
+        ).alias("v"),
+    )
+    fin = cur.select(
+        "v",
+        F.transform("mm", lambda row: dot(row, F.col("v"))).alias("cv"),
+    )
+    out = fin.select(
+        F.posexplode("v").alias("dim0", "loading"),
+        dot(F.col("v"), F.col("cv")).alias("eig"),
+    )
+    return out.select(
+        F.col("dim0").cast("long").alias("dim"),
+        (F.floor(F.col("loading") * 1_000_000.0) / 1_000_000.0).alias(
+            "loading_q6"
+        ),
+        (F.floor(F.col("eig") * 1_000_000_000.0) / 1_000_000_000.0).alias(
+            "eigenvalue_q9"
+        ),
+    )
