@@ -95,6 +95,8 @@ HEADLINE = [
     "ml_auc_pr",
     "ml_confusion_thresholds",
     "embed_pca_power",
+    "sim_rrf_fusion",
+    "embed_matryoshka_recall",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

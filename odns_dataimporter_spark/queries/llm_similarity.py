@@ -1475,3 +1475,347 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eigenvalue_q9"
         ),
     )
+
+
+from odns_dataimporter_spark.queries.llm_text import (  # noqa: E402
+    _BM25_TERMS_SQL as _RRF_TERMS_SQL,
+)
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+_RRF_DEPTH = 20  # per-ranker candidate depth
+_RRF_TOPK = 10
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM d),
+tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS token FROM d),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(MAX(dl) AS BIGINT) AS dl
+       FROM tok WHERE token IN ({_RRF_TERMS_SQL})
+       GROUP BY doc_id, token),
+idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln(1.0 + (CAST(st.n_docs - idf.df AS DOUBLE) + 0.5)
+                           / (CAST(idf.df AS DOUBLE) + 0.5))
+              * (tf.tf * CAST(2.2 AS DOUBLE))
+              / (tf.tf + CAST(1.2 AS DOUBLE)
+                 * (1.0 - CAST(0.75 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * tf.dl
+                      / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+              * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN idf USING (token) CROSS JOIN st),
+bm AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS sm
+       FROM sc GROUP BY doc_id),
+bmr AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sm DESC, doc_id) AS BIGINT)
+                 AS r_bm25
+        FROM bm QUALIFY r_bm25 <= {_RRF_DEPTH}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings),
+pr AS (SELECT e AS pe, nrm AS pn FROM v WHERE vec_id = 0),
+cs AS (SELECT c.vec_id AS doc_id,
+             list_dot_product(pr.pe, c.e) / (pr.pn * c.nrm) AS cos
+      FROM v c, pr WHERE c.vec_id != 0 AND c.nrm > 0 AND pr.pn > 0),
+csr AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+                 AS r_cos
+        FROM cs QUALIFY r_cos <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id, bmr.r_bm25, csr.r_cos,
+         COALESCE(1.0 / ({_RRF_K} + bmr.r_bm25), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + csr.r_cos), 0.0) AS rrf
+  FROM bmr FULL OUTER JOIN csr USING (doc_id)
+)
+SELECT doc_id, r_bm25, r_cos,
+       floor(rrf * 1000000000.0) / 1000000000.0 AS rrf_q9
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+""",
+    tags=("llm", "similarity", "text"),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of a lexical and a
+    dense ranking — the hybrid-search backbone every modern RAG stack
+    runs: BM25 top-20 for the fixed query-term registry (identical
+    scoring chain to `text_bm25_topk`) fused with cosine top-20
+    against a FIXED probe embedding (vec_id 0), RRF = Σ 1/(60 + rank).
+    Documents absent from one ranking simply contribute no term (full
+    outer join; at sf ≥ 0.1 the embedding table covers only part of
+    the corpus, so the asymmetry is exercised, not vacuous). Scale
+    shape: both rankers are bounded-depth TakeOrdered outputs of
+    linear passes (BM25: filtered explode + one (doc, term) shuffle;
+    cosine: broadcast 1-row probe, corpus streams once); the fusion
+    join touches ≤ 2·depth rows. Determinism: ranks from unique
+    (score, id) orders; the fused score is a FIXED two-term expression
+    of integer-denominator reciprocals — no order-sensitive
+    aggregation — floor-q9."""
+    from odns_dataimporter_spark.queries.llm_text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / avgdl
+            )
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * 1_000_000.0).cast("long").alias("micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("micro").cast("long").alias("sm"))
+    )
+    bmr = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("sm"), "doc_id"))
+            .cast("long")
+            .alias("r_bm25"),
+        )
+        .filter(F.col("r_bm25") <= _RRF_DEPTH)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    pr = v.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    )
+    cs = (
+        v.filter((F.col("vec_id") != 0) & (F.col("nrm") > 0))
+        .crossJoin(F.broadcast(pr.filter(F.col("pn") > 0)))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    csr = (
+        cs.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "doc_id"))
+            .cast("long")
+            .alias("r_cos"),
+        )
+        .filter(F.col("r_cos") <= _RRF_DEPTH)
+    )
+    fused = bmr.join(csr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_bm25",
+        "r_cos",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            "r_bm25",
+            "r_cos",
+            (F.floor(F.col("rrf") * 1_000_000_000.0) / 1_000_000_000.0).alias(
+                "rrf_q9"
+            ),
+        )
+    )
+
+
+_MRL_DIMS = (8, 16, 32, 64)  # matryoshka truncation prefixes
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _MRL_DIMS)}]) AS k),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, ks.k,
+         list_dot_product(p.e[1:ks.k], c.e[1:ks.k])
+           / (sqrt(list_dot_product(p.e[1:ks.k], p.e[1:ks.k]))
+              * sqrt(list_dot_product(c.e[1:ks.k], c.e[1:ks.k]))) AS cos
+  FROM v p JOIN v c ON c.vec_id != p.vec_id CROSS JOIN ks
+  WHERE p.vec_id < {_N_PROBES}
+    AND list_dot_product(p.e[1:ks.k], p.e[1:ks.k]) > 0
+    AND list_dot_product(c.e[1:ks.k], c.e[1:ks.k]) > 0
+),
+top1 AS (
+  SELECT probe_id, k, CAST(MIN([-cos, CAST(cand_id AS DOUBLE)])[2] AS BIGINT)
+           AS best
+  FROM s GROUP BY probe_id, k
+),
+ref AS (SELECT probe_id, best AS full_best FROM top1 WHERE k = {_MRL_DIMS[-1]})
+SELECT CAST(t.k AS BIGINT) AS trunc_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN t.best = ref.full_best THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       floor(CAST(SUM(CASE WHEN t.best = ref.full_best THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000.0) / 1000000.0
+         AS recall1_q6
+FROM top1 t JOIN ref USING (probe_id)
+GROUP BY t.k
+""",
+    tags=("llm", "embedding", "similarity"),
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, the MRL
+    deployment question): for each prefix length k ∈ {8,16,32,64},
+    how often does top-1 cosine retrieval over the TRUNCATED embedding
+    agree with full-dimension retrieval — the measurement that decides
+    how many dimensions the serving index actually needs (4x-8x index
+    shrink if recall holds). Shape: probes are a fixed bounded set
+    (broadcast), the corpus streams ONCE through a 4-row truncation
+    registry cross join; per-(probe, k) argmax is a map-side-combined
+    min-struct (the sim_ann_ivf discipline), and zero-norm truncated
+    prefixes are filtered on BOTH engines before the argmax so the
+    min-struct never sees a NULL sort key (the round-6 NULL-argmax
+    lesson). Scores are the fold/list_dot_product doubles that are
+    bit-identical across engines; the recall division is one
+    floor-q6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("k")
+    )
+
+    def dotd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    # truncate + norm ONCE per (vector, k) — the pair loop below then
+    # costs a single dot per row instead of re-slicing/re-norming both
+    # sides per pair (5x fewer interpreted HOF folds; values identical
+    # because the norm is the same fold either way)
+    ek = F.slice(F.col("e"), 1, F.col("k").cast("int"))
+    vk = (
+        v.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            "k",
+            ek.alias("ek"),
+            F.sqrt(dotd(ek, ek)).alias("nk"),
+        )
+        .filter(F.col("nk") > 0)
+    )
+    probes = vk.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("k").alias("k"),
+        F.col("ek").alias("pk"),
+        F.col("nk").alias("pn"),
+    )
+    s = (
+        vk.join(F.broadcast(probes), "k")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            "k",
+            (dotd(F.col("pk"), F.col("ek")) / (F.col("pn") * F.col("nk"))).alias(
+                "cos"
+            ),
+        )
+    )
+    top1 = (
+        s.groupBy("probe_id", "k")
+        .agg(
+            F.min(
+                F.array((-F.col("cos")), F.col("cand_id").cast("double"))
+            )[1]
+            .cast("long")
+            .alias("best")
+        )
+        # |probes|x|ks| rows feeding two consumers (ref + final join):
+        # checkpoint so the corpus pass runs once
+        .localCheckpoint(eager=False)
+    )
+    ref = top1.filter(F.col("k") == _MRL_DIMS[-1]).select(
+        "probe_id", F.col("best").alias("full_best")
+    )
+    return (
+        top1.join(F.broadcast(ref), "probe_id")
+        .groupBy(F.col("k").cast("long").alias("trunc_dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.col("best") == F.col("full_best"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+        .select(
+            "trunc_dim",
+            "n_probes",
+            "n_match",
+            (
+                F.floor(
+                    F.col("n_match").cast("double")
+                    / F.col("n_probes")
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("recall1_q6"),
+        )
+    )

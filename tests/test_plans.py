@@ -540,6 +540,8 @@ _BNLJ_ALLOWED = {
     "text_bm25_topk",  # broadcast 1-row corpus (N, sum_dl) stats aggregate
     "sample_balanced_classes",  # broadcast 1-row minority-class-count scalar
     "ml_confusion_thresholds",  # broadcast FIXED 3-row threshold registry
+    "sim_rrf_fusion",  # broadcast 1-row probe vector + 1-row corpus stats
+    "embed_matryoshka_recall",  # broadcast FIXED 4-row truncation registry
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
