@@ -1083,8 +1083,10 @@ def profile_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_matched",
                 (
                     F.floor(
-                        F.col("n_matched").cast("double")
-                        / F.col("n_child_keys")
+                        F.try_divide(
+                            F.col("n_matched").cast("double"),
+                            F.col("n_child_keys"),
+                        )
                         * 1_000_000.0
                     )
                     / 1_000_000.0

@@ -924,18 +924,29 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n0 = F.col("n1"), F.col("n0")
     n1n0 = n1.cast("double") * n0.cast("double")
     u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    # try_divide: a single-class corpus zeroes n1*n0 — DuckDB float
+    # division yields NULL there, ANSI Spark would throw
     return agg.select(
         n1.alias("n_pos"),
         n0.alias("n_neg"),
-        (F.floor(u1_x2.cast("double") / (2.0 * n1n0) * 1_000_000.0) / 1_000_000.0).alias(
-            "auc_q6"
-        ),
         (
-            F.floor((u1_x2 - n1 * n0).cast("double") / n1n0 * 1_000_000.0)
+            F.floor(
+                F.try_divide(u1_x2.cast("double"), 2.0 * n1n0) * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("auc_q6"),
+        (
+            F.floor(
+                F.try_divide((u1_x2 - n1 * n0).cast("double"), n1n0)
+                * 1_000_000.0
+            )
             / 1_000_000.0
         ).alias("gini_q6"),
         (
-            F.floor(F.col("ks_num").cast("double") / n1n0 * 1_000_000.0)
+            F.floor(
+                F.try_divide(F.col("ks_num").cast("double"), n1n0)
+                * 1_000_000.0
+            )
             / 1_000_000.0
         ).alias("ks_q6"),
     )
@@ -1218,8 +1229,10 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wtot).cast("long").alias("tot_n"),
         F.sum("n_pos").over(wtot).cast("long").alias("tot_pos"),
     )
-    lift = (F.col("n_pos").cast("double") / F.col("n")) / (
-        F.col("tot_pos").cast("double") / F.col("tot_n")
+    # try_divide: a corpus with zero positives zeroes tot_pos
+    lift = F.try_divide(
+        F.col("n_pos").cast("double") / F.col("n"),
+        F.col("tot_pos").cast("double") / F.col("tot_n"),
     )
     return c.select(
         "decile",
@@ -1228,7 +1241,8 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(lift * 1_000_000.0) / 1_000_000.0).alias("lift_q6"),
         (
             F.floor(
-                F.col("cum_pos").cast("double") / F.col("tot_pos") * 1_000_000.0
+                F.try_divide(F.col("cum_pos").cast("double"), F.col("tot_pos"))
+                * 1_000_000.0
             )
             / 1_000_000.0
         ).alias("cum_gain_q6"),
@@ -1501,26 +1515,32 @@ def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
+        # try_divide: a threshold above every score (or a class-free
+        # corpus) zeroes a denominator — DuckDB float div yields NULL
         (
             F.floor(
-                F.col("tp").cast("double")
-                / (F.col("tp") + F.col("fp"))
+                F.try_divide(
+                    F.col("tp").cast("double"), F.col("tp") + F.col("fp")
+                )
                 * 1_000_000.0
             )
             / 1_000_000.0
         ).alias("precision_q6"),
         (
             F.floor(
-                F.col("tp").cast("double")
-                / (F.col("tp") + F.col("fn"))
+                F.try_divide(
+                    F.col("tp").cast("double"), F.col("tp") + F.col("fn")
+                )
                 * 1_000_000.0
             )
             / 1_000_000.0
         ).alias("recall_q6"),
         (
             F.floor(
-                (2 * F.col("tp")).cast("double")
-                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                F.try_divide(
+                    (2 * F.col("tp")).cast("double"),
+                    2 * F.col("tp") + F.col("fp") + F.col("fn"),
+                )
                 * 1_000_000.0
             )
             / 1_000_000.0
