@@ -226,14 +226,21 @@ def main() -> None:
     stats: dict[str, dict] = {}
     for name in names:
         run(name)  # warmup
-        # best-of-3 warm runs: machine-load noise reached ±2x across
+        # best-of-N warm runs: machine-load noise reached ±2x across
         # round-5 runs; the minimum is the stable estimator of
-        # intrinsic cost and 3 samples tame the outlier tail. The
-        # median rides along (round-6: noise-floor hardening — trend
-        # analysis uses mins, medians expose how noisy the run was)
-        samples = sorted(run(name) for _ in range(3))
+        # intrinsic cost. Adaptive N (round-6, 73 headliners): two
+        # agreeing cheap samples don't earn a third — the third run
+        # only re-samples the outlier tail, which matters when the
+        # first two DISAGREE (>25%) or the query is expensive enough
+        # (>0.5 s) for load spikes to distort the min.
+        samples = sorted(run(name) for _ in range(2))
+        if samples[1] > 0.5 or samples[1] > 1.25 * samples[0]:
+            samples = sorted(samples + [run(name)])
         timings[name] = round(samples[0], 4)
-        stats[name] = {"min": round(samples[0], 4), "median": round(samples[1], 4)}
+        stats[name] = {
+            "min": round(samples[0], 4),
+            "median": round(samples[len(samples) // 2], 4),
+        }
 
     ingest = _bench_ingest(spark)
 
