@@ -97,6 +97,8 @@ HEADLINE = [
     "embed_pca_power",
     "sim_rrf_fusion",
     "embed_matryoshka_recall",
+    "events_uplift_qini",
+    "stats_randomization_test",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -1147,3 +1147,161 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("ltv_per_user_q6"),
     )
+
+
+_QINI_BUCKETS = 10
+_QINI_SALT = "uplift|"  # deterministic stub uplift-model score seed
+
+
+@register(
+    "events_uplift_qini",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS is_t,
+         CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_QINI_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000 AS s
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT is_t, y,
+         CAST(row_number() OVER (ORDER BY s DESC, user_id) AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+  FROM u
+),
+d AS (SELECT CAST(floor((rnk - 1) * {_QINI_BUCKETS} / nn) + 1 AS BIGINT)
+               AS decile, is_t, y
+      FROM r),
+g AS (
+  SELECT decile,
+         CAST(SUM(is_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(is_t) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS BIGINT) AS r_t,
+         CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS BIGINT) AS r_c
+  FROM d GROUP BY decile
+),
+c AS (
+  SELECT decile, n_t, n_c, r_t, r_c,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+         CAST(SUM(r_t) OVER w AS BIGINT) AS cr_t,
+         CAST(SUM(r_c) OVER w AS BIGINT) AS cr_c
+  FROM g
+  WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, n_t, n_c, r_t, r_c,
+       floor((cr_t - CAST(cr_c AS DOUBLE) * cn_t / cn_c) * 1000000.0)
+         / 1000000.0 AS qini_q6
+FROM c
+""",
+    tags=("analytics", "events", "ml", "stats"),
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift-model evaluation (Radcliffe) — the
+    incremental-response companion to `ml_lift_gains` that
+    experimentation-ML teams score targeting models with: users ranked
+    by a deterministic stub uplift score are cut into equal-count
+    deciles, and Qini(k) = cumulative treated responders − control
+    responders scaled by the cumulative treatment/control ratio —
+    the incremental purchases attributable to targeting the top k/10.
+    Shape: ONE user-level aggregate (events collapse to |users| rows,
+    outcome + arm + score in the same pass), the lift_gains
+    distributed-rank pattern (score-histogram prefix offsets +
+    per-score parallel row_number — no single-partition ntile; see
+    ml_lift_gains for why rank equality holds by total order), a
+    10-row cumulative window. Counters exact int64; Qini is one double
+    expression (cr_c·cn_t/cn_c), floor-q6; try_divide is unnecessary
+    because every cumulative cn_c ≥ its decile-1 value, which the
+    50/50 hash assignment makes ≥ 1 on any corpus with ≥ 2 users —
+    and a 1-user corpus yields cn_c = 0 → NULL on both engines via
+    DuckDB float-div semantics mirrored by try_divide below (kept for
+    the degenerate sweep)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.count_if(F.col("event_type") == "purchase") > 0, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    ).select(
+        "user_id",
+        "y",
+        F.when(
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+                " 16, 10) AS BIGINT) % 100 < 50"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_t"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_QINI_SALT}', CAST(user_id AS STRING))), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000"
+        ).alias("s"),
+    )
+    hist = u.groupBy("s").agg(F.count("*").cast("long").alias("n_s"))
+    woff = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = hist.select(
+        "s",
+        F.coalesce(F.sum("n_s").over(woff), F.lit(0)).cast("long").alias("off"),
+        F.sum("n_s").over(wall).cast("long").alias("nn"),
+    )
+    wrn = Window.partitionBy("s").orderBy("user_id")
+    d = u.join(F.broadcast(off), "s").select(
+        "is_t",
+        "y",
+        (
+            F.floor(
+                (F.col("off") + F.row_number().over(wrn) - 1)
+                * _QINI_BUCKETS
+                / F.col("nn")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("is_t").cast("long").alias("n_t"),
+        (F.count("*") - F.sum("is_t")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("r_t"),
+        F.sum(F.when(F.col("is_t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("r_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.sum("n_t").over(wcum).cast("long").alias("cn_t"),
+        F.sum("n_c").over(wcum).cast("long").alias("cn_c"),
+        F.sum("r_t").over(wcum).cast("long").alias("cr_t"),
+        F.sum("r_c").over(wcum).cast("long").alias("cr_c"),
+    )
+    qini = F.col("cr_t") - F.try_divide(
+        F.col("cr_c").cast("double") * F.col("cn_t"), F.col("cn_c")
+    )
+    return c.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        (F.floor(qini * 1_000_000.0) / 1_000_000.0).alias("qini_q6"),
+    )

@@ -1361,3 +1361,167 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_adj_q6.alias("p_adj_q6"),
         (p_adj_q6 <= _FDR_Q).alias("reject_05"),
     )
+
+
+_RND_B = 200  # re-randomization draws
+_RND_SALT = "perm|"
+_RND_AB_SALT = "exp1|"  # the live assignment under test (growth_ops._AB_SALT)
+
+
+@register(
+    "stats_randomization_test",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_RND_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS is_t,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(floor(abs(
+           CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / SUM(is_t)
+           - CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - SUM(is_t))) * 1000000.0) AS BIGINT) AS d_obs_micro,
+         CAST(floor((
+           CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / SUM(is_t)
+           - CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - SUM(is_t))) * 10000.0) AS BIGINT) AS diff_c4
+  FROM u
+),
+draws AS (
+  SELECT b.b, u.y,
+         CASE WHEN CAST('0x' || substr(md5('{_RND_SALT}' || CAST(b.b AS VARCHAR)
+                   || '|' || CAST(u.user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS is_t
+  FROM u CROSS JOIN (SELECT unnest(range(0, {_RND_B})) AS b) b
+),
+dg AS (
+  SELECT b,
+         CAST(floor(abs(
+           CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / SUM(is_t)
+           - CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - SUM(is_t))) * 1000000.0) AS BIGINT) AS d_micro
+  FROM draws GROUP BY b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_draws,
+       floor(CAST(obs.diff_c4 AS DOUBLE) / 10000.0 * 10000.0) / 10000.0
+         AS diff_q4,
+       CAST(SUM(CASE WHEN dg.d_micro >= obs.d_obs_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       floor((1.0 + SUM(CASE WHEN dg.d_micro >= obs.d_obs_micro
+                             THEN 1 ELSE 0 END))
+             / (COUNT(*) + 1.0) * 1000000.0) / 1000000.0 AS p_q6
+FROM dg CROSS JOIN obs GROUP BY obs.diff_c4, obs.d_obs_micro
+""",
+    tags=("stats", "events"),
+)
+def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (re-randomization / approximate permutation) test
+    for the live A/B assignment's revenue effect — the
+    distribution-free inference that needs no normality or variance
+    formula (Fisher's exact-test logic at scale): the observed
+    |mean_t − mean_c| is compared against {200} deterministic
+    re-randomizations of the SAME user-level outcomes (hash-seeded per
+    draw, so every engine and every run reproduces the identical null
+    ensemble), p = (1 + #extreme)/(B + 1). Shape: the corpus collapses
+    ONCE to |users| rows; the draw ensemble is an explode of that
+    reduced table (|users|·B rows through one map-side-combined
+    per-draw aggregate — at 100 TB users this is the one deliberate
+    fan-out, bounded by B, and each partition combines to B partial
+    rows before the shuffle). Determinism: per-draw mean diffs are
+    floor-quantized to integer micros BEFORE the ≥ comparison, so the
+    extreme-count is an exact integer on both engines; try_divide
+    guards single-arm degenerate draws (NULL diff on both engines,
+    never counted as extreme)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "is_t",
+        F.when(
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_RND_AB_SALT}', CAST(user_id AS STRING))), 1, 8),"
+                " 16, 10) AS BIGINT) % 100 < 50"
+            ),
+            1,
+        ).otherwise(0),
+    ).localCheckpoint(eager=False)
+
+    def diff_expr():
+        sy_t = F.sum(F.when(F.col("is_t") == 1, F.col("y")).otherwise(0)).cast(
+            "double"
+        )
+        sy_c = F.sum(F.when(F.col("is_t") == 0, F.col("y")).otherwise(0)).cast(
+            "double"
+        )
+        n_t = F.sum("is_t")
+        n_c = F.count("*") - F.sum("is_t")
+        return F.try_divide(sy_t, n_t) - F.try_divide(sy_c, n_c)
+
+    obs = u.agg(
+        F.floor(F.abs(diff_expr()) * 1_000_000.0)
+        .cast("long")
+        .alias("d_obs_micro"),
+        F.floor(diff_expr() * 10_000.0).cast("long").alias("diff_c4"),
+    )
+    draws = u.select(
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_RND_B - 1))).alias("b"),
+        "user_id",
+    ).select(
+        "b",
+        "y",
+        F.when(
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_RND_SALT}', CAST(b AS STRING),"
+                " '|', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % 100 < 50"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_t"),
+    )
+    dg = draws.groupBy("b").agg(
+        F.floor(F.abs(diff_expr()) * 1_000_000.0)
+        .cast("long")
+        .alias("d_micro")
+    )
+    ext = F.sum(
+        F.when(F.col("d_micro") >= F.col("d_obs_micro"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        dg.crossJoin(F.broadcast(obs))
+        .groupBy("diff_c4", "d_obs_micro")
+        .agg(
+            F.count("*").cast("long").alias("n_draws"),
+            ext.alias("n_extreme"),
+        )
+        .select(
+            "n_draws",
+            (
+                F.floor(F.col("diff_c4").cast("double") / 10_000.0 * 10_000.0)
+                / 10_000.0
+            ).alias("diff_q4"),
+            "n_extreme",
+            (
+                F.floor(
+                    (1.0 + F.col("n_extreme")) / (F.col("n_draws") + 1.0)
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("p_q6"),
+        )
+    )

@@ -542,6 +542,7 @@ _BNLJ_ALLOWED = {
     "ml_confusion_thresholds",  # broadcast FIXED 3-row threshold registry
     "sim_rrf_fusion",  # broadcast 1-row probe vector + 1-row corpus stats
     "embed_matryoshka_recall",  # broadcast FIXED 4-row truncation registry
+    "stats_randomization_test",  # broadcast 1-row observed-diff aggregate
     "join_cross",
     "join_global_sales_q22",
     "join_theta_range",
