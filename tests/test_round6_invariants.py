@@ -136,3 +136,26 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     assert abs(row["beta0_q6"] - beta[0] / 100) < 1e-3
     assert abs(row["beta1_q6"] - beta[1] / 100) < 1e-5
     assert abs(row["beta2_q6"] - beta[2] / 100) < 1e-5
+
+
+def test_qini_endpoint_identity(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["events_uplift_qini"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # Qini at the full population = total incremental responders
+    tot_t = sum(r["n_t"] for r in rows)
+    tot_c = sum(r["n_c"] for r in rows)
+    tot_rt = sum(r["r_t"] for r in rows)
+    tot_rc = sum(r["r_c"] for r in rows)
+    expect = tot_rt - tot_rc * tot_t / tot_c
+    assert abs(rows[-1]["qini_q6"] - expect) < 2e-6
+
+
+def test_randomization_test_p_value_valid(spark, sf_dir):
+    row = REGISTRY["stats_randomization_test"].fn(spark, sf_dir).collect()[0]
+    assert row["n_draws"] == 200
+    assert 0 <= row["n_extreme"] <= 200
+    # p in (0, 1]: the +1 smoothing forbids exactly 0
+    assert 0.0 < row["p_q6"] <= 1.0
