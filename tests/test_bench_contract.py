@@ -20,6 +20,42 @@ def test_headline_has_no_duplicates():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
 
 
+def test_stdout_line_fits_driver_tail_buffer():
+    """The recording driver keeps only the last 2000 chars of stdout
+    and parses the JSON line from that tail — round 6 recorded
+    `parsed: null` because the line outgrew the buffer. Worst-case
+    every query at 5 digits must still fit."""
+    import json
+
+    timings = {n: 99999.99 for n in bench.HEADLINE}
+    ingest = {"rows": 1_000_000, "sec": 99.9999, "rows_per_sec": 861307}
+    line = bench.build_stdout_payload(timings, ingest, 0.1)
+    assert len(line) <= bench.STDOUT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_warm"
+    assert parsed["unit"] == "sec"
+    assert abs(parsed["value"] - sum(timings.values())) < 0.5
+    assert parsed["sf"] == 0.1
+    # entries are filled in HEADLINE order; whatever fits must be a
+    # prefix of the cross-round trend set (cheap ones first would
+    # break min-based trend comparisons)
+    kept = list(parsed["queries"])
+    assert kept == [n for n in bench.HEADLINE if n in timings][: len(kept)]
+    assert parsed.get("queries_omitted", 0) + len(kept) == len(bench.HEADLINE)
+    # the r5 common-45 trend set must survive worst-case truncation
+    assert len(kept) >= 45
+
+
+def test_stdout_line_keeps_all_queries_when_small():
+    import json
+
+    timings = {n: 1.0 for n in bench.HEADLINE[:10]}
+    ingest = {"rows": 1, "sec": 1.0, "rows_per_sec": 1}
+    parsed = json.loads(bench.build_stdout_payload(timings, ingest, 0.01))
+    assert len(parsed["queries"]) == 10
+    assert "queries_omitted" not in parsed
+
+
 def test_headline_covers_every_family():
     tags = set()
     for n in bench.HEADLINE:
