@@ -31,6 +31,20 @@ import struct
 BMP_WIDTH = 16  # fixed encode width: height then scales with payload
 
 
+def _unpack(fmt: str, blob: bytes, offset: int):
+    """struct.unpack_from with the documented failure mode: a blob too
+    short for the fixed header offsets (or a bogus chunk size pointing
+    past the end) must raise ValueError like every other malformed
+    input — inside mapInPandas a crawled corrupt file should be cleanly
+    rejectable, not fail the job with an undocumented struct.error."""
+    if offset + struct.calcsize(fmt) > len(blob):
+        raise ValueError(
+            f"truncated blob: need {struct.calcsize(fmt)} bytes at offset "
+            f"{offset}, have {len(blob)}"
+        )
+    return struct.unpack_from(fmt, blob, offset)
+
+
 # --- BMP (24-bit uncompressed, bottom-up) ----------------------------------
 
 
@@ -66,12 +80,12 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int]:
     accepts garbage is worse than none."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
-    (data_offset,) = struct.unpack_from("<I", blob, 10)
-    header_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    (data_offset,) = _unpack("<I", blob, 10)
+    header_size, width, height = _unpack("<Iii", blob, 14)
     if header_size < 40:
         raise ValueError(f"unsupported BMP header size {header_size}")
-    planes, bpp = struct.unpack_from("<HH", blob, 26)
-    (compression,) = struct.unpack_from("<I", blob, 30)
+    planes, bpp = _unpack("<HH", blob, 26)
+    (compression,) = _unpack("<I", blob, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"only 24-bit uncompressed supported (bpp={bpp})")
     top_down = height < 0
@@ -121,18 +135,18 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
     pos, sample_rate, channels, bits = 12, None, None, None
     abs_sum, n_samples = 0, 0
     while pos + 8 <= len(blob):
-        cid, size = struct.unpack_from("<4sI", blob, pos)
+        cid, size = _unpack("<4sI", blob, pos)
         pos += 8
         if cid == b"fmt ":
-            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, pos)
-            (bits,) = struct.unpack_from("<H", blob, pos + 14)
+            audio_fmt, channels, sample_rate = _unpack("<HHI", blob, pos)
+            (bits,) = _unpack("<H", blob, pos + 14)
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
         elif cid == b"data":
             if sample_rate is None:
                 raise ValueError("data chunk before fmt chunk")
             n_samples = size // 2
-            samples = struct.unpack_from(f"<{n_samples}h", blob, pos)
+            samples = _unpack(f"<{n_samples}h", blob, pos)
             abs_sum = sum(abs(s) for s in samples)
         pos += size + (size & 1)  # RIFF pads odd chunks
     if sample_rate is None:
@@ -148,12 +162,12 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, bytes]:
     and re-inverts them."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
-    (data_offset,) = struct.unpack_from("<I", blob, 10)
-    header_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    (data_offset,) = _unpack("<I", blob, 10)
+    header_size, width, height = _unpack("<Iii", blob, 14)
     if header_size < 40:
         raise ValueError(f"unsupported BMP header size {header_size}")
-    _, bpp = struct.unpack_from("<HH", blob, 26)
-    (compression,) = struct.unpack_from("<I", blob, 30)
+    _, bpp = _unpack("<HH", blob, 26)
+    (compression,) = _unpack("<I", blob, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"only 24-bit uncompressed supported (bpp={bpp})")
     top_down = height < 0
@@ -189,17 +203,17 @@ def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
     pos, sample_rate, channels = 12, None, None
     samples: list[int] = []
     while pos + 8 <= len(blob):
-        cid, size = struct.unpack_from("<4sI", blob, pos)
+        cid, size = _unpack("<4sI", blob, pos)
         pos += 8
         if cid == b"fmt ":
-            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, pos)
-            (bits,) = struct.unpack_from("<H", blob, pos + 14)
+            audio_fmt, channels, sample_rate = _unpack("<HHI", blob, pos)
+            (bits,) = _unpack("<H", blob, pos + 14)
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
         elif cid == b"data":
             if sample_rate is None:
                 raise ValueError("data chunk before fmt chunk")
-            samples = list(struct.unpack_from(f"<{size // 2}h", blob, pos))
+            samples = list(_unpack(f"<{size // 2}h", blob, pos))
         pos += size + (size & 1)
     if sample_rate is None:
         raise ValueError("missing fmt chunk")

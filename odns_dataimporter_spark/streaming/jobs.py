@@ -423,17 +423,50 @@ def stream_jdbc_upsert(
     )
     n_batches = {"n": 0}
 
+    # SQLSTATEs meaning "table does not exist" — the ONLY failure the
+    # idempotency DELETE may ignore (first batch, table not created
+    # yet). Any other DELETE failure (lock timeout, connection drop)
+    # MUST propagate so Structured Streaming retries the batch —
+    # swallowing it and appending anyway would duplicate the replayed
+    # batch's rows and silently break the exactly-once claim
+    # (round-6 ADVICE item 2).
+    _TABLE_MISSING = {
+        "42X05",  # Derby: table/view does not exist
+        "42P01",  # PostgreSQL: undefined_table
+        "42S02",  # MySQL / SQL Server (ODBC-style)
+        "S0002",  # legacy ODBC
+    }
+
+    def _sql_state(exc) -> str | None:
+        """Walk the Java cause chain for an SQLException's SQLSTATE."""
+        je = getattr(exc, "java_exception", None)
+        while je is not None:
+            try:
+                state = je.getSQLState()
+            except Exception:  # noqa: BLE001 — not an SQLException
+                state = None
+            if state:
+                return state
+            je = je.getCause()
+        return None
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         n_batches["n"] += 1
         jvm = batch_df.sparkSession._jvm
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            st = conn.prepareStatement(f"DELETE FROM {table} WHERE batch_id = ?")
+            # Spark's JDBC writer creates columns QUOTED (case-exact
+            # "batch_id"); an unquoted batch_id would fold to BATCH_ID
+            # on Derby/PostgreSQL and fail 42X04 on every batch — the
+            # old swallow-all guard silently hid exactly that, leaving
+            # the idempotency DELETE a permanent no-op.
+            st = conn.prepareStatement(f'DELETE FROM {table} WHERE "batch_id" = ?')
             st.setLong(1, batch_id)
             st.execute()
             st.close()
-        except Exception:  # noqa: BLE001 — first batch: table not created yet
-            pass
+        except Exception as e:  # noqa: BLE001
+            if _sql_state(e) not in _TABLE_MISSING:
+                raise  # transient failure: let the batch retry, don't append dupes
         finally:
             conn.close()
         w = batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append")

@@ -175,3 +175,51 @@ def test_stream_jdbc_upsert_exactly_once(spark, sf_dir, derby_url, tmp_path):
     final = scan_jdbc_partitioned(spark, url=derby_url, table="events_stream")
     assert final.count() == n_src + 5
     assert final.filter("event_id >= 10000000").count() == 5
+
+
+def test_stream_jdbc_upsert_delete_failure_propagates(
+    spark, sf_dir, derby_url, tmp_path
+):
+    """The idempotency DELETE may ignore ONLY table-not-yet-created
+    (SQLSTATE 42X05 on Derby); any other DELETE failure must propagate
+    so the micro-batch retries instead of appending duplicate rows
+    (round-6 ADVICE item 2). Simulated here with a pre-created table
+    that LACKS the batch_id column: the DELETE fails with Derby's
+    42X04 (column not in any table), which must surface — the old
+    swallow-everything guard would have appended anyway and then died
+    later, or worse, duplicated rows on a replay."""
+    import pytest
+
+    from odns_dataimporter_spark.streaming.jobs import (
+        prepare_stream_source,
+        stream_jdbc_upsert,
+    )
+
+    _jdbc_exec(
+        spark, derby_url, "CREATE TABLE events_nobatch (event_id BIGINT)"
+    )
+    src = prepare_stream_source(spark, sf_dir, str(tmp_path / "src2"))
+    ckpt = str(tmp_path / "ckpt2")
+    with pytest.raises(Exception) as ei:
+        stream_jdbc_upsert(spark, src, derby_url, "events_nobatch", ckpt)
+    assert "42X04" in str(ei.value) or "BATCH_ID" in str(ei.value).upper()
+
+
+def test_stream_jdbc_upsert_table_missing_still_ignored(
+    spark, sf_dir, derby_url, tmp_path
+):
+    """First-ever batch against a brand-new table name: the DELETE hits
+    Derby's 42X05 (table does not exist) and is ignored; the append
+    then creates the table. The narrowed guard must keep this path
+    working."""
+    from odns_dataimporter_spark.streaming.jobs import (
+        prepare_stream_source,
+        stream_jdbc_upsert,
+    )
+
+    src = prepare_stream_source(spark, sf_dir, str(tmp_path / "src3"))
+    ckpt = str(tmp_path / "ckpt3")
+    n = stream_jdbc_upsert(spark, src, derby_url, "events_fresh_tbl", ckpt)
+    assert n >= 1
+    back = scan_jdbc_partitioned(spark, url=derby_url, table="events_fresh_tbl")
+    assert back.count() == spark.read.parquet(src).count()

@@ -180,3 +180,47 @@ def test_wav_samples_roundtrip_property(payload):
     rate, ch, s = decode_wav_samples(encode_wav(payload))
     assert (rate, ch) == (8000, 1)
     assert s == [(b - 128) * 256 for b in payload]
+
+
+# --- truncation hardening (round-6 ADVICE item 1) ---------------------------
+# Every decoder must raise the documented ValueError — never a raw
+# struct.error — on blobs cut short at any byte boundary, including a
+# WAV whose data-chunk size field points past the end of the blob.
+
+
+@pytest.mark.parametrize("codec_name", ["bmp", "wav"])
+def test_truncated_blobs_raise_valueerror_at_every_prefix(codec_name):
+    from odns_dataimporter_spark.media import (
+        decode_bmp_pixels,
+        decode_wav_samples,
+        resize_bmp_nn,
+    )
+
+    if codec_name == "bmp":
+        blob = encode_bmp(bytes(range(40)))
+        decoders = [decode_bmp, decode_bmp_pixels, resize_bmp_nn]
+    else:
+        blob = encode_wav(bytes(range(40)))
+        decoders = [decode_wav, decode_wav_samples]
+    for cut in range(len(blob)):
+        prefix = blob[:cut]
+        for dec in decoders:
+            try:
+                dec(prefix)
+            except ValueError:
+                pass  # the documented clean rejection
+            except struct.error as e:  # pragma: no cover
+                pytest.fail(f"{dec.__name__} leaked struct.error at cut={cut}: {e}")
+            # a prefix that still decodes (e.g. WAV missing only the
+            # odd-pad byte) is fine — only the exception TYPE matters
+
+
+def test_wav_bogus_chunk_size_raises_valueerror():
+    from odns_dataimporter_spark.media import decode_wav_samples
+
+    blob = bytearray(encode_wav(bytes(range(8))))
+    data_off = blob.index(b"data")
+    struct.pack_into("<I", blob, data_off + 4, 2**31)  # size past EOF
+    for dec in (decode_wav, decode_wav_samples):
+        with pytest.raises(ValueError, match="truncated"):
+            dec(bytes(blob))
