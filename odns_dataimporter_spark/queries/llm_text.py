@@ -1771,3 +1771,327 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_hit_terms", (F.col("sm") / 1_000_000.0).alias("score_q6")
         )
     )
+
+
+# --- retrieval evaluation (NDCG / MRR / recall@k) ---------------------------
+# Fixed multi-query registry over the BM25 substrate: each query is a
+# small term set; graded relevance = number of DISTINCT query terms a
+# document contains (capped at 3) — a deterministic stand-in for human
+# judgments that gives every engine the same qrels. The ranking under
+# evaluation is the BM25 ordering (integer-micro scores, doc_id ties).
+
+_RETRIEVAL_QUERIES = (
+    ("q_sort", ("sort", "order", "key")),
+    ("q_join", ("join", "hash", "merge", "broadcast")),
+    ("q_stream", ("stream", "batch", "window")),
+)
+_RETRIEVAL_K = 10
+_RET_ALL_TERMS = tuple(sorted({t for _, ts in _RETRIEVAL_QUERIES for t in ts}))
+_RET_TERMS_SQL = ", ".join(f"'{t}'" for t in _RET_ALL_TERMS)
+_RET_QT_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, ts in _RETRIEVAL_QUERIES for t in ts
+)
+
+# shared oracle prefix: per-(query, doc) BM25 micro-score + graded rel,
+# then dual rankings (scored and ideal)
+_RET_RANKED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM d),
+tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS token FROM d),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(MAX(dl) AS BIGINT) AS dl
+       FROM tok WHERE token IN ({_RET_TERMS_SQL})
+       GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+qt(query_id, token) AS (VALUES {_RET_QT_SQL}),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(floor(ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+                           / (CAST(df.df AS DOUBLE) + 0.5))
+              * (tf.tf * CAST({_BM25_K1 + 1.0} AS DOUBLE))
+              / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                 * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                    + CAST({_BM25_B} AS DOUBLE) * tf.dl
+                      / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+              * 1000000.0) AS BIGINT) AS micro
+  FROM tf JOIN df USING (token) JOIN qt USING (token) CROSS JOIN st),
+cand AS (SELECT query_id, doc_id, CAST(SUM(micro) AS BIGINT) AS sm,
+                LEAST(3, CAST(COUNT(*) AS BIGINT)) AS rel
+         FROM sc GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, sm, rel,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sm DESC, doc_id) AS BIGINT) AS rk,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, doc_id) AS BIGINT) AS irk
+      FROM cand)
+"""
+
+_RET_GAIN_SQL = "(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)"
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=_RET_RANKED_SQL
+    + f""",
+dcg AS (SELECT query_id,
+          CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          CAST(SUM(CASE WHEN rk <= {_RETRIEVAL_K} THEN
+                 CAST(floor({_RET_GAIN_SQL} / log2(rk + 1) * 1000000.0)
+                      AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+          CAST(SUM(CASE WHEN irk <= {_RETRIEVAL_K} THEN
+                 CAST(floor({_RET_GAIN_SQL} / log2(irk + 1) * 1000000.0)
+                      AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_micro
+        FROM r GROUP BY query_id)
+SELECT query_id, n_candidates,
+       dcg_micro / 1000000.0 AS dcg_q6,
+       idcg_micro / 1000000.0 AS idcg_q6,
+       floor(CAST(dcg_micro AS DOUBLE) / idcg_micro * 1000000.0)
+         / 1000000.0 AS ndcg_q6
+FROM dcg
+""",
+    tags=("ml", "text"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per retrieval query — the ranking-quality eval for a
+    search/RAG index (Järvelin & Kekäläinen): DCG over the BM25-ranked
+    top-10 with graded gains (2^rel − 1 ∈ {1,3,7}), normalized by the
+    ideal (rel-sorted) DCG over the same candidate pool. Relevance is
+    a deterministic qrel: distinct query terms matched, capped at 3;
+    ideal ties break by doc_id (a fixed, documented convention — tie
+    handling differs across IR toolkits). Shape: one corpus shuffle
+    carries only query-term hits (the text_bm25_topk substrate —
+    filtered explode, broadcast df/stats/query-map); the dual rankings
+    are per-query windows over the candidate pool, and each position's
+    gain/log2(rank+1) term is floor-quantized to integer micros BEFORE
+    the per-query sum, so DCG/IDCG are exact int64 and the single
+    NDCG division is the only late float. At 100 TB the candidate
+    window is per-query-partitioned; with a large query registry that
+    is a balanced shuffle keyed on query_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(*_RET_ALL_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .localCheckpoint(eager=False)  # feeds df AND the scorer
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _RETRIEVAL_QUERIES for t in ts],
+        "query_id string, token string",
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    cand = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(qt), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(score * 1_000_000.0).cast("long").alias("micro"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("micro").cast("long").alias("sm"),
+            F.least(F.lit(3), F.count("*")).cast("long").alias("rel"),
+        )
+    )
+    r = cand.select(
+        "query_id",
+        "rel",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("sm"), "doc_id"))
+        .cast("long")
+        .alias("rk"),
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id"))
+        .cast("long")
+        .alias("irk"),
+    )
+    gain = (
+        F.when(F.col("rel") == 1, 1).when(F.col("rel") == 2, 3).otherwise(7)
+    )
+
+    def pos_term(rank_col: str):
+        return F.floor(
+            gain / F.log2(F.col(rank_col) + 1) * 1_000_000.0
+        ).cast("long")
+
+    dcg = r.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("rk") <= _RETRIEVAL_K, pos_term("rk")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(F.col("irk") <= _RETRIEVAL_K, pos_term("irk")).otherwise(0)
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+    )
+    return dcg.select(
+        "query_id",
+        "n_candidates",
+        (F.col("dcg_micro") / 1_000_000.0).alias("dcg_q6"),
+        (F.col("idcg_micro") / 1_000_000.0).alias("idcg_q6"),
+        (
+            F.floor(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("ndcg_q6"),
+    )
+
+
+@register(
+    "ml_mrr_recall_at_k",
+    oracle=_RET_RANKED_SQL
+    + f""",
+rel3 AS (SELECT query_id, rk FROM r WHERE rel >= 3),
+a AS (SELECT query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_relevant,
+             CAST(MIN(rk) AS BIGINT) AS first_rank,
+             CAST(SUM(CASE WHEN rk <= {_RETRIEVAL_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k
+      FROM rel3 GROUP BY query_id)
+SELECT query_id, n_relevant, first_rank, hits_at_k,
+       floor(1000000.0 / first_rank) / 1000000.0 AS rr_q6,
+       floor(CAST(hits_at_k AS DOUBLE) / n_relevant * 1000000.0)
+         / 1000000.0 AS recall_at_k_q6,
+       floor(CAST(hits_at_k AS DOUBLE) / {_RETRIEVAL_K} * 1000000.0)
+         / 1000000.0 AS precision_at_k_q6
+FROM a
+""",
+    tags=("ml", "text"),
+)
+def ml_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank, recall@10 and precision@10 per retrieval query
+    — the binary-relevance companions to `ml_ndcg_at_k` (relevant =
+    all-but-one query terms matched, rel ≥ 3) over the same BM25
+    ranking and deterministic qrels. MRR uses the FULL ranking (rank of
+    the first relevant hit, not cut at k — the convention that
+    distinguishes it from success@k); recall/precision cut at k=10.
+    Shape: identical substrate to ml_ndcg_at_k — one filtered-explode
+    corpus shuffle, broadcast statistics, one per-query window — then a
+    3-row aggregate. All counters exact int64; the three ratios are
+    single late divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(*_RET_ALL_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _RETRIEVAL_QUERIES for t in ts],
+        "query_id string, token string",
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    cand = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(qt), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(score * 1_000_000.0).cast("long").alias("micro"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("micro").cast("long").alias("sm"),
+            F.least(F.lit(3), F.count("*")).cast("long").alias("rel"),
+        )
+    )
+    r = cand.select(
+        "query_id",
+        "rel",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("sm"), "doc_id"))
+        .cast("long")
+        .alias("rk"),
+    ).filter(F.col("rel") >= 3)
+    a = r.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_relevant"),
+        F.min("rk").cast("long").alias("first_rank"),
+        F.sum(F.when(F.col("rk") <= _RETRIEVAL_K, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+    )
+    return a.select(
+        "query_id",
+        "n_relevant",
+        "first_rank",
+        "hits_at_k",
+        (F.floor(1_000_000.0 / F.col("first_rank")) / 1_000_000.0).alias("rr_q6"),
+        (
+            F.floor(
+                F.col("hits_at_k").cast("double")
+                / F.col("n_relevant")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("recall_at_k_q6"),
+        (
+            F.floor(
+                F.col("hits_at_k").cast("double") / _RETRIEVAL_K * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("precision_at_k_q6"),
+    )

@@ -1546,3 +1546,280 @@ def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("f1_q6"),
     )
+
+
+_ECE_BINS = 10
+_ECE_SMAX = _AUC_NOISE + _AUC_LIFT  # score support [0, smax)
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+g AS (SELECT CAST(s * {_ECE_BINS} // {_ECE_SMAX} AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(s) AS BIGINT) AS ss
+      FROM b GROUP BY 1),
+w AS (SELECT bin, n, sy, ss,
+             CAST(abs({_ECE_SMAX} * sy - ss) AS BIGINT) AS gap_num,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+             CAST(SUM(abs({_ECE_SMAX} * sy - ss)) OVER () AS BIGINT)
+               AS gap_num_total
+      FROM g)
+SELECT bin, n,
+       floor(CAST(sy AS DOUBLE) / n * 1000000.0) / 1000000.0 AS acc_q6,
+       floor(CAST(ss AS DOUBLE) / ({_ECE_SMAX} * n) * 1000000.0)
+         / 1000000.0 AS conf_q6,
+       floor(CAST(gap_num AS DOUBLE) / ({_ECE_SMAX} * n) * 1000000.0)
+         / 1000000.0 AS gap_q6,
+       floor(CAST(gap_num_total AS DOUBLE) / ({_ECE_SMAX} * n_total)
+             * 1000000.0) / 1000000.0 AS ece_q6
+FROM w
+""",
+    tags=("ml", "stats"),
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error with 10 equal-width probability bins
+    (Naeini et al.'s binned ECE — the standard reliability-diagram
+    summary) for the deterministic hash-score model shared with
+    `ml_auc_roc`, reading score/smax as the predicted probability.
+    The key identity: per bin, |accuracy − confidence| =
+    |smax·Σy − Σs| / (smax·n) — an EXACT integer numerator — and
+    ECE = Σ_b (n_b/N)·gap_b = Σ_b |smax·Σy_b − Σs_b| / (smax·N), so
+    every aggregate is an order-free int64 sum and each output ratio
+    is one late float division (floor-q6). Shape: one
+    map-side-combined 10-bin histogram shuffle, then a window over the
+    10-row result; nothing corpus-sized moves. The same per-bin
+    numerator trick keeps ECE exact under any partial-aggregation
+    order at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    g = b.groupBy(
+        (F.col("s") * _ECE_BINS / F.lit(_ECE_SMAX))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    gap_num = F.abs(F.lit(_ECE_SMAX) * F.col("sy") - F.col("ss")).cast("long")
+    wall = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w = g.select(
+        "bin",
+        "n",
+        "sy",
+        "ss",
+        gap_num.alias("gap_num"),
+        F.sum("n").over(wall).cast("long").alias("n_total"),
+        F.sum(gap_num).over(wall).cast("long").alias("gap_num_total"),
+    )
+    return w.select(
+        "bin",
+        "n",
+        (F.floor(F.col("sy").cast("double") / F.col("n") * 1e6) / 1e6).alias(
+            "acc_q6"
+        ),
+        (
+            F.floor(
+                F.col("ss").cast("double") / (_ECE_SMAX * F.col("n")) * 1e6
+            )
+            / 1e6
+        ).alias("conf_q6"),
+        (
+            F.floor(
+                F.col("gap_num").cast("double") / (_ECE_SMAX * F.col("n")) * 1e6
+            )
+            / 1e6
+        ).alias("gap_q6"),
+        (
+            F.floor(
+                F.col("gap_num_total").cast("double")
+                / (_ECE_SMAX * F.col("n_total"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("ece_q6"),
+    )
+
+
+@register(
+    "ml_bradley_terry_step",
+    oracle="""
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c),
+p AS (SELECT w.event_type AS winner, l.event_type AS loser,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT user_id, event_type FROM r WHERE rk = 1) w
+      JOIN (SELECT user_id, event_type FROM r WHERE rk = 2) l USING (user_id)
+      GROUP BY 1, 2),
+items AS (SELECT event_type, CAST(SUM(wins) AS BIGINT) AS wins,
+                 CAST(SUM(losses) AS BIGINT) AS losses
+          FROM (SELECT winner AS event_type, n AS wins, 0 AS losses FROM p
+                UNION ALL
+                SELECT loser, 0, n FROM p) u
+          GROUP BY 1),
+w1 AS (SELECT event_type, wins, losses,
+              CAST(wins + losses AS BIGINT) AS comparisons,
+              CAST(floor(2000000.0 * wins / (wins + losses)) AS BIGINT)
+                AS w1_micro
+       FROM items),
+mm AS (SELECT winner AS i, loser AS j, n FROM p
+       UNION ALL SELECT loser, winner, n FROM p),
+m AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS m FROM mm GROUP BY 1, 2),
+d2 AS (SELECT m.i AS event_type,
+              list_reduce(
+                list_prepend(CAST(0 AS DOUBLE),
+                  list(CAST(m.m AS DOUBLE)
+                       / ((wi.w1_micro + wj.w1_micro) / 1000000.0)
+                       ORDER BY m.j)),
+                (a, x) -> a + x) AS den
+       FROM m
+       JOIN w1 wi ON wi.event_type = m.i
+       JOIN w1 wj ON wj.event_type = m.j
+       GROUP BY m.i)
+SELECT w1.event_type, wins, losses, comparisons,
+       w1_micro / 1000000.0 AS w1_q6,
+       floor(CAST(wins AS DOUBLE) / den * 1000000.0) / 1000000.0 AS w2_q6
+FROM w1 JOIN d2 USING (event_type)
+""",
+    tags=("ml", "events", "stats"),
+)
+def ml_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength fitting via Hunter's MM
+    updates — the model behind pairwise-preference data (RLHF reward
+    comparisons, ranked A/B outcomes): each user contributes one
+    (winner, loser) comparison between their most- and second-most-
+    frequent event types (count-desc, type-asc ties — a fixed
+    documented convention), and two MM iterations run from the uniform
+    init: w¹_i = W_i / Σ_j m_ij/(1+1) = 2W_i/D_i, then
+    w²_i = W_i / Σ_j m_ij/(w¹_i + w¹_j). Shape: one (user, type)
+    count shuffle + one per-user top-2 window are the only
+    corpus-scale stages; the pair matrix is |types|² ≤ 36 rows, so
+    both MM steps are driver-free tiny-DF algebra. Determinism: wins/
+    comparisons exact int64; w¹ is floor-quantized to integer micros
+    BEFORE step 2, and step 2's denominator runs as a SEQUENTIAL
+    opponent-ordered fold (F.aggregate / list_reduce), never an
+    order-free double sum. At 100 TB pairs come from a comparison log
+    directly; the item matrix stays tiny and broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wuser = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    r = c.select("user_id", "event_type", F.row_number().over(wuser).alias("rk"))
+    p = (
+        r.filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("winner"))
+        .join(
+            r.filter(F.col("rk") == 2).select(
+                "user_id", F.col("event_type").alias("loser")
+            ),
+            "user_id",
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds items AND the opponent matrix
+    )
+    items = (
+        p.select(
+            F.col("winner").alias("event_type"),
+            F.col("n").alias("wins"),
+            F.lit(0).cast("long").alias("losses"),
+        )
+        .unionByName(
+            p.select(
+                F.col("loser").alias("event_type"),
+                F.lit(0).cast("long").alias("wins"),
+                F.col("n").alias("losses"),
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("wins").cast("long").alias("wins"),
+            F.sum("losses").cast("long").alias("losses"),
+        )
+    )
+    w1 = items.select(
+        "event_type",
+        "wins",
+        "losses",
+        (F.col("wins") + F.col("losses")).cast("long").alias("comparisons"),
+        F.floor(
+            2_000_000.0 * F.col("wins") / (F.col("wins") + F.col("losses"))
+        )
+        .cast("long")
+        .alias("w1_micro"),
+    ).localCheckpoint(eager=False)  # joined three times below
+    m = (
+        p.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
+        .unionByName(
+            p.select(F.col("loser").alias("i"), F.col("winner").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("long").alias("m"))
+    )
+    wi = w1.select(F.col("event_type").alias("i"), F.col("w1_micro").alias("wi"))
+    wj = w1.select(F.col("event_type").alias("j"), F.col("w1_micro").alias("wj"))
+    d2 = (
+        m.join(F.broadcast(wi), "i")
+        .join(F.broadcast(wj), "j")
+        .groupBy(F.col("i").alias("event_type"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("j").alias("j"),
+                                F.col("m").alias("m"),
+                                F.col("wi").alias("wi"),
+                                F.col("wj").alias("wj"),
+                            )
+                        )
+                    ),
+                    lambda x: x["m"].cast("double")
+                    / ((x["wi"] + x["wj"]) / 1_000_000.0),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("den")
+        )
+    )
+    return w1.join(d2, "event_type").select(
+        "event_type",
+        "wins",
+        "losses",
+        "comparisons",
+        (F.col("w1_micro") / 1_000_000.0).alias("w1_q6"),
+        (
+            F.floor(F.col("wins").cast("double") / F.col("den") * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("w2_q6"),
+    )
