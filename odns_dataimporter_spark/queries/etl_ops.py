@@ -1096,3 +1096,95 @@ def profile_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+_FD_CANDIDATES = (
+    # (label, table, determinant, dependent) — mixed so the g3 metric
+    # is exercised at both extremes: a key-determined FD that HOLDS
+    # and plausible-but-false dependencies with real violation mass.
+    ("orders.o_orderkey->o_orderpriority", "orders", "o_orderkey",
+     "o_orderpriority"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+     "l_suppkey"),
+)
+
+
+def _fd_sql(label, tbl, det, dep):
+    return f"""
+SELECT '{label}' AS fd,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       floor(CAST(SUM(cnt) - SUM(max_cnt) AS DOUBLE) / SUM(cnt)
+             * 1000000.0) / 1000000.0 AS g3_q6,
+       SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {det} AS a,
+         CAST(SUM(n) AS BIGINT) AS cnt,
+         CAST(MAX(n) AS BIGINT) AS max_cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_dep
+  FROM (SELECT {det}, {dep}, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {tbl} GROUP BY 1, 2) db
+  GROUP BY 1
+) ga"""
+
+
+@register(
+    "profile_fd_violations",
+    oracle="\nUNION ALL\n".join(_fd_sql(*c) for c in _FD_CANDIDATES),
+    tags=("etl", "profiling"),
+)
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE/FDEP
+    profiling primitive, companion to `profile_fk_inference`): for
+    each candidate A → B, the g3 error measure (Kivinen & Mannila) —
+    the minimum fraction of rows to delete so the FD holds exactly,
+    computed as (N − Σ_a max_b count(a,b)) / N — plus the count of
+    violating determinant groups. This is the metadata that drives
+    normalization advice, key detection, and CDC-merge safety checks.
+    Shape per candidate: one (A, B) count aggregate then an A-level
+    reduction — both map-side-combined shuffles whose width is the
+    distinct-pair count, never raw rows; candidates are independent
+    and union. Counters exact int64; g3 is one late floor-q6
+    division. At 100 TB this is exactly how production profilers run
+    (two-level distinct-count rollup per candidate)."""
+    out = None
+    for label, tbl, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        db = t.groupBy(
+            F.col(det).alias("a"), F.col(dep).alias("b")
+        ).agg(F.count("*").cast("long").alias("n"))
+        ga = db.groupBy("a").agg(
+            F.sum("n").cast("long").alias("cnt"),
+            F.max("n").cast("long").alias("max_cnt"),
+            F.count("*").cast("long").alias("n_dep"),
+        )
+        one = ga.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            (
+                F.floor(
+                    (F.sum("cnt") - F.sum("max_cnt")).cast("double")
+                    / F.sum("cnt")
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("g3_q6"),
+        ).select(
+            F.lit(label).alias("fd"),
+            "n_rows",
+            "n_groups",
+            "n_violating_groups",
+            "g3_q6",
+            (F.col("n_violating_groups") == 0).alias("holds"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -1819,3 +1819,132 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall1_q6"),
         )
     )
+
+
+# --- Johnson–Lindenstrauss random projection --------------------------------
+
+_RP_K = 8  # target dimensionality
+_RP_DIM = 64
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher sign matrix, k rows × d columns,
+    derived from md5 so both engines (and every executor) see the SAME
+    projection without shipping state: sign(j,i) = +1 iff the first 8
+    hex digits of md5('rp|j|i') are even. Generated driver-side ONCE
+    and embedded as literals — zero per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(_RP_DIM)
+        ]
+        for j in range(_RP_K)
+    ]
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def _rp_proj_sql(j: int) -> str:
+    s = "list_value(" + ", ".join(str(v) for v in _RP_SIGNS[j]) + ")"
+    return (
+        f"CAST(list_sum(list_transform(list_zip(qv, {s}), "
+        f"z -> z[1] * z[2])) AS BIGINT)"
+    )
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2,
+         {", ".join(f"{_rp_proj_sql(j)} AS p{j}" for j in range(_RP_K))}
+  FROM q
+)
+SELECT vec_id, qnorm2,
+       CAST({" + ".join(f"p{j} * p{j}" for j in range(_RP_K))} AS BIGINT)
+         AS pnorm2,
+       CASE WHEN qnorm2 = 0 THEN NULL
+            ELSE floor(CAST({" + ".join(f"p{j} * p{j}" for j in range(_RP_K))}
+                       AS DOUBLE) / qnorm2 * {float(_RP_DIM) / _RP_K}
+                       * 1000000.0) / 1000000.0
+       END AS distortion_q6
+FROM p
+""",
+    tags=("llm", "embedding", "similarity"),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas ±1
+    variant): project every embedding from d=64 to k=8 with a FIXED
+    Rademacher sign matrix and report the per-vector norm distortion
+    (‖Px‖²/k)/(‖x‖²/d) — the sketch that makes downstream ANN /
+    clustering / dedup distance work k/d cheaper while JL bounds the
+    metric error. Shape: the sign matrix is a driver-side constant
+    folded into the plan (no per-row hashing, no shuffle, no
+    broadcast join — the projection is a pure map, the ideal 100 TB
+    operator); coordinates floor-quantize to integer micros first so
+    each projection p_j = Σᵢ qᵢ·sᵢⱼ and both norms are EXACT int64
+    (order-free), and the single distortion division is the only
+    float (division before the d/k multiply keeps every double
+    < 2^53). Zero vectors yield NULL distortion on both engines
+    rather than a division error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv"),
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(v) for v in _RP_SIGNS[j]]),
+                lambda x, s: x * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias(f"p{j}")
+        for j in range(_RP_K)
+    ]
+    p = q.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qnorm2"),
+        *projs,
+    )
+    pnorm2 = sum(
+        (F.col(f"p{j}") * F.col(f"p{j}") for j in range(_RP_K)),
+        F.lit(0).cast("long"),
+    ).cast("long")
+    return p.select(
+        "vec_id",
+        "qnorm2",
+        pnorm2.alias("pnorm2"),
+        F.when(F.col("qnorm2") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                pnorm2.cast("double")
+                / F.col("qnorm2")
+                * (float(_RP_DIM) / _RP_K)
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        )
+        .alias("distortion_q6"),
+    )

@@ -2095,3 +2095,115 @@ def ml_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("precision_at_k_q6"),
     )
+
+
+_MATTR_W = 10  # moving-window width (Covington & McFall's standard)
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         CAST(CASE WHEN len(toks) >= {_MATTR_W}
+                   THEN len(toks) - {_MATTR_W} + 1 ELSE 0 END AS BIGINT)
+           AS n_windows,
+         CAST(CASE WHEN len(toks) >= {_MATTR_W}
+              THEN list_sum(list_transform(
+                     generate_series(1, len(toks) - {_MATTR_W} + 1),
+                     t -> len(list_distinct(toks[t:t + {_MATTR_W} - 1]))))
+              ELSE 0 END AS BIGINT) AS sum_distinct
+  FROM t
+)
+SELECT doc_id, n_tokens, n_types, n_windows,
+       CASE WHEN n_windows > 0
+            THEN floor(CAST(sum_distinct AS DOUBLE)
+                       / ({_MATTR_W} * n_windows) * 1000000.0) / 1000000.0
+            ELSE floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000.0)
+                 / 1000000.0
+       END AS mattr_q6
+FROM s
+""",
+    tags=("llm", "text"),
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Covington & McFall's Moving-Average
+    Type-Token Ratio, window 10) per document — the length-robust
+    vocabulary-richness signal TTR can't give (TTR decays with doc
+    length; MATTR doesn't), used as a curation filter for
+    template/spam text next to `text_repetition_score`. Docs shorter
+    than the window fall back to plain TTR (documented convention).
+    Shape: a pure per-document map — zero shuffles, the ideal corpus
+    operator; the token array is LET-BOUND via the single-element-
+    array transform idiom so CollapseProject cannot inline split()
+    into every window position (the round-5 O(n²) HOF trap), making
+    the sweep O(n·W) string work per doc. All counts exact int64; one
+    late floor-q6 division."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = F.element_at(
+        F.transform(
+            F.array(F.split("text", " ")),
+            lambda tk: F.struct(
+                F.size(tk).cast("long").alias("n_tokens"),
+                F.size(F.array_distinct(tk)).cast("long").alias("n_types"),
+                F.when(
+                    F.size(tk) >= _MATTR_W,
+                    (F.size(tk) - _MATTR_W + 1).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("n_windows"),
+                F.when(
+                    F.size(tk) >= _MATTR_W,
+                    F.aggregate(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.size(tk) - _MATTR_W + 1
+                            ),
+                            lambda t: F.size(
+                                F.array_distinct(F.slice(tk, t, _MATTR_W))
+                            ).cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("sum_distinct"),
+            ),
+        ),
+        1,
+    )
+    s = docs.select("doc_id", per_doc.alias("st")).select(
+        "doc_id",
+        F.col("st.n_tokens").alias("n_tokens"),
+        F.col("st.n_types").alias("n_types"),
+        F.col("st.n_windows").alias("n_windows"),
+        F.col("st.sum_distinct").alias("sum_distinct"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_windows",
+        F.when(
+            F.col("n_windows") > 0,
+            F.floor(
+                F.col("sum_distinct").cast("double")
+                / (_MATTR_W * F.col("n_windows"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0,
+        )
+        .otherwise(
+            F.floor(
+                F.col("n_types").cast("double") / F.col("n_tokens") * 1_000_000.0
+            )
+            / 1_000_000.0
+        )
+        .alias("mattr_q6"),
+    )

@@ -1823,3 +1823,130 @@ def ml_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("w2_q6"),
     )
+
+
+@register(
+    "ml_woe_iv",
+    oracle="""
+WITH lab AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN MAX(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) = 1
+              THEN 1 ELSE 0 END AS bad
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+g AS (SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM lab GROUP BY 1),
+t AS (SELECT segment, n, n_good, n_bad,
+             CAST(SUM(n_good) OVER () AS BIGINT) AS tg,
+             CAST(SUM(n_bad) OVER () AS BIGINT) AS tb,
+             CAST(COUNT(*) OVER () AS BIGINT) AS s
+      FROM g),
+x AS (SELECT segment, n, n_good, n_bad,
+             ln(CAST((2 * n_good + 1) AS DOUBLE) * (2 * tb + s)
+                / ((2 * n_bad + 1) * CAST((2 * tg + s) AS DOUBLE))) AS woe,
+             (CAST(2 * n_good + 1 AS DOUBLE) / (2 * tg + s)
+              - CAST(2 * n_bad + 1 AS DOUBLE) / (2 * tb + s)) AS dd
+      FROM t),
+q AS (SELECT segment, n, n_good, n_bad,
+             CAST(floor(woe * 1000000.0) AS BIGINT) AS woe_micro,
+             CAST(floor(dd * woe * 1000000.0) AS BIGINT) AS iv_micro
+      FROM x)
+SELECT segment, n, n_good, n_bad,
+       woe_micro / 1000000.0 AS woe_q6,
+       iv_micro / 1000000.0 AS iv_term_q6,
+       CAST(SUM(iv_micro) OVER () AS BIGINT) / 1000000.0 AS iv_q6
+FROM q
+""",
+    tags=("ml", "stats", "analytics"),
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value profiling of a
+    categorical feature against a binary label — the classic
+    credit-scoring screen (Siddiqi) for ranking features before model
+    fitting: feature = customer market segment, label = customer ever
+    placed an urgent/high-priority order. Laplace-smoothed via the
+    integer-doubling identity ((g+0.5)/(G+0.5·S) = (2g+1)/(2G+S)), so
+    WOE's log argument and the distribution difference are EXACT
+    rationals of int64 counts — ln/division enter once per segment
+    with an identical expression tree on both engines, each segment's
+    WOE and IV term floor-quantize to micros independently, and total
+    IV is an order-free integer window sum. Shape: one broadcast-able
+    per-customer label aggregate (customer ⨝ orders on the natural
+    key), one segment histogram, then a window over ≤ S segment rows.
+    At 100 TB the label join shuffles on custkey once; everything
+    after is |segments|-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    lab = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("bad_raw")
+        )
+        .select(
+            "c_mktsegment",
+            F.when(F.col("bad_raw") == 1, 1).otherwise(0).alias("bad"),
+        )
+    )
+    g = lab.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    wall = W.orderBy("segment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    t = g.select(
+        "segment",
+        "n",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(wall).cast("long").alias("tg"),
+        F.sum("n_bad").over(wall).cast("long").alias("tb"),
+        F.count("*").over(wall).cast("long").alias("s"),
+    )
+    woe = F.log(
+        (2 * F.col("n_good") + 1).cast("double")
+        * (2 * F.col("tb") + F.col("s"))
+        / (
+            (2 * F.col("n_bad") + 1)
+            * (2 * F.col("tg") + F.col("s")).cast("double")
+        )
+    )
+    dd = (2 * F.col("n_good") + 1).cast("double") / (
+        2 * F.col("tg") + F.col("s")
+    ) - (2 * F.col("n_bad") + 1).cast("double") / (2 * F.col("tb") + F.col("s"))
+    q = t.select(
+        "segment",
+        "n",
+        "n_good",
+        "n_bad",
+        F.floor(woe * 1_000_000.0).cast("long").alias("woe_micro"),
+        F.floor(dd * woe * 1_000_000.0).cast("long").alias("iv_micro"),
+    )
+    return q.select(
+        "segment",
+        "n",
+        "n_good",
+        "n_bad",
+        (F.col("woe_micro") / 1_000_000.0).alias("woe_q6"),
+        (F.col("iv_micro") / 1_000_000.0).alias("iv_term_q6"),
+        (
+            F.sum("iv_micro").over(
+                W.orderBy("segment").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .cast("long")
+            / 1_000_000.0
+        ).alias("iv_q6"),
+    )
