@@ -109,6 +109,15 @@ HEADLINE = [
     "embed_matryoshka_recall",
     "events_uplift_qini",
     "stats_randomization_test",
+    # round-7 additions
+    "ml_ndcg_at_k",
+    "ml_mrr_recall_at_k",
+    "ml_calibration_ece",
+    "ml_bradley_terry_step",
+    "ml_woe_iv",
+    "profile_fd_violations",
+    "embed_random_projection",
+    "text_mattr_diversity",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs
