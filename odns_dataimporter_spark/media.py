@@ -10,14 +10,18 @@ Implements real byte-level parsers/writers for:
 - **WAV** (RIFF PCM 16-bit): RIFF/WAVE header, `fmt ` chunk, `data`
   chunk — chunk-walking parser that skips unknown chunks (LIST, cue)
   like a real reader must.
+- **PNG** (8-bit grayscale): chunk walk with CRC32 verification,
+  stdlib-zlib IDAT inflate, all five scanline filters incl. Paeth —
+  a real decoder for a genuinely COMPRESSED format, no external
+  codec library involved (round 7).
 
 The encoders exist so the pipeline can synthesize REAL media payloads
 from the deterministic testdata (documents.text bytes -> pixels /
 samples); the decoders are the operators under test — they parse the
 actual on-disk byte layout (magic, header fields, stride padding,
 chunk boundaries), so swapping in crawled .bmp/.wav payloads changes
-nothing. Compressed formats (JPEG/PNG/MP3) still require a codec
-library and raise NotImplementedError with that message.
+nothing. JPEG/MP3 still require a codec library and raise
+NotImplementedError with that message.
 
 All functions are plain bytes -> tuple so they vectorize cleanly inside
 mapInPandas workers (multimodal.py) and are property-tested round-trip
@@ -224,12 +228,165 @@ def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, int]:
-    """Magic-byte dispatch to a real decoder. BMP decodes here;
-    compressed formats name the library they need."""
+    """Magic-byte dispatch to a real decoder. BMP and PNG decode here
+    (PNG via the stdlib-zlib decoder below — grayscale subset);
+    formats that genuinely need an external codec name it."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG requires zlib inflate + filters; use PIL")
+        w, h, _, _, px_sum = decode_png(payload)
+        return w, h, 1, px_sum
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG requires a DCT codec; use PIL")
     raise ValueError("unrecognized image format")
+
+
+# --- PNG (8-bit grayscale, zlib DEFLATE + scanline filters) -----------------
+# PNG is a COMPRESSED format, but its codec needs are exactly Python's
+# stdlib: zlib for the IDAT stream, zlib.crc32 for chunk integrity.
+# This is therefore a REAL decoder for real PNG files (critical chunks,
+# all five scanline filters incl. Paeth), not a stub — the encoder
+# deliberately mixes filter types so a decoder that ignores filtering
+# cannot round-trip. Unsupported color types / bit depths raise
+# ValueError naming what they need.
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(payload: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Pack bytes as a real 8-bit grayscale PNG (color type 0),
+    zero-padded to fill the last row. Scanlines cycle filter types
+    None/Sub/Up (0/1/2) by row so the decoder's unfiltering is
+    actually exercised; output opens in any image viewer."""
+    n = len(payload)
+    height = max(1, -(-n // width))
+    padded = payload + b"\x00" * (width * height - n)
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = padded[r * width : (r + 1) * width]
+        f = r % 3
+        raw.append(f)
+        if f == 0:  # None
+            raw += row
+        elif f == 1:  # Sub: b[i] - b[i-1]
+            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width))
+        else:  # Up: b[i] - prev[i]
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, int, int]:
+    """REAL PNG decode: signature, chunk walk with CRC verification,
+    zlib inflate of the concatenated IDAT stream, and full scanline
+    unfiltering (all five PNG filter types incl. Paeth). Supports
+    8-bit grayscale (color type 0, no interlace) — other layouts
+    raise ValueError naming the gap. Returns (width, height,
+    bit_depth, color_type, px_sum) with px_sum the exact integer sum
+    of all pixels. Malformed input (bad magic, truncated chunk, CRC
+    mismatch, corrupt DEFLATE, short pixel data) raises ValueError."""
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(blob):
+        (length,) = _unpack(">I", blob, pos)
+        ctype = bytes(_unpack("4s", blob, pos + 4)[0])
+        if pos + 12 + length > len(blob):
+            raise ValueError(f"truncated chunk {ctype!r}")
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = _unpack(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or color_type != 0:
+                raise ValueError(
+                    "only 8-bit grayscale supported "
+                    f"(bit_depth={bit_depth}, color_type={color_type}); "
+                    "RGB/palette/alpha need a wider decoder"
+                )
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR chunk")
+    if not seen_iend:
+        raise ValueError("missing IEND chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    stride = width + 1  # filter byte + pixels (1 byte/px grayscale)
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"pixel data length {len(raw)} != {stride}*{height}"
+        )
+    prev = bytes(width)
+    px_sum = 0
+    for r in range(height):
+        f = raw[r * stride]
+        line = raw[r * stride + 1 : (r + 1) * stride]
+        if f == 0:
+            cur = bytes(line)
+        elif f == 1:  # Sub
+            out = bytearray(width)
+            for i in range(width):
+                out[i] = (line[i] + (out[i - 1] if i else 0)) & 0xFF
+            cur = bytes(out)
+        elif f == 2:  # Up
+            cur = bytes((line[i] + prev[i]) & 0xFF for i in range(width))
+        elif f == 3:  # Average
+            out = bytearray(width)
+            for i in range(width):
+                out[i] = (line[i] + (((out[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+            cur = bytes(out)
+        elif f == 4:  # Paeth
+            out = bytearray(width)
+            for i in range(width):
+                a = out[i - 1] if i else 0
+                c = prev[i - 1] if i else 0
+                out[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            cur = bytes(out)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        px_sum += sum(cur)
+        prev = cur
+    return width, height, bit_depth, color_type, px_sum

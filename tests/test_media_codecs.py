@@ -132,9 +132,13 @@ def test_wav_roundtrip_property(payload):
 
 
 def test_decode_image_dispatch():
+    from odns_dataimporter_spark.media import encode_png
+
     assert decode_image(encode_bmp(b"xyz"))[2] == 3
-    with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    # PNG now decodes for real via the stdlib-zlib path (1 channel)
+    assert decode_image(encode_png(b"xyz")) == (16, 1, 1, sum(b"xyz"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 2)  # signature only
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(ValueError, match="unrecognized"):
@@ -224,3 +228,133 @@ def test_wav_bogus_chunk_size_raises_valueerror():
     for dec in (decode_wav, decode_wav_samples):
         with pytest.raises(ValueError, match="truncated"):
             dec(bytes(blob))
+
+
+# --- PNG (round-7: real compressed-format decode via stdlib zlib) -----------
+
+
+def test_png_golden_layout():
+    import zlib
+
+    from odns_dataimporter_spark.media import encode_png
+
+    blob = encode_png(bytes(range(16)))  # one row
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: length 13, width 16, height 1, depth 8, color 0
+    assert struct.unpack_from(">I4s", blob, 8) == (13, b"IHDR")
+    assert struct.unpack_from(">IIBBBBB", blob, 16) == (16, 1, 8, 0, 0, 0, 0)
+    # IHDR CRC is the spec CRC32 over type+data
+    (crc,) = struct.unpack_from(">I", blob, 29)
+    assert crc == zlib.crc32(blob[12:29]) & 0xFFFFFFFF
+    assert blob.endswith(
+        struct.pack(">I4sI", 0, b"IEND", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+
+
+def test_png_roundtrip_mixed_filters():
+    from odns_dataimporter_spark.media import decode_png, encode_png
+
+    # >=4 rows so the None/Sub/Up filter cycle repeats
+    payload = bytes((i * 37 + 11) % 256 for i in range(70))
+    w, h, depth, ctype, px_sum = decode_png(encode_png(payload))
+    assert (w, h, depth, ctype) == (16, 5, 8, 0)
+    assert px_sum == sum(payload)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(payload):
+    from odns_dataimporter_spark.media import decode_png, encode_png
+
+    w, h, _, _, px_sum = decode_png(encode_png(payload))
+    assert w == 16
+    assert h == max(1, -(-len(payload) // 16))
+    assert px_sum == sum(payload)
+
+
+def _raw_png(width, height, scanlines):
+    """Hand-build a PNG from pre-filtered scanline bytes."""
+    import zlib
+
+    from odns_dataimporter_spark.media import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_average_and_paeth_filters():
+    from odns_dataimporter_spark.media import decode_png
+
+    # row0 raw [10,20,30,40] via filter 0; row1 = [12,22,32,42] written
+    # with filter 3 (Average: line[i] = cur - (left+up)//2); row2 =
+    # [13,23,33,43] with filter 4 (Paeth).
+    r0 = [10, 20, 30, 40]
+    r1 = [12, 22, 32, 42]
+    r2 = [13, 23, 33, 43]
+    f3 = []
+    for i in range(4):
+        left = r1[i - 1] if i else 0
+        f3.append((r1[i] - ((left + r0[i]) >> 1)) & 0xFF)
+    from odns_dataimporter_spark.media import _paeth
+
+    f4 = []
+    for i in range(4):
+        a = r2[i - 1] if i else 0
+        c = r1[i - 1] if i else 0
+        f4.append((r2[i] - _paeth(a, r1[i], c)) & 0xFF)
+    scan = bytes([0] + r0 + [3] + f3 + [4] + f4)
+    w, h, _, _, px_sum = decode_png(_raw_png(4, 3, scan))
+    assert (w, h) == (4, 3)
+    assert px_sum == sum(r0) + sum(r1) + sum(r2)
+
+
+def test_png_rejects_corruption():
+    import zlib
+
+    from odns_dataimporter_spark.media import decode_png, encode_png
+
+    good = bytearray(encode_png(bytes(range(40))))
+    # flip a byte inside IDAT -> CRC mismatch
+    idat_at = bytes(good).index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # valid CRC but corrupt DEFLATE stream
+    broken = zlib.compress(b"x")[:-2]
+    from odns_dataimporter_spark.media import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 16, 1, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", broken)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT|pixel data"):
+        decode_png(blob)
+    # unsupported layout names the gap
+    rgb_ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    blob = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", rgb_ihdr)
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png(blob)
+
+
+def test_png_truncation_raises_valueerror_at_every_prefix():
+    from odns_dataimporter_spark.media import decode_png, encode_png
+
+    blob = encode_png(bytes(range(40)))
+    for cut in range(len(blob)):
+        try:
+            decode_png(blob[:cut])
+        except ValueError:
+            pass
+        except struct.error as e:  # pragma: no cover
+            pytest.fail(f"struct.error leaked at cut={cut}: {e}")
+        else:
+            pytest.fail(f"prefix of len {cut} decoded successfully")
