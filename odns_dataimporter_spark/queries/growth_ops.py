@@ -1305,3 +1305,163 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_c",
         (F.floor(qini * 1_000_000.0) / 1_000_000.0).alias("qini_q6"),
     )
+
+
+_MSPRT_TAU_MILLI = 50.0  # effect-size prior (milli value units)
+
+
+@register(
+    "events_msprt_sequential",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}'
+                   || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS is_t,
+         CAST(floor(value * 1000.0) AS BIGINT) AS vm
+  FROM events
+),
+sig AS (
+  SELECT (CAST(SUM(vm * vm) AS DOUBLE)
+          - CAST(SUM(vm) AS DOUBLE) * SUM(vm) / COUNT(*)) / COUNT(*)
+           AS var_milli2
+  FROM e
+),
+d AS (
+  SELECT day,
+         CAST(SUM(is_t) AS BIGINT) AS dn_t,
+         CAST(COUNT(*) - SUM(is_t) AS BIGINT) AS dn_c,
+         CAST(SUM(CASE WHEN is_t = 1 THEN vm ELSE 0 END) AS BIGINT) AS ds_t,
+         CAST(SUM(CASE WHEN is_t = 0 THEN vm ELSE 0 END) AS BIGINT) AS ds_c
+  FROM e GROUP BY day
+),
+c AS (
+  SELECT day,
+         CAST(SUM(dn_t) OVER w AS BIGINT) AS n_t,
+         CAST(SUM(dn_c) OVER w AS BIGINT) AS n_c,
+         CAST(SUM(ds_t) OVER w AS BIGINT) AS s_t,
+         CAST(SUM(ds_c) OVER w AS BIGINT) AS s_c
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+x AS (
+  SELECT day, n_t, n_c,
+         CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS delta,
+         var_milli2 * (1.0 / n_t + 1.0 / n_c) AS vn
+  FROM c CROSS JOIN sig
+  WHERE n_t > 0 AND n_c > 0
+),
+l AS (
+  SELECT day, n_t, n_c, delta, vn,
+         0.5 * ln(vn / (vn + {_MSPRT_TAU_MILLI} * {_MSPRT_TAU_MILLI}))
+         + delta * delta * ({_MSPRT_TAU_MILLI} * {_MSPRT_TAU_MILLI})
+           / (2.0 * vn * (vn + {_MSPRT_TAU_MILLI} * {_MSPRT_TAU_MILLI}))
+           AS log_lambda
+  FROM x
+)
+SELECT CAST(day AS VARCHAR) AS day, n_t, n_c,
+       floor(delta * 1000.0) / 1000000.0 AS mean_diff_q6,
+       floor(log_lambda * 1000000.0) / 1000000.0 AS log_lambda_q6,
+       floor(least(1.0, exp(-log_lambda)) * 1000000.0) / 1000000.0
+         AS p_always_valid_q6,
+       least(1.0, exp(-log_lambda)) < 0.05 AS reject_05
+FROM l
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B inference via the mixture SPRT
+    (Johari et al.'s always-valid p-values — the method behind
+    peeking-safe experiment dashboards): for the deterministic hash
+    assignment shared with `events_ab_assignment_srm`, the per-day
+    CUMULATIVE mean difference in event value is scored with the
+    normal-mixture likelihood ratio Λ_n = √(V/(V+τ²)) ·
+    exp(Δ²τ²/(2V(V+τ²))), giving p_n = min(1, 1/Λ_n) that is valid at
+    EVERY interim look (no alpha spending). σ² is the full-data
+    population variance (known-variance formulation, documented), τ
+    a fixed effect-size prior. Per-event values are treated as iid
+    (documented simplification; the per-user variant composes with
+    the CUPED reduction). Shape: one day-level histogram shuffle
+    (map-side combined), a 1-row variance broadcast, one cumulative
+    window over |days| rows — nothing else moves; the identical shape
+    at 100 TB, where the day table is thousands of rows. Determinism:
+    values floor-quantize to integer millis, every cumulative sum is
+    exact int64, and ln/exp enter once per day row with an identical
+    expression tree (floor-q6 outputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_t = (
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_AB_SALT}', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+        )
+        < 50
+    ).cast("int")
+    e = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        is_t.alias("is_t"),
+        F.floor(F.col("value") * 1000.0).cast("long").alias("vm"),
+    )
+    sig = e.agg(
+        (
+            (
+                F.sum(F.col("vm") * F.col("vm")).cast("double")
+                - F.sum("vm").cast("double") * F.sum("vm") / F.count("*")
+            )
+            / F.count("*")
+        ).alias("var_milli2")
+    )
+    d = e.groupBy("day").agg(
+        F.sum("is_t").cast("long").alias("dn_t"),
+        (F.count("*") - F.sum("is_t")).cast("long").alias("dn_c"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("ds_t"),
+        F.sum(F.when(F.col("is_t") == 0, F.col("vm")).otherwise(0))
+        .cast("long")
+        .alias("ds_c"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        F.sum("dn_t").over(wcum).cast("long").alias("n_t"),
+        F.sum("dn_c").over(wcum).cast("long").alias("n_c"),
+        F.sum("ds_t").over(wcum).cast("long").alias("s_t"),
+        F.sum("ds_c").over(wcum).cast("long").alias("s_c"),
+    )
+    tau2 = _MSPRT_TAU_MILLI * _MSPRT_TAU_MILLI
+    x = (
+        c.crossJoin(F.broadcast(sig))
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+        .select(
+            "day",
+            "n_t",
+            "n_c",
+            (
+                F.col("s_t").cast("double") / F.col("n_t")
+                - F.col("s_c").cast("double") / F.col("n_c")
+            ).alias("delta"),
+            (F.col("var_milli2") * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))).alias(
+                "vn"
+            ),
+        )
+    )
+    log_lambda = 0.5 * F.log(F.col("vn") / (F.col("vn") + tau2)) + (
+        F.col("delta") * F.col("delta") * tau2
+    ) / (2.0 * F.col("vn") * (F.col("vn") + tau2))
+    l = x.select("day", "n_t", "n_c", "delta", log_lambda.alias("log_lambda"))
+    p = F.least(F.lit(1.0), F.exp(-F.col("log_lambda")))
+    return l.select(
+        F.col("day").cast("string").alias("day"),
+        "n_t",
+        "n_c",
+        (F.floor(F.col("delta") * 1000.0) / 1_000_000.0).alias("mean_diff_q6"),
+        (F.floor(F.col("log_lambda") * 1_000_000.0) / 1_000_000.0).alias(
+            "log_lambda_q6"
+        ),
+        (F.floor(p * 1_000_000.0) / 1_000_000.0).alias("p_always_valid_q6"),
+        (p < 0.05).alias("reject_05"),
+    )

@@ -2207,3 +2207,159 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mattr_q6"),
     )
+
+
+# --- WordPiece tokenizer application ----------------------------------------
+
+_WP_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_WP_START = ("scan", "spark", "batch", "join", "wind", "qu", "sc", "jo", "st", "ba")
+_WP_CONT = ("an", "in", "dow", "ery", "oin", "atch", "ark", "eam", "umn", "ue")
+# (match_string, length, is_continuation) — the ## in WordPiece
+# notation is vocabulary bookkeeping; matching uses the bare string.
+_WP_VOCAB = (
+    [(c, 1, 0) for c in _WP_LETTERS]
+    + [(c, 1, 1) for c in _WP_LETTERS]
+    + [(p, len(p), 0) for p in _WP_START]
+    + [(p, len(p), 1) for p in _WP_CONT]
+)
+_WP_STEPS = 20  # >= max token length; surplus steps are no-ops
+
+_WP_VOCAB_SQL = "[" + ", ".join(
+    f"{{'p': '{p}', 'l': {l}, 'c': {c}}}" for p, l, c in _WP_VOCAB
+) + "]"
+# NOTE the let-binding through list_transform([...], b -> ...): DuckDB
+# 1.0.0's list_reduce evaluates later struct_pack fields against the
+# ALREADY-UPDATED earlier fields of the same step (minimal repro:
+# acc=(a,log), step a:=a+10, log:=log||acc.a logs post-update a from
+# step 2 on), so `unk` must not re-read acc.pos after `pos :=` — bind
+# the best-match length once from the pre-update cursor instead.
+_WP_BEST_SQL = (
+    f"list_max(list_transform(list_filter({_WP_VOCAB_SQL}, "
+    "v -> v.c = (CASE WHEN acc.pos = 1 THEN 0 ELSE 1 END) "
+    "AND substr(token, acc.pos, v.l) = v.p), v -> v.l))"
+)
+
+
+@register(
+    "tokenizer_wordpiece_encode",
+    oracle=f"""
+WITH vterms AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+),
+seg AS (
+  SELECT token,
+    list_reduce(
+      list_prepend(struct_pack(pos := 1, np := 0, unk := 0),
+        list_transform(range(1, {_WP_STEPS + 1}),
+          x -> struct_pack(pos := 0, np := 0, unk := 0))),
+      (acc, x) -> CASE WHEN acc.pos > len(token) THEN acc ELSE
+        list_transform([{_WP_BEST_SQL}], b ->
+          struct_pack(
+            pos := acc.pos + COALESCE(b, 1),
+            np := acc.np + 1,
+            unk := acc.unk + CASE WHEN b IS NULL
+                                  THEN 1 ELSE 0 END))[1]
+      END) AS st
+  FROM vterms),
+enc AS (SELECT token, CAST(st.np AS BIGINT) AS n_pieces,
+               CAST(st.unk AS BIGINT) AS n_unk,
+               CAST(len(token) AS BIGINT) AS n_chars
+        FROM seg)
+SELECT d.doc_id,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.n_unk) AS BIGINT) AS n_unk,
+       CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+       floor(SUM(e.n_chars) * 1000000.0 / SUM(e.n_pieces)) / 1000000.0
+         AS chars_per_piece_q6
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) d
+JOIN enc e USING (token)
+GROUP BY d.doc_id
+""",
+    tags=("llm", "text", "iterative"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer application (Wu et al. / BERT's greedy
+    longest-match-first segmentation) under a FIXED subword vocabulary
+    with start and ##continuation pieces: per-document piece count,
+    [UNK] fallbacks (one per unmatched character), and the
+    chars-per-piece compression ratio — the BERT-family counterpart
+    to `tokenizer_bpe_encode`'s merge-table application. Segmentation
+    is the real greedy algorithm, run engine-side as a bounded fold
+    (F.aggregate / list_reduce over a fixed step budget, state =
+    (cursor, pieces, unks); each step takes the LONGEST vocab piece
+    matching at the cursor, continuation pieces only off word start) —
+    but only over DISTINCT words, exactly how production tokenization
+    scales: the word table is vocabulary-sized, the corpus side is an
+    explode + broadcast join + one map-side-combined per-doc sum. All
+    counters exact int64; the ratio is one late try_divide (empty-text
+    docs have 0 pieces → NULL on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"), F.lit(l).alias("l"), F.lit(c).alias("c")
+            )
+            for p, l, c in _WP_VOCAB
+        ]
+    )
+
+    def best_len(pos):
+        return F.array_max(
+            F.transform(
+                F.filter(
+                    vocab_arr,
+                    lambda v: (
+                        v["c"] == F.when(pos == 1, 0).otherwise(1)
+                    )
+                    & (F.substring(F.col("token"), pos, v["l"]) == v["p"]),
+                ),
+                lambda v: v["l"],
+            )
+        )
+
+    def step(acc, _x):
+        pos = acc["pos"]
+        b = best_len(pos)
+        return F.when(pos > F.length("token"), acc).otherwise(
+            F.struct(
+                (pos + F.coalesce(b, F.lit(1))).alias("pos"),
+                (acc["np"] + 1).alias("np"),
+                (acc["unk"] + F.when(b.isNull(), 1).otherwise(0)).alias("unk"),
+            )
+        )
+
+    init = F.struct(
+        F.lit(1).alias("pos"), F.lit(0).alias("np"), F.lit(0).alias("unk")
+    )
+    vterms = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .select(
+            "token",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_WP_STEPS)), init, step
+            ).alias("st"),
+        )
+    )
+    enc = vterms.select(
+        "token",
+        F.col("st.np").cast("long").alias("n_pieces"),
+        F.col("st.unk").cast("long").alias("n_unk"),
+        F.length("token").cast("long").alias("n_chars"),
+    )
+    d = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        d.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            (
+                F.floor(
+                    F.try_divide(F.sum("n_chars") * 1_000_000.0, F.sum("n_pieces"))
+                )
+                / 1_000_000.0
+            ).alias("chars_per_piece_q6"),
+        )
+    )

@@ -520,3 +520,88 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio_q6"),
         )
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)
+                  * CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS svv
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_h,
+         sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n_h) / n_h)
+           / 1000.0 AS sigma_h,
+         CAST(floor(n_h * (sqrt((CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * sv / n_h) / n_h) / 1000.0)
+                 * 1000000.0) AS BIGINT) AS w_micro
+  FROM s
+),
+t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+SELECT event_type, n_h,
+       floor(sigma_h * 1000000.0) / 1000000.0 AS sigma_q6,
+       CAST(floor(500.0 * w_micro / w_total) AS BIGINT) AS alloc_h,
+       floor(CAST(floor(500.0 * w_micro / w_total) AS BIGINT)
+             * 1000000.0 / n_h) / 1000000.0 AS rate_q6
+FROM w CROSS JOIN t
+""",
+    tags=("llm", "sampling", "stats"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): for a
+    total budget of 500 rows, each stratum (event_type) gets
+    n·(N_h·σ_h)/Σ(N_h·σ_h) — the allocation that minimizes the variance
+    of the stratified mean estimator, the principled upgrade of
+    proportional allocation when strata dispersions differ (the exact
+    lever a 100 TB curation pipeline uses to spend its labeling/eval
+    budget where the data is noisy, not just where it is big).
+    Scale shape: ONE map-side-combined groupBy over events computing
+    exact int64 moment sums of milli-quantized values, a 1-row
+    broadcast total, zero other movement — identical at any corpus
+    size (strata table is event-type-sized). Determinism: σ_h comes
+    from integer moments (one sqrt per stratum, identical IEEE tree);
+    the cross-stratum weight total is summed as floor-quantized int64
+    micros (order-independent) rather than doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000.0).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(vm).cast("long").alias("sv"),
+        F.sum(vm * vm).cast("long").alias("svv"),
+    )
+    sigma = (
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n_h")
+            )
+            / F.col("n_h")
+        )
+        / 1000.0
+    )
+    w = s.select(
+        "event_type",
+        "n_h",
+        sigma.alias("sigma_h"),
+        F.floor(F.col("n_h") * sigma * 1_000_000.0)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    t = w.agg(F.sum("w_micro").cast("long").alias("w_total"))
+    alloc = F.floor(500.0 * F.col("w_micro") / F.col("w_total")).cast("long")
+    return w.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_h",
+        (F.floor(F.col("sigma_h") * 1_000_000.0) / 1_000_000.0).alias(
+            "sigma_q6"
+        ),
+        alloc.alias("alloc_h"),
+        (F.floor(alloc * 1_000_000.0 / F.col("n_h")) / 1_000_000.0).alias(
+            "rate_q6"
+        ),
+    )

@@ -573,6 +573,11 @@ _BNLJ_ALLOWED = {
     # the nested loop is over exactly one row; the real join below it
     # is a BroadcastHashJoin (plan-pinned in test_bloom_prefilter_shape)
     "join_bloom_prefilter",
+    # round 7: 1-row corpus-stats broadcast (the text_bm25_topk shape)
+    "ml_ndcg_at_k",
+    "ml_mrr_recall_at_k",
+    # round 7: 1-row full-data variance broadcast into the |days| table
+    "events_msprt_sequential",
 }
 
 
