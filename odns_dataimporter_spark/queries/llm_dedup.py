@@ -1453,3 +1453,109 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_q6"
         ),
     )
+
+
+_CCNET_CHUNK = 12  # tokens per pseudo-paragraph
+
+
+@register(
+    "dedup_paragraph_ccnet",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_CCNET_CHUNK} AS BIGINT) AS chunk_idx,
+         array_to_string(toks[s:s + {_CCNET_CHUNK} - 1], ' ') AS chunk_text
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, {_CCNET_CHUNK})) AS s
+        FROM t)
+),
+k AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         CAST(row_number() OVER (PARTITION BY md5(chunk_text)
+                                 ORDER BY doc_id, chunk_idx) AS BIGINT)
+           AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000000.0
+             / COUNT(*)) / 1000000.0 AS kept_ratio_q6,
+       md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                      ORDER BY chunk_idx)) AS kept_digest
+FROM k GROUP BY doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document deduplication (Wenzek et al. 2020):
+    split every document into fixed {_CCNET_CHUNK}-token
+    pseudo-paragraphs (the corpus has no newline structure — real
+    paragraph splits swap in transparently), hash each, keep only the
+    GLOBALLY FIRST occurrence of every distinct paragraph (ordered by
+    doc_id, position), and re-emit per-document survival stats plus a
+    digest of the surviving text — removing boilerplate repeated
+    across pages without dropping whole documents, which is exactly
+    how CCNet cleans Common Crawl before exact/minhash doc-level
+    dedup. Scale shape: one explode (no extra scan), ONE shuffle keyed
+    by paragraph hash for the first-occurrence window, one
+    map-side-combined regroup per doc; at 100 TB this is the same
+    single content-keyed shuffle as `dedup_exact_doc`, just at
+    paragraph grain. Determinism: the keep rule is a total order
+    (doc_id, chunk_idx); ratios floor-quantize; a fully-deduped doc
+    (zero survivors) yields NULL digest on both engines (string_agg /
+    collect_list both skip the non-kept rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    c = t.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_CCNET_CHUNK))
+        ).alias("chunk_idx", "s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("s"), F.lit(_CCNET_CHUNK))
+        ).alias("chunk_text"),
+    )
+    k = c.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.row_number()
+        .over(
+            W.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+        )
+        .cast("long")
+        .alias("rn"),
+    )
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    agg = k.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        (F.floor(F.col("n_kept") * 1_000_000.0 / F.col("n_chunks")) / 1_000_000.0).alias(
+            "kept_ratio_q6"
+        ),
+        F.when(
+            F.size("kept") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("kept"), lambda x: x["chunk_text"]),
+                    " ",
+                )
+            ),
+        ).alias("kept_digest"),
+    )

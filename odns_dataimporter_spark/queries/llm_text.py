@@ -2363,3 +2363,112 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_piece_q6"),
         )
     )
+
+
+_READ_SENT = 15  # pseudo-sentence length in words (corpus has no punctuation)
+
+
+@register(
+    "text_readability_smog",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w ->
+              greatest(1, len(string_split_regex(w, '[aeiouy]+')) - 1)))
+           AS BIGINT) AS n_syllables,
+         CAST(list_sum(list_transform(toks, w ->
+              CASE WHEN len(string_split_regex(w, '[aeiouy]+')) - 1 >= 3
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS n_poly,
+         CAST(ceil(len(toks) * 1.0 / {_READ_SENT}) AS BIGINT) AS n_sent
+  FROM t
+)
+SELECT doc_id, n_words, n_syllables, n_poly, n_sent,
+       floor((CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sent)
+              + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+              - CAST(15.59 AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS fk_grade_q6,
+       floor((CAST(1.043 AS DOUBLE)
+              * sqrt(CAST(n_poly AS DOUBLE) * 30.0 / n_sent)
+              + CAST(3.1291 AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS smog_q6
+FROM s
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_readability_smog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring for corpus curation: Flesch–Kincaid grade
+    (0.39·words/sentence + 11.8·syllables/word − 15.59) and SMOG index
+    (1.043·√(polysyllables·30/sentences) + 3.1291) per document —
+    standard quality-filter features for training-data selection
+    (alongside `text_quality_score`'s length/stopword heuristics).
+    Syllables are vowel-group counts (runs of [aeiouy], min 1 per
+    word) and sentences are fixed {_READ_SENT}-word spans, the
+    documented adaptation for this punctuation-free corpus; with real
+    prose, swap the two regexes. Scale shape: ZERO shuffle — every
+    statistic is an array higher-order-function fold inside the row
+    (whole-stage codegen, no explode, no Python), so 100 TB cost is
+    exactly one column-pruned scan. Determinism: integer counts
+    folded in-row (exact), one sqrt/div layer with identical IEEE
+    trees, non-binary-exact constants CAST to DOUBLE on the DuckDB
+    side (bare literals parse as DECIMAL there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def groups(w):
+        return F.size(F.split(w, "[aeiouy]+")) - 1
+
+    s = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, w: a + F.greatest(F.lit(1), groups(w)),
+        )
+        .cast("long")
+        .alias("n_syllables"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, w: a + F.when(groups(w) >= 3, 1).otherwise(0),
+        )
+        .cast("long")
+        .alias("n_poly"),
+        F.ceil(F.size(toks) * 1.0 / _READ_SENT).cast("long").alias("n_sent"),
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_poly",
+        "n_sent",
+        (
+            F.floor(
+                (
+                    0.39 * (F.col("n_words").cast("double") / F.col("n_sent"))
+                    + 11.8
+                    * (F.col("n_syllables").cast("double") / F.col("n_words"))
+                    - 15.59
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("fk_grade_q6"),
+        (
+            F.floor(
+                (
+                    1.043
+                    * F.sqrt(
+                        F.col("n_poly").cast("double") * 30.0 / F.col("n_sent")
+                    )
+                    + 3.1291
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("smog_q6"),
+    )

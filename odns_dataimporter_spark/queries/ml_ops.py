@@ -1950,3 +1950,136 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("iv_q6"),
     )
+
+
+@register(
+    "ml_feature_selection_mi",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         unnest([
+           struct_pack(f := 'qty_bin',
+             v := CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)),
+           struct_pack(f := 'disc_bin',
+             v := CAST(CAST(floor(round(l_discount * 100) / 2) AS BIGINT)
+                       AS VARCHAR)),
+           struct_pack(f := 'tax_bin',
+             v := CAST(CAST(floor(round(l_tax * 100) / 2) AS BIGINT)
+                       AS VARCHAR)),
+           struct_pack(f := 'status', v := l_linestatus)
+         ]) AS fv
+  FROM lineitem
+),
+cells AS (
+  SELECT fv.f AS feature, fv.v AS val, y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT feature, val, y, n,
+         CAST(SUM(n) OVER (PARTITION BY feature, val) AS BIGINT) AS n_val,
+         CAST(SUM(n) OVER (PARTITION BY feature, y) AS BIGINT) AS n_y,
+         CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot
+  FROM cells
+),
+terms AS (
+  SELECT feature,
+         CAST(floor((CAST(n AS DOUBLE) / n_tot)
+              * ln((CAST(n AS DOUBLE) * n_tot)
+                   / (CAST(n_val AS DOUBLE) * n_y))
+              * 1000000000.0) AS BIGINT) AS t_nano
+  FROM m
+)
+SELECT feature,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(t_nano) AS BIGINT) / 1000000000.0 AS mi_q9,
+       CAST(rank() OVER (ORDER BY SUM(t_nano) DESC, feature) AS BIGINT)
+         AS mi_rank
+FROM terms GROUP BY feature
+""",
+    tags=("ml", "stats"),
+)
+def ml_feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-method feature selection by mutual information: for each
+    candidate feature (binned quantity, binned discount, binned tax,
+    line status) against the returned-flag label, MI(F;Y) =
+    Σ p(f,y)·ln(p(f,y)/(p(f)p(y))) over the contingency cells, ranked
+    descending — the standard screening pass before training a
+    classifier on wide tabular data (what `ml_woe_iv` does for binary
+    evidence weights, generalized to arbitrary-arity features).
+    Scale shape: one unpivot explode (4× map-side fan-out, no extra
+    scan) into ONE (feature, val, y) groupBy shuffle; marginals come
+    from windows over the already-tiny cell table (≤ dozens of rows
+    regardless of corpus size), so the 100 TB cost is exactly one
+    map-side-combined aggregation pass. Determinism: every probability
+    is a ratio of exact int64 counts (products computed in doubles —
+    exact under 2^53 and overflow-free), each cell's ln term enters
+    once with an identical IEEE tree, and the cross-cell MI sum is
+    floor-quantized int64 nanos, so engine sum order cannot matter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    fv = F.array(
+        F.struct(
+            F.lit("qty_bin").alias("f"),
+            F.floor(F.col("l_quantity") / 10)
+            .cast("long")
+            .cast("string")
+            .alias("v"),
+        ),
+        F.struct(
+            F.lit("disc_bin").alias("f"),
+            F.floor(F.round(F.col("l_discount") * 100) / 2)
+            .cast("long")
+            .cast("string")
+            .alias("v"),
+        ),
+        F.struct(
+            F.lit("tax_bin").alias("f"),
+            F.floor(F.round(F.col("l_tax") * 100) / 2)
+            .cast("long")
+            .cast("string")
+            .alias("v"),
+        ),
+        F.struct(
+            F.lit("status").alias("f"), F.col("l_linestatus").alias("v")
+        ),
+    )
+    base = li.select(y.alias("y"), F.explode(fv).alias("fv"))
+    cells = base.groupBy(
+        F.col("fv.f").alias("feature"), F.col("fv.v").alias("val"), "y"
+    ).agg(F.count("*").cast("long").alias("n"))
+    m = cells.select(
+        "feature",
+        "n",
+        F.sum("n")
+        .over(W.partitionBy("feature", "val"))
+        .cast("long")
+        .alias("n_val"),
+        F.sum("n")
+        .over(W.partitionBy("feature", "y"))
+        .cast("long")
+        .alias("n_y"),
+        F.sum("n").over(W.partitionBy("feature")).cast("long").alias("n_tot"),
+    )
+    t_nano = F.floor(
+        (F.col("n").cast("double") / F.col("n_tot"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("n_tot"))
+            / (F.col("n_val").cast("double") * F.col("n_y"))
+        )
+        * 1_000_000_000.0
+    ).cast("long")
+    terms = m.select("feature", t_nano.alias("t_nano"))
+    agg = terms.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("t_nano").cast("long").alias("s_nano"),
+    )
+    return agg.select(
+        "feature",
+        "n_cells",
+        (F.col("s_nano") / 1_000_000_000.0).alias("mi_q9"),
+        F.rank()
+        .over(W.orderBy(F.col("s_nano").desc(), "feature"))
+        .cast("long")
+        .alias("mi_rank"),
+    )

@@ -1517,3 +1517,270 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("resid_q6"),
     )
+
+
+# Kalman noise constants (milli-value^2 units) — binary-exact doubles.
+_KAL_Q = 10000.0  # process variance per step
+_KAL_R = 1000000.0  # observation variance
+_KAL_P0 = 1000000000.0  # diffuse prior variance
+
+
+@register(
+    "ts_kalman_1d",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(day AS VARCHAR) AS day,
+         CAST(sv AS DOUBLE) / n AS z,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+  FROM (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sv,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1)
+),
+f AS (
+  SELECT rn, day, z,
+         CAST(0 AS DOUBLE)
+           + (({_KAL_P0} + {_KAL_Q}) / (({_KAL_P0} + {_KAL_Q}) + {_KAL_R}))
+             * (z - CAST(0 AS DOUBLE)) AS x,
+         (1.0 - ({_KAL_P0} + {_KAL_Q}) / (({_KAL_P0} + {_KAL_Q}) + {_KAL_R}))
+             * ({_KAL_P0} + {_KAL_Q}) AS p,
+         ({_KAL_P0} + {_KAL_Q}) / (({_KAL_P0} + {_KAL_Q}) + {_KAL_R}) AS k
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.z,
+         f.x + ((f.p + {_KAL_Q}) / ((f.p + {_KAL_Q}) + {_KAL_R}))
+             * (d.z - f.x),
+         (1.0 - (f.p + {_KAL_Q}) / ((f.p + {_KAL_Q}) + {_KAL_R}))
+             * (f.p + {_KAL_Q}),
+         (f.p + {_KAL_Q}) / ((f.p + {_KAL_Q}) + {_KAL_R})
+  FROM f JOIN d ON d.rn = f.rn + 1
+)
+SELECT day,
+       CAST(floor(z * 1000.0) AS BIGINT) / 1000000.0 AS z_q6,
+       CAST(floor(x * 1000.0) AS BIGINT) / 1000000.0 AS x_filt_q6,
+       CAST(floor(k * 1000000.0) AS BIGINT) / 1000000.0 AS gain_q6,
+       CAST(floor(p) AS BIGINT) AS p_milli2
+FROM f
+""",
+    tags=("analytics", "timeseries", "iterative"),
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model)
+    over the daily mean event value: per day, predict (P += Q), gain
+    K = P/(P+R), update x += K·(z−x), P *= (1−K) — the optimal online
+    smoother for a drifting level under Gaussian noise, and the
+    state-space counterpart of `ts_ewma_dyadic` (whose fixed smoothing
+    weight the Kalman gain generalizes adaptively: the gain starts
+    near 1 under the diffuse prior and settles to the steady-state
+    ratio). Emits the full filtered trajectory (estimate, gain,
+    posterior variance per day). Scale shape: ONE map-side-combined
+    shuffle to the daily table (tiny at any corpus size), which then
+    collapses to a single array row; the fold runs inside one
+    whole-stage-codegen row with state never leaving it — identical
+    at 100 TB. Determinism: observations are exact int64 milli-sums
+    divided once; Q/R/P0 are binary-exact literals; update expressions
+    are repeated verbatim (never read through a just-reassigned
+    accumulator field — the DuckDB list_reduce same-step-update quirk)
+    so both engines walk identical IEEE trees; trajectory outputs are
+    floor-quantized at append time."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long"))
+        .cast("long")
+        .alias("sv"),
+        F.count("*").cast("long").alias("n"),
+    )
+    pts = d.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day").cast("string").alias("day"),
+                    (F.col("sv").cast("double") / F.col("n")).alias("z"),
+                )
+            )
+        ).alias("pts")
+    )
+    out_t = (
+        "array<struct<day:string,zq:bigint,xq:bigint,kq:bigint,pq:bigint>>"
+    )
+    init = F.struct(
+        F.lit(0.0).alias("x"),
+        F.lit(_KAL_P0).alias("p"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, pt):
+        pp = acc["p"] + _KAL_Q
+        k = pp / (pp + _KAL_R)
+        x_new = acc["x"] + k * (pt["z"] - acc["x"])
+        p_new = (1.0 - k) * pp
+        return F.struct(
+            x_new.alias("x"),
+            p_new.alias("p"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        pt["day"].alias("day"),
+                        F.floor(pt["z"] * 1000.0).cast("long").alias("zq"),
+                        F.floor(x_new * 1000.0).cast("long").alias("xq"),
+                        F.floor(k * 1_000_000.0).cast("long").alias("kq"),
+                        F.floor(p_new).cast("long").alias("pq"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    fin = pts.select(F.aggregate("pts", init, step).alias("st"))
+    o = fin.select(F.explode(F.col("st.out")).alias("o"))
+    return o.select(
+        F.col("o.day").alias("day"),
+        (F.col("o.zq") / 1_000_000.0).alias("z_q6"),
+        (F.col("o.xq") / 1_000_000.0).alias("x_filt_q6"),
+        (F.col("o.kq") / 1_000_000.0).alias("gain_q6"),
+        F.col("o.pq").alias("p_milli2"),
+    )
+
+
+_SAX_W = 8  # PAA segments per series
+# Gaussian breakpoints for a 4-letter alphabet (Lin et al. 2003)
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "ts_sax_symbols",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, day, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS s1,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS nd,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, nd,
+         CAST(floor(((y - CAST(s1 AS DOUBLE) / nd)
+              / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+                     / nd)) * 1000000.0) AS BIGINT) AS zq,
+         CAST(floor((rn - 1) * {_SAX_W} * 1.0 / nd) AS BIGINT) AS seg
+  FROM m
+  WHERE nd * s2 > s1 * s1
+),
+paa AS (
+  SELECT event_type, seg,
+         CAST(COUNT(*) AS BIGINT) AS n_in_seg,
+         CAST(SUM(zq) AS DOUBLE) / COUNT(*) / 1000000.0 AS paa
+  FROM z GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, seg, n_in_seg, paa,
+         CASE WHEN paa < CAST({_SAX_BP[0]} AS DOUBLE) THEN 'a'
+              WHEN paa < CAST({_SAX_BP[1]} AS DOUBLE) THEN 'b'
+              WHEN paa < CAST({_SAX_BP[2]} AS DOUBLE) THEN 'c'
+              ELSE 'd' END AS symbol
+  FROM paa
+),
+words AS (
+  SELECT event_type, string_agg(symbol, '' ORDER BY seg) AS sax_word
+  FROM sym GROUP BY event_type
+)
+SELECT s.event_type, s.seg, s.n_in_seg,
+       floor(s.paa * 1000000.0) / 1000000.0 AS paa_q6,
+       s.symbol, w.sax_word
+FROM sym s JOIN words w USING (event_type)
+""",
+    tags=("analytics", "timeseries"),
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic approximation (Lin/Keogh et al. 2003) of each
+    event-type's daily-count series: z-normalize, Piecewise Aggregate
+    Approximation into {_SAX_W} equal segments, then map each segment
+    mean onto a 4-letter alphabet through the standard Gaussian
+    breakpoints (±0.6745, 0) — turning every series into a short
+    symbolic word usable for motif mining, indexing, and cheap
+    similarity (the preprocessing step behind HOT-SAX / iSAX at scale,
+    where 100 TB of raw series become kilobytes of words). Scale
+    shape: one map-side-combined (type, day) shuffle, one window pass
+    per type for exact int64 moments (series tables are tiny), one
+    (type, segment) regroup; nothing corpus-sized moves twice.
+    Determinism: z-scores come from exact integer moments and are
+    floor-quantized to int64 micros BEFORE the cross-day segment sum
+    (order-independent), one sqrt per type with an identical IEEE
+    tree, breakpoints cast to DOUBLE explicitly (DuckDB parses bare
+    decimal literals as DECIMAL)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    wfull = W.partitionBy("event_type")
+    worder = W.partitionBy("event_type").orderBy("day")
+    m = d.select(
+        "event_type",
+        "y",
+        F.sum("y").over(wfull).cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(wfull).cast("long").alias("s2"),
+        F.count("*").over(wfull).cast("long").alias("nd"),
+        F.row_number().over(worder).cast("long").alias("rn"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd")
+    std = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("nd")
+        )
+        / F.col("nd")
+    )
+    z = m.filter(
+        F.col("nd") * F.col("s2") > F.col("s1") * F.col("s1")
+    ).select(
+        "event_type",
+        F.floor((F.col("y") - mean) / std * 1_000_000.0)
+        .cast("long")
+        .alias("zq"),
+        F.floor((F.col("rn") - 1) * _SAX_W * 1.0 / F.col("nd"))
+        .cast("long")
+        .alias("seg"),
+    )
+    paa = z.groupBy("event_type", "seg").agg(
+        F.count("*").cast("long").alias("n_in_seg"),
+        (F.sum("zq").cast("double") / F.count("*") / 1_000_000.0).alias(
+            "paa"
+        ),
+    )
+    sym = paa.select(
+        "event_type",
+        "seg",
+        "n_in_seg",
+        "paa",
+        F.when(F.col("paa") < _SAX_BP[0], "a")
+        .when(F.col("paa") < _SAX_BP[1], "b")
+        .when(F.col("paa") < _SAX_BP[2], "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+    words = sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "symbol"))),
+                lambda x: x["symbol"],
+            ),
+            "",
+        ).alias("sax_word")
+    )
+    return sym.join(F.broadcast(words), "event_type").select(
+        "event_type",
+        "seg",
+        "n_in_seg",
+        (F.floor(F.col("paa") * 1_000_000.0) / 1_000_000.0).alias("paa_q6"),
+        "symbol",
+        "sax_word",
+    )
