@@ -1948,3 +1948,179 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("distortion_q6"),
     )
+
+
+_PCA2_MV2 = "list_transform(m2.mm2, row -> list_dot_product(row, v))"
+
+
+@register(
+    "embed_pca_topk",
+    oracle=f"""
+WITH RECURSIVE
+{_PCA_COV_SQL},
+pow1(k, v) AS (
+  SELECT 0, list_transform(range(1, {_COV_DIM} + 1), x -> CAST(1.0 AS DOUBLE))
+  UNION ALL
+  SELECT k + 1,
+         list_transform({_PCA_MATVEC},
+           x -> x / sqrt(list_dot_product({_PCA_MATVEC}, {_PCA_MATVEC})))
+  FROM pow1, mat WHERE k < {_PCA_ITERS}
+),
+f1 AS (SELECT v AS v1 FROM pow1 WHERE k = {_PCA_ITERS}),
+l1 AS (
+  SELECT list_dot_product(v1,
+           list_transform(mat.mm, row -> list_dot_product(row, v1))) AS lam1
+  FROM f1, mat
+),
+m2 AS (
+  SELECT list_transform(range(1, {_COV_DIM} + 1), i ->
+           list_transform(range(1, {_COV_DIM} + 1), j ->
+             list_extract(list_extract(mat.mm, i), j)
+             - lam1 * list_extract(v1, i) * list_extract(v1, j))) AS mm2
+  FROM mat, f1, l1
+),
+pow2(k, v) AS (
+  SELECT 0, list_transform(range(1, {_COV_DIM} + 1), x -> CAST(1.0 AS DOUBLE))
+  UNION ALL
+  SELECT k + 1,
+         list_transform({_PCA2_MV2},
+           x -> x / sqrt(list_dot_product({_PCA2_MV2}, {_PCA2_MV2})))
+  FROM pow2, m2 WHERE k < {_PCA_ITERS}
+),
+f2 AS (SELECT v AS v2 FROM pow2 WHERE k = {_PCA_ITERS}),
+l2 AS (
+  SELECT list_dot_product(v2,
+           list_transform(mat.mm, row -> list_dot_product(row, v2))) AS lam2
+  FROM f2, mat
+)
+SELECT CAST(1 AS BIGINT) AS component, CAST(gs.i - 1 AS BIGINT) AS dim,
+       floor(list_extract(v1, gs.i) * 1000000.0) / 1000000.0 AS loading_q6,
+       floor(lam1 * 1000000000.0) / 1000000000.0 AS eigenvalue_q9
+FROM f1, l1, generate_series(1, {_COV_DIM}) gs(i)
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(gs.i - 1 AS BIGINT),
+       floor(list_extract(v2, gs.i) * 1000000.0) / 1000000.0,
+       floor(lam2 * 1000000000.0) / 1000000000.0
+FROM f2, l2, generate_series(1, {_COV_DIM}) gs(i)
+""",
+    tags=("llm", "embedding", "iterative"),
+)
+def embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via power iteration WITH Hotelling
+    deflation: find v1 on the covariance matrix (the
+    `embed_pca_power` fold), then iterate again on
+    C' = C − λ1·v1·v1ᵀ so the dominant direction is annihilated and
+    the second component emerges — the textbook sequential-PCA step
+    that turns the one-vector power method into a top-k factorizer
+    (whitening, drift axes, 2-D corpus maps all want ≥2 components).
+    Scale shape: identical to embed_pca_power — the corpus collapses
+    once to d² exact-integer covariance cells; both 12-step folds and
+    the d² deflation are single-row array math that never re-touch
+    the corpus, so the 100 TB cost is one map-side-combined pass.
+    Determinism: fixed iteration counts, all-ones starts (sign-fixing),
+    matvec/norm/deflation expressions let-bound once per step with
+    the same IEEE trees on both engines; eigenvalues are Rayleigh
+    quotients against the ORIGINAL matrix (λ2 exact because v2 ⊥ v1
+    up to convergence, floor-q9 absorbs the residual)."""
+    fc = _cov_cells(spark, sf_dir)
+    rows = (
+        fc.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("p"))
+        .select("i", F.transform("p", lambda x: x["cov"]).alias("rw"))
+    )
+    mat = (
+        rows.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "rw"))).alias("pp"))
+        .select(F.transform("pp", lambda x: x["rw"]).alias("mm"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    def let(val, body):
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def fold(matcol):
+        def step(acc, _):
+            return let(
+                F.transform(matcol, lambda row: dot(row, acc)),
+                lambda w: let(
+                    F.sqrt(dot(w, w)),
+                    lambda nrm: F.transform(
+                        w, lambda x: F.try_divide(x, nrm)
+                    ),
+                ),
+            )
+
+        return F.aggregate(
+            F.array_repeat(F.lit(0), _PCA_ITERS),
+            F.array_repeat(F.lit(1.0), _COV_DIM),
+            step,
+        )
+
+    mm = F.col("mm")
+    r = let(
+        fold(mm),
+        lambda v1: let(
+            dot(v1, F.transform(mm, lambda row: dot(row, v1))),
+            lambda lam1: let(
+                F.transform(
+                    mm,
+                    lambda row, i: F.transform(
+                        row,
+                        lambda x, j: x
+                        - lam1
+                        * F.element_at(v1, i + 1)
+                        * F.element_at(v1, j + 1),
+                    ),
+                ),
+                lambda mm2: let(
+                    fold(mm2),
+                    lambda v2: F.struct(
+                        v1.alias("v1"),
+                        lam1.alias("lam1"),
+                        v2.alias("v2"),
+                        dot(
+                            v2, F.transform(mm, lambda row: dot(row, v2))
+                        ).alias("lam2"),
+                    ),
+                ),
+            ),
+        ),
+    )
+    df1 = mat.select(r.alias("r"))
+    df2 = df1.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("component"),
+                    F.col("r.v1").alias("v"),
+                    F.col("r.lam1").alias("eig"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("component"),
+                    F.col("r.v2").alias("v"),
+                    F.col("r.lam2").alias("eig"),
+                ),
+            )
+        ).alias("c")
+    )
+    df3 = df2.select(
+        F.col("c.component").alias("component"),
+        F.posexplode(F.col("c.v")).alias("dim0", "loading"),
+        F.col("c.eig").alias("eig"),
+    )
+    return df3.select(
+        "component",
+        F.col("dim0").cast("long").alias("dim"),
+        (F.floor(F.col("loading") * 1_000_000.0) / 1_000_000.0).alias(
+            "loading_q6"
+        ),
+        (F.floor(F.col("eig") * 1_000_000_000.0) / 1_000_000_000.0).alias(
+            "eigenvalue_q9"
+        ),
+    )

@@ -2083,3 +2083,384 @@ def ml_feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mi_rank"),
     )
+
+
+_GBM_ETA = 0.5  # learning rate (binary-exact)
+
+
+@register(
+    "ml_gbm_residual_step",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qv,
+         CAST(round(l_discount * 100) AS BIGINT) AS dv,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)
+                  * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS s2
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(s2) AS BIGINT) AS ss2
+  FROM cells
+),
+qm AS (
+  SELECT qv, CAST(SUM(n) AS BIGINT) AS nq, CAST(SUM(s) AS BIGINT) AS sq,
+         CAST(SUM(s2) AS BIGINT) AS s2q
+  FROM cells GROUP BY qv
+),
+qp AS (
+  SELECT qv,
+         CAST(SUM(nq) OVER w AS BIGINT) AS nl,
+         CAST(SUM(sq) OVER w AS BIGINT) AS sl,
+         CAST(SUM(s2q) OVER w AS BIGINT) AS s2l
+  FROM qm WINDOW w AS (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+),
+best1 AS (
+  SELECT min([-(CAST(sl AS DOUBLE) * sl / nl
+                + CAST(ss - sl AS DOUBLE) * (ss - sl) / (nn - nl)),
+              CAST(qv AS DOUBLE)])[2] AS t1
+  FROM qp, tot WHERE nn - nl > 0
+),
+st1 AS (
+  SELECT t1, nn, ss, ss2, nl, sl, s2l,
+         CAST(ss AS DOUBLE) / nn AS m0,
+         {_GBM_ETA} * (CAST(sl AS DOUBLE) / nl - CAST(ss AS DOUBLE) / nn)
+           AS cl,
+         {_GBM_ETA} * (CAST(ss - sl AS DOUBLE) / (nn - nl)
+                       - CAST(ss AS DOUBLE) / nn) AS cr
+  FROM qp JOIN best1 ON CAST(qp.qv AS DOUBLE) = best1.t1
+  CROSS JOIN tot
+),
+rc AS (
+  SELECT c.dv, c.n, c.s, c.s2,
+         CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+              THEN st1.m0 + st1.cl ELSE st1.m0 + st1.cr END AS p1
+  FROM cells c CROSS JOIN st1
+),
+dm AS (
+  SELECT dv, CAST(SUM(n) AS BIGINT) AS nd,
+         CAST(SUM(CAST(floor((CAST(s AS DOUBLE) - n * p1) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS rd
+  FROM rc GROUP BY dv
+),
+dp AS (
+  SELECT dv,
+         CAST(SUM(nd) OVER w AS BIGINT) AS nl2,
+         CAST(SUM(rd) OVER w AS BIGINT) AS rl2
+  FROM dm WINDOW w AS (ORDER BY dv ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+),
+dtot AS (SELECT CAST(SUM(nd) AS BIGINT) AS nn2,
+                CAST(SUM(rd) AS BIGINT) AS rr FROM dm),
+best2 AS (
+  SELECT min([-(CAST(rl2 AS DOUBLE) * rl2 / nl2
+                + CAST(rr - rl2 AS DOUBLE) * (rr - rl2) / (nn2 - nl2)),
+              CAST(dv AS DOUBLE)])[2] AS t2
+  FROM dp, dtot WHERE nn2 - nl2 > 0
+),
+st2 AS (
+  SELECT t2, nl2, rl2, nn2, rr,
+         {_GBM_ETA} * (CAST(rl2 AS DOUBLE) / 1000000.0 / nl2) AS c2l,
+         {_GBM_ETA} * (CAST(rr - rl2 AS DOUBLE) / 1000000.0 / (nn2 - nl2))
+           AS c2r
+  FROM dp JOIN best2 ON CAST(dp.dv AS DOUBLE) = best2.t2
+  CROSS JOIN dtot
+),
+sse AS (
+  SELECT
+    CAST(st1.ss2 AS DOUBLE) - CAST(st1.ss AS DOUBLE) * st1.ss / st1.nn
+      AS sse0,
+    (SELECT CAST(SUM(CAST(floor((c.s2
+         - 2.0 * (CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                       THEN st1.m0 + st1.cl
+                       ELSE st1.m0 + st1.cr END) * c.s
+         + c.n * (CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                       THEN st1.m0 + st1.cl
+                       ELSE st1.m0 + st1.cr END)
+                * (CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                        THEN st1.m0 + st1.cl
+                        ELSE st1.m0 + st1.cr END)) * 1000.0) AS BIGINT))
+       AS BIGINT) / 1000.0
+     FROM cells c) AS sse1,
+    (SELECT CAST(SUM(CAST(floor((c.s2
+         - 2.0 * ((CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                        THEN st1.m0 + st1.cl
+                        ELSE st1.m0 + st1.cr END)
+                  + (CASE WHEN c.dv <= CAST(st2.t2 AS BIGINT)
+                          THEN st2.c2l ELSE st2.c2r END)) * c.s
+         + c.n * ((CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                        THEN st1.m0 + st1.cl
+                        ELSE st1.m0 + st1.cr END)
+                  + (CASE WHEN c.dv <= CAST(st2.t2 AS BIGINT)
+                          THEN st2.c2l ELSE st2.c2r END))
+                * ((CASE WHEN c.qv <= CAST(st1.t1 AS BIGINT)
+                         THEN st1.m0 + st1.cl
+                         ELSE st1.m0 + st1.cr END)
+                   + (CASE WHEN c.dv <= CAST(st2.t2 AS BIGINT)
+                           THEN st2.c2l ELSE st2.c2r END))) * 1000.0)
+       AS BIGINT)) AS BIGINT) / 1000.0
+     FROM cells c, st2) AS sse2
+  FROM st1
+)
+SELECT CAST(1 AS BIGINT) AS round,
+       'l_quantity' AS feature,
+       CAST(st1.t1 AS BIGINT) AS threshold,
+       st1.nl AS n_left, CAST(st1.nn - st1.nl AS BIGINT) AS n_right,
+       floor(st1.cl * 1000000.0) / 1000000.0 AS corr_left_q6,
+       floor(st1.cr * 1000000.0) / 1000000.0 AS corr_right_q6,
+       floor(sse.sse1 / sse.sse0 * 1000000.0) / 1000000.0 AS sse_ratio_q6
+FROM st1, sse
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'l_discount_pct', CAST(st2.t2 AS BIGINT),
+       st2.nl2, CAST(st2.nn2 - st2.nl2 AS BIGINT),
+       floor(st2.c2l * 1000000.0) / 1000000.0,
+       floor(st2.c2r * 1000000.0) / 1000000.0,
+       floor(sse.sse2 / sse.sse1 * 1000000.0) / 1000000.0
+FROM st2, sse
+""",
+    tags=("ml", "iterative"),
+)
+def ml_gbm_residual_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with depth-1 trees (stumps) on
+    the lineitem price target: round 1 finds the SSE-optimal split on
+    quantity, shrinks the branch corrections by η=0.5, and round 2
+    fits the NEXT stump on the residuals along discount — Friedman's
+    functional-gradient recipe (each round regresses the pseudo-
+    residuals of the current ensemble), extending the single-split
+    `ml_tree_split_finder` into an actual boosting chain. The key
+    scale trick: residuals are never materialized per row — one scan
+    builds the (quantity, discount) contingency cells with exact
+    int64 (n, Σy, Σy²) in dollars, and every later quantity (split
+    gains, residual sums per discount, before/after SSE of BOTH
+    rounds) is algebra over those ≤550 cells, so the 100 TB cost is
+    one map-side-combined shuffle and the boosting chain itself is
+    broadcast-sized. Determinism: argmax-by-min-pair on the exact
+    same double gain expression (ties broken by threshold); per-cell
+    residual sums and SSE terms floor-quantize to int64 micros/millis
+    before any cross-cell sum; η and all divisors are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yd = F.floor("l_extendedprice").cast("long")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("qv"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dv"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(yd).cast("long").alias("s"),
+        F.sum(yd * yd).cast("long").alias("s2"),
+    )
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("s2").cast("long").alias("ss2"),
+    )
+    qm = cells.groupBy("qv").agg(
+        F.sum("n").cast("long").alias("nq"),
+        F.sum("s").cast("long").alias("sq"),
+        F.sum("s2").cast("long").alias("s2q"),
+    )
+    w = W.orderBy("qv").rowsBetween(W.unboundedPreceding, W.currentRow)
+    qp = qm.select(
+        "qv",
+        F.sum("nq").over(w).cast("long").alias("nl"),
+        F.sum("sq").over(w).cast("long").alias("sl"),
+        F.sum("s2q").over(w).cast("long").alias("s2l"),
+    )
+    qpt = qp.crossJoin(F.broadcast(tot)).filter(
+        F.col("nn") - F.col("nl") > 0
+    )
+    gain1 = F.col("sl").cast("double") * F.col("sl") / F.col("nl") + (
+        F.col("ss") - F.col("sl")
+    ).cast("double") * (F.col("ss") - F.col("sl")) / (
+        F.col("nn") - F.col("nl")
+    )
+    best1 = qpt.agg(
+        F.min(F.struct((-gain1).alias("g"), F.col("qv").cast("double").alias("t")))
+        .getField("t")
+        .alias("t1")
+    )
+    m0 = F.col("ss").cast("double") / F.col("nn")
+    st1 = (
+        qpt.join(
+            F.broadcast(best1),
+            F.col("qv").cast("double") == F.col("t1"),
+        )
+        .select(
+            "t1",
+            "nn",
+            "ss",
+            "ss2",
+            "nl",
+            "sl",
+            "s2l",
+            m0.alias("m0"),
+            (
+                _GBM_ETA
+                * (F.col("sl").cast("double") / F.col("nl") - m0)
+            ).alias("cl"),
+            (
+                _GBM_ETA
+                * (
+                    (F.col("ss") - F.col("sl")).cast("double")
+                    / (F.col("nn") - F.col("nl"))
+                    - m0
+                )
+            ).alias("cr"),
+        )
+    )
+    st1 = st1.localCheckpoint(eager=False)
+    p1 = F.when(
+        F.col("qv") <= F.col("t1").cast("long"),
+        F.col("m0") + F.col("cl"),
+    ).otherwise(F.col("m0") + F.col("cr"))
+    rc = cells.crossJoin(F.broadcast(st1)).select(
+        "dv",
+        "n",
+        "s",
+        "s2",
+        "qv",
+        p1.alias("p1"),
+    )
+    dm = rc.groupBy("dv").agg(
+        F.sum("n").cast("long").alias("nd"),
+        F.sum(
+            F.floor(
+                (F.col("s").cast("double") - F.col("n") * F.col("p1"))
+                * 1_000_000.0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rd"),
+    )
+    wd = W.orderBy("dv").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dp = dm.select(
+        "dv",
+        F.sum("nd").over(wd).cast("long").alias("nl2"),
+        F.sum("rd").over(wd).cast("long").alias("rl2"),
+    )
+    dtot = dm.agg(
+        F.sum("nd").cast("long").alias("nn2"),
+        F.sum("rd").cast("long").alias("rr"),
+    )
+    dpt = dp.crossJoin(F.broadcast(dtot)).filter(
+        F.col("nn2") - F.col("nl2") > 0
+    )
+    gain2 = F.col("rl2").cast("double") * F.col("rl2") / F.col("nl2") + (
+        F.col("rr") - F.col("rl2")
+    ).cast("double") * (F.col("rr") - F.col("rl2")) / (
+        F.col("nn2") - F.col("nl2")
+    )
+    best2 = dpt.agg(
+        F.min(F.struct((-gain2).alias("g"), F.col("dv").cast("double").alias("t")))
+        .getField("t")
+        .alias("t2")
+    )
+    st2 = (
+        dpt.join(
+            F.broadcast(best2),
+            F.col("dv").cast("double") == F.col("t2"),
+        )
+        .select(
+            "t2",
+            "nl2",
+            "rl2",
+            "nn2",
+            "rr",
+            (
+                _GBM_ETA
+                * (F.col("rl2").cast("double") / 1_000_000.0 / F.col("nl2"))
+            ).alias("c2l"),
+            (
+                _GBM_ETA
+                * (
+                    (F.col("rr") - F.col("rl2")).cast("double")
+                    / 1_000_000.0
+                    / (F.col("nn2") - F.col("nl2"))
+                )
+            ).alias("c2r"),
+        )
+    )
+    st2 = st2.localCheckpoint(eager=False)
+    # SSE terms over the cell table, quantized per cell to int millis
+    cc = cells.crossJoin(F.broadcast(st1)).crossJoin(F.broadcast(st2))
+    p1c = F.when(
+        F.col("qv") <= F.col("t1").cast("long"),
+        F.col("m0") + F.col("cl"),
+    ).otherwise(F.col("m0") + F.col("cr"))
+    p2c = p1c + F.when(
+        F.col("dv") <= F.col("t2").cast("long"), F.col("c2l")
+    ).otherwise(F.col("c2r"))
+    sse = cc.agg(
+        (
+            F.sum(
+                F.floor(
+                    (
+                        F.col("s2")
+                        - 2.0 * p1c * F.col("s")
+                        + F.col("n") * p1c * p1c
+                    )
+                    * 1000.0
+                ).cast("long")
+            ).cast("long")
+            / 1000.0
+        ).alias("sse1"),
+        (
+            F.sum(
+                F.floor(
+                    (
+                        F.col("s2")
+                        - 2.0 * p2c * F.col("s")
+                        + F.col("n") * p2c * p2c
+                    )
+                    * 1000.0
+                ).cast("long")
+            ).cast("long")
+            / 1000.0
+        ).alias("sse2"),
+    )
+    sse0 = F.col("ss2").cast("double") - F.col("ss").cast(
+        "double"
+    ) * F.col("ss") / F.col("nn")
+    r1 = (
+        st1.crossJoin(F.broadcast(sse))
+        .select(
+            F.lit(1).cast("long").alias("round"),
+            F.lit("l_quantity").alias("feature"),
+            F.col("t1").cast("long").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("nn") - F.col("nl")).cast("long").alias("n_right"),
+            (F.floor(F.col("cl") * 1_000_000.0) / 1_000_000.0).alias(
+                "corr_left_q6"
+            ),
+            (F.floor(F.col("cr") * 1_000_000.0) / 1_000_000.0).alias(
+                "corr_right_q6"
+            ),
+            (
+                F.floor(F.col("sse1") / sse0 * 1_000_000.0) / 1_000_000.0
+            ).alias("sse_ratio_q6"),
+        )
+    )
+    r2 = (
+        st2.crossJoin(F.broadcast(sse))
+        .select(
+            F.lit(2).cast("long").alias("round"),
+            F.lit("l_discount_pct").alias("feature"),
+            F.col("t2").cast("long").alias("threshold"),
+            F.col("nl2").alias("n_left"),
+            (F.col("nn2") - F.col("nl2")).cast("long").alias("n_right"),
+            (F.floor(F.col("c2l") * 1_000_000.0) / 1_000_000.0).alias(
+                "corr_left_q6"
+            ),
+            (F.floor(F.col("c2r") * 1_000_000.0) / 1_000_000.0).alias(
+                "corr_right_q6"
+            ),
+            (
+                F.floor(F.col("sse2") / F.col("sse1") * 1_000_000.0)
+                / 1_000_000.0
+            ).alias("sse_ratio_q6"),
+        )
+    )
+    return r1.unionByName(r2)

@@ -1525,3 +1525,133 @@ def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_q6"),
         )
     )
+
+
+@register(
+    "stats_cvm_twosample",
+    oracle="""
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END AS early
+  FROM events, b
+),
+c AS (
+  SELECT event_type, cents,
+         CAST(COUNT(CASE WHEN early = 1 THEN 1 END) AS BIGINT) AS a_cnt,
+         CAST(COUNT(CASE WHEN early = 0 THEN 1 END) AS BIGINT) AS b_cnt
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, a_cnt, b_cnt,
+         SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ca,
+         SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cb,
+         SUM(a_cnt) OVER (PARTITION BY event_type) AS na,
+         SUM(b_cnt) OVER (PARTITION BY event_type) AS nb
+  FROM c
+),
+t AS (
+  SELECT event_type, na, nb,
+         CAST(floor((a_cnt + b_cnt)
+              * ((CAST(ca AS DOUBLE) * nb - CAST(cb AS DOUBLE) * na)
+                 / (CAST(na AS DOUBLE) * nb))
+              * ((CAST(ca AS DOUBLE) * nb - CAST(cb AS DOUBLE) * na)
+                 / (CAST(na AS DOUBLE) * nb))
+              * 1000000000.0) AS BIGINT) AS term_nano
+  FROM cum WHERE na > 0 AND nb > 0
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_early,
+       CAST(MAX(nb) AS BIGINT) AS n_late,
+       floor((CAST(MAX(na) AS DOUBLE) * MAX(nb)
+              / ((MAX(na) + MAX(nb)) * CAST(MAX(na) + MAX(nb) AS DOUBLE)))
+             * (CAST(SUM(term_nano) AS BIGINT) / 1000000000.0)
+             * 1000000000.0) / 1000000000.0 AS cvm_q9,
+       (CAST(MAX(na) AS DOUBLE) * MAX(nb)
+          / ((MAX(na) + MAX(nb)) * CAST(MAX(na) + MAX(nb) AS DOUBLE)))
+         * (CAST(SUM(term_nano) AS BIGINT) / 1000000000.0)
+         > CAST(0.461 AS DOUBLE) AS reject_05
+FROM t GROUP BY event_type
+""",
+    tags=("analytics", "stats"),
+)
+def stats_cvm_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift statistic on `value` per
+    event_type between the early and late time halves — the
+    integrated-squared-CDF-gap companion to `stats_ks_drift` (KS sees
+    only the MAX gap and is blind to broad small shifts; CvM weights
+    every distinct value by its mass, the standard pairing in drift
+    monitors): T = n·m/N² · Σ_x cnt(x)·(F1(x)−F2(x))², rejected at the
+    0.461 asymptotic 5% critical value. Scale shape: identical to
+    ks_drift — one events-scale map-side-combined shuffle to the
+    (type, cents) domain, cumulative + full windows riding that same
+    partitioning, no second exchange. Determinism: CDFs are ratios of
+    exact int64 cumulative counts; each value's term is floor-quantized
+    to int64 nanos BEFORE the cross-value sum (order-independent); the
+    one-sided degenerate (a type entirely early/late) is filtered
+    before the division on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr(
+            "(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2"
+        ).alias("mid")
+    )
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    c = v.groupBy("event_type", "cents").agg(
+        F.count(F.when(F.col("early") == 1, 1)).cast("long").alias("a_cnt"),
+        F.count(F.when(F.col("early") == 0, 1)).cast("long").alias("b_cnt"),
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(w_cum).alias("ca"),
+        F.sum("b_cnt").over(w_cum).alias("cb"),
+        F.sum("a_cnt").over(w_all).alias("na"),
+        F.sum("b_cnt").over(w_all).alias("nb"),
+    )
+    gap = (
+        F.col("ca").cast("double") * F.col("nb")
+        - F.col("cb").cast("double") * F.col("na")
+    ) / (F.col("na").cast("double") * F.col("nb"))
+    t = cum.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "event_type",
+        "na",
+        "nb",
+        F.floor((F.col("a_cnt") + F.col("b_cnt")) * gap * gap * 1_000_000_000.0)
+        .cast("long")
+        .alias("term_nano"),
+    )
+    scale = (
+        F.max("na").cast("double")
+        * F.max("nb")
+        / (
+            (F.max("na") + F.max("nb"))
+            * (F.max("na") + F.max("nb")).cast("double")
+        )
+    )
+    stat = scale * (F.sum("term_nano").cast("long") / 1_000_000_000.0)
+    return t.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("n_early"),
+        F.max("nb").cast("long").alias("n_late"),
+        (F.floor(stat * 1_000_000_000.0) / 1_000_000_000.0).alias("cvm_q9"),
+        (stat > 0.461).alias("reject_05"),
+    )
