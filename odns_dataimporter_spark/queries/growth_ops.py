@@ -1465,3 +1465,226 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(p * 1_000_000.0) / 1_000_000.0).alias("p_always_valid_q6"),
         (p < 0.05).alias("reject_05"),
     )
+
+
+@register(
+    "events_gini_concentration",
+    oracle="""
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY x, user_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+  FROM u
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MAX(sx) AS BIGINT) AS n_events,
+       floor((2.0 * CAST(SUM(i * x) AS BIGINT)
+              / (CAST(MAX(n) AS DOUBLE) * MAX(sx))
+              - (CAST(MAX(n) AS DOUBLE) + 1) / MAX(n))
+             * 1000000.0) / 1000000.0 AS gini_q6
+FROM r GROUP BY event_type
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration within each
+    event type — the standard inequality summary (0 = perfectly even,
+    →1 = one whale) via the rank formula G = 2·Σᵢ i·xᵢ/(n·Σx) −
+    (n+1)/n over counts sorted ascending, the same measure growth
+    teams track for revenue/whale concentration and data teams for
+    per-source corpus skew (a Gini near 1 on a shuffle key predicts
+    the skew that `join_skew_salted` mitigates). Scale shape: one
+    map-side-combined (type, user) count shuffle, then ONE rank
+    window per type riding a (type)-keyed exchange of the user-level
+    table — the unavoidable sort for an order statistic, partitioned
+    by type so no global single-task sort exists. Determinism: rank
+    ties broken by user_id; Σ i·xᵢ is an exact int64 sum; two final
+    float divisions with identical trees."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wa = Window.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "x",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count("*").over(wa).cast("long").alias("n"),
+        F.sum("x").over(wa).cast("long").alias("sx"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("sx").cast("long").alias("n_events"),
+        (
+            F.floor(
+                (
+                    2.0
+                    * F.sum(F.col("i") * F.col("x")).cast("long")
+                    / (F.max("n").cast("double") * F.max("sx"))
+                    - (F.max("n").cast("double") + 1) / F.max("n")
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("gini_q6"),
+    )
+
+
+@register(
+    "events_causal_impact_its",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type,
+         CAST(floor((CAST(sv AS DOUBLE) / nd) * 1000.0) AS BIGINT) AS ym,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS dd
+  FROM d
+),
+m AS (
+  SELECT event_type,
+         CAST(MAX(dd) // 2 + 1 AS BIGINT) AS t0,
+         CAST(SUM(CASE WHEN t <= dd // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t <= dd // 2 THEN t ELSE 0 END) AS BIGINT) AS st1,
+         CAST(SUM(CASE WHEN t <= dd // 2 THEN ym ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN t <= dd // 2 THEN t * t ELSE 0 END) AS BIGINT)
+           AS stt1,
+         CAST(SUM(CASE WHEN t <= dd // 2 THEN t * ym ELSE 0 END) AS BIGINT)
+           AS sty1,
+         CAST(SUM(CASE WHEN t > dd // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN t > dd // 2 THEN t ELSE 0 END) AS BIGINT) AS st2,
+         CAST(SUM(CASE WHEN t > dd // 2 THEN ym ELSE 0 END) AS BIGINT) AS sy2,
+         CAST(SUM(CASE WHEN t > dd // 2 THEN t * t ELSE 0 END) AS BIGINT)
+           AS stt2,
+         CAST(SUM(CASE WHEN t > dd // 2 THEN t * ym ELSE 0 END) AS BIGINT)
+           AS sty2
+  FROM r GROUP BY event_type
+),
+f AS (
+  SELECT event_type, t0, n1, n2,
+         (CAST(n1 AS DOUBLE) * sty1 - CAST(st1 AS DOUBLE) * sy1)
+           / (CAST(n1 AS DOUBLE) * stt1 - CAST(st1 AS DOUBLE) * st1) AS b1,
+         (CAST(n2 AS DOUBLE) * sty2 - CAST(st2 AS DOUBLE) * sy2)
+           / (CAST(n2 AS DOUBLE) * stt2 - CAST(st2 AS DOUBLE) * st2) AS b2,
+         CAST(sy1 AS DOUBLE) / n1 AS my1, CAST(st1 AS DOUBLE) / n1 AS mt1,
+         CAST(sy2 AS DOUBLE) / n2 AS my2, CAST(st2 AS DOUBLE) / n2 AS mt2
+  FROM m WHERE n1 >= 2 AND n2 >= 2
+)
+SELECT event_type, n1 AS n_pre, n2 AS n_post,
+       floor(b1) / 1000000.0 AS pre_slope_q6,
+       floor(b2) / 1000000.0 AS post_slope_q6,
+       floor(b2 - b1) / 1000000.0 AS slope_change_q6,
+       floor(((my2 + b2 * (t0 - mt2)) - (my1 + b1 * (t0 - mt1))) / 1000.0
+             * 1000.0) / 1000000.0 AS level_change_q6
+FROM f
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_causal_impact_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series analysis (segmented regression — the
+    quasi-experimental workhorse when an intervention hits EVERYONE at
+    once and no control group exists, complementing the randomized
+    `events_diff_in_diff`): per event type, fit separate OLS lines to
+    the pre- and post-midpoint halves of the daily mean-value series
+    and report the slope change and the level jump at the intervention
+    index (post fit minus pre counterfactual, both evaluated at t0 via
+    the mean-centered form ȳ + b·(t0 − t̄)). Scale shape: one
+    map-side-combined (type, day) shuffle, a per-type rank window over
+    the tiny day table, then conditional exact-int64 moment sums — the
+    corpus is touched once regardless of size. Determinism: daily
+    means quantized to int64 micro-units before any cross-day sum;
+    normal equations in doubles with identical trees; halves with
+    fewer than 2 days are excluded on both engines (slope undefined).
+    Slopes are reported in value-units/day (micro-unit fits divided by
+    1e6, floored at micro precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long"))
+        .cast("long")
+        .alias("sv"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        F.floor((F.col("sv").cast("double") / F.col("nd")) * 1000.0)
+        .cast("long")
+        .alias("ym"),
+        F.row_number().over(wr).cast("long").alias("t"),
+        F.count("*").over(wa).cast("long").alias("dd"),
+    )
+    half = F.col("t") <= F.floor(F.col("dd") / 2).cast("long")
+    z = F.lit(0).cast("long")
+
+    def cm(cond, expr, name):
+        return F.sum(F.when(cond, expr).otherwise(z)).cast("long").alias(name)
+
+    t, ym = F.col("t"), F.col("ym")
+    m = r.groupBy("event_type").agg(
+        (F.floor(F.max("dd") / 2) + 1).cast("long").alias("t0"),
+        cm(half, F.lit(1), "n1"),
+        cm(half, t, "st1"),
+        cm(half, ym, "sy1"),
+        cm(half, t * t, "stt1"),
+        cm(half, t * ym, "sty1"),
+        cm(~half, F.lit(1), "n2"),
+        cm(~half, t, "st2"),
+        cm(~half, ym, "sy2"),
+        cm(~half, t * t, "stt2"),
+        cm(~half, t * ym, "sty2"),
+    )
+
+    def slope(n, st, sy, stt, sty):
+        return (
+            F.col(n).cast("double") * F.col(sty)
+            - F.col(st).cast("double") * F.col(sy)
+        ) / (
+            F.col(n).cast("double") * F.col(stt)
+            - F.col(st).cast("double") * F.col(st)
+        )
+
+    f = m.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
+        "event_type",
+        "t0",
+        "n1",
+        "n2",
+        slope("n1", "st1", "sy1", "stt1", "sty1").alias("b1"),
+        slope("n2", "st2", "sy2", "stt2", "sty2").alias("b2"),
+        (F.col("sy1").cast("double") / F.col("n1")).alias("my1"),
+        (F.col("st1").cast("double") / F.col("n1")).alias("mt1"),
+        (F.col("sy2").cast("double") / F.col("n2")).alias("my2"),
+        (F.col("st2").cast("double") / F.col("n2")).alias("mt2"),
+    )
+    lvl = (
+        F.col("my2") + F.col("b2") * (F.col("t0") - F.col("mt2"))
+    ) - (F.col("my1") + F.col("b1") * (F.col("t0") - F.col("mt1")))
+    return f.select(
+        "event_type",
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        (F.floor(F.col("b1")) / 1_000_000.0).alias("pre_slope_q6"),
+        (F.floor(F.col("b2")) / 1_000_000.0).alias("post_slope_q6"),
+        (F.floor(F.col("b2") - F.col("b1")) / 1_000_000.0).alias(
+            "slope_change_q6"
+        ),
+        (F.floor(lvl / 1000.0 * 1000.0) / 1_000_000.0).alias(
+            "level_change_q6"
+        ),
+    )

@@ -2464,3 +2464,196 @@ def ml_gbm_residual_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r1.unionByName(r2)
+
+
+# Learning-curve fractions: bucket upper bounds of the NESTED training
+# subsets (hash buckets 20..b), holdout is buckets 0..19.
+_LC_BOUNDS = ((25, 40), (50, 60), (100, 100))
+
+
+def _lc_moments_sql(cond: str, tag: str) -> str:
+    """DuckDB conditional OLS moment block for rows satisfying cond."""
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN {e} ELSE 0 END) AS BIGINT)"
+        f" AS {a}{tag}"
+        for e, a in (
+            ("1", "n"),
+            ("xv", "sx"),
+            ("yv", "sy"),
+            ("xv * xv", "sxx"),
+            ("xv * yv", "sxy"),
+            ("yv * yv", "syy"),
+        )
+    )
+
+
+@register(
+    "ml_learning_curve",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS xv,
+         CAST(floor(l_extendedprice) AS BIGINT) AS yv,
+         CAST('0x' || substr(md5('lc|' || CAST(l_orderkey AS VARCHAR)
+              || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS h
+  FROM lineitem
+),
+m AS (
+  SELECT
+    {_lc_moments_sql('h >= 20 AND h < 40', '25')},
+    {_lc_moments_sql('h >= 20 AND h < 60', '50')},
+    {_lc_moments_sql('h >= 20', '100')},
+    {_lc_moments_sql('h < 20', 'h')}
+  FROM b
+),
+f AS (
+  SELECT u.frac, u.n_train, u.slope, u.intercept,
+         (syyh + nh * u.intercept * u.intercept
+          + u.slope * u.slope * sxxh
+          - 2.0 * u.intercept * syh - 2.0 * u.slope * sxyh
+          + 2.0 * u.intercept * u.slope * sxh) / nh AS mse
+  FROM m, LATERAL (
+    SELECT * FROM (VALUES
+      (25, n25,
+       (CAST(n25 AS DOUBLE) * sxy25 - CAST(sx25 AS DOUBLE) * sy25)
+         / (CAST(n25 AS DOUBLE) * sxx25 - CAST(sx25 AS DOUBLE) * sx25),
+       (sy25 - (CAST(n25 AS DOUBLE) * sxy25 - CAST(sx25 AS DOUBLE) * sy25)
+         / (CAST(n25 AS DOUBLE) * sxx25 - CAST(sx25 AS DOUBLE) * sx25)
+         * sx25) / n25),
+      (50, n50,
+       (CAST(n50 AS DOUBLE) * sxy50 - CAST(sx50 AS DOUBLE) * sy50)
+         / (CAST(n50 AS DOUBLE) * sxx50 - CAST(sx50 AS DOUBLE) * sx50),
+       (sy50 - (CAST(n50 AS DOUBLE) * sxy50 - CAST(sx50 AS DOUBLE) * sy50)
+         / (CAST(n50 AS DOUBLE) * sxx50 - CAST(sx50 AS DOUBLE) * sx50)
+         * sx50) / n50),
+      (100, n100,
+       (CAST(n100 AS DOUBLE) * sxy100 - CAST(sx100 AS DOUBLE) * sy100)
+         / (CAST(n100 AS DOUBLE) * sxx100 - CAST(sx100 AS DOUBLE) * sx100),
+       (sy100 - (CAST(n100 AS DOUBLE) * sxy100
+                 - CAST(sx100 AS DOUBLE) * sy100)
+         / (CAST(n100 AS DOUBLE) * sxx100 - CAST(sx100 AS DOUBLE) * sx100)
+         * sx100) / n100)
+    ) AS t(frac, n_train, slope, intercept)
+  ) u
+)
+SELECT CAST(frac AS BIGINT) AS train_pct,
+       CAST(n_train AS BIGINT) AS n_train,
+       floor(slope * 1000000.0) / 1000000.0 AS slope_q6,
+       floor(intercept * 1000000.0) / 1000000.0 AS intercept_q6,
+       floor(sqrt(mse) * 1000000.0) / 1000000.0 AS holdout_rmse_q6
+FROM f
+""",
+    tags=("ml", "sampling"),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the closed-form OLS price-on-quantity model:
+    three NESTED deterministic-hash training subsets (25/50/100% of
+    the train pool, buckets nested so each larger set contains the
+    smaller — the correct sample-efficiency protocol) fitted by the
+    normal equations and scored on one fixed held-out 20% bucket,
+    emitting slope/intercept/holdout-RMSE per fraction — the
+    diminishing-returns curve that decides whether a 100 TB pipeline
+    should ingest MORE data or better data. Scale shape: the entire
+    curve is ONE scan with conditional exact-int64 moment sums (no
+    per-subset passes, no shuffle beyond the single 1-row aggregate);
+    holdout MSE comes from the moment identity
+    Σ(y−a−bx)² = Σy² + na² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx, so
+    residuals are never materialized. Determinism: md5-bucket
+    assignment (engine-identical), normal-equation numerators/
+    denominators computed in doubles with identical trees (counts can
+    exceed 2^53·ε exactness at extreme scale — affects statistics,
+    not cross-engine parity), floor-q6 outputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('lc|', CAST(l_orderkey AS STRING),"
+            " '-', CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100"
+        )
+    )
+    b = li.select(
+        F.col("l_quantity").cast("long").alias("xv"),
+        F.floor("l_extendedprice").cast("long").alias("yv"),
+        h.alias("h"),
+    )
+
+    def moments(cond, tag):
+        z = F.lit(0).cast("long")
+        return [
+            F.sum(F.when(cond, 1).otherwise(z)).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("xv")).otherwise(z))
+            .cast("long")
+            .alias(f"sx{tag}"),
+            F.sum(F.when(cond, F.col("yv")).otherwise(z))
+            .cast("long")
+            .alias(f"sy{tag}"),
+            F.sum(F.when(cond, F.col("xv") * F.col("xv")).otherwise(z))
+            .cast("long")
+            .alias(f"sxx{tag}"),
+            F.sum(F.when(cond, F.col("xv") * F.col("yv")).otherwise(z))
+            .cast("long")
+            .alias(f"sxy{tag}"),
+            F.sum(F.when(cond, F.col("yv") * F.col("yv")).otherwise(z))
+            .cast("long")
+            .alias(f"syy{tag}"),
+        ]
+
+    hc = F.col("h")
+    m = b.agg(
+        *moments((hc >= 20) & (hc < 40), "25"),
+        *moments((hc >= 20) & (hc < 60), "50"),
+        *moments(hc >= 20, "100"),
+        *moments(hc < 20, "h"),
+    )
+
+    def fit(tag, pct):
+        n = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        slope = (n * F.col(f"sxy{tag}") - sx * F.col(f"sy{tag}")) / (
+            n * F.col(f"sxx{tag}") - sx * F.col(f"sx{tag}")
+        )
+        intercept = (
+            F.col(f"sy{tag}")
+            - (n * F.col(f"sxy{tag}") - sx * F.col(f"sy{tag}"))
+            / (n * F.col(f"sxx{tag}") - sx * F.col(f"sx{tag}"))
+            * F.col(f"sx{tag}")
+        ) / F.col(f"n{tag}")
+        return F.struct(
+            F.lit(pct).cast("long").alias("train_pct"),
+            F.col(f"n{tag}").alias("n_train"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+
+    f = m.select(
+        F.explode(
+            F.array(fit("25", 25), fit("50", 50), fit("100", 100))
+        ).alias("u"),
+        "nh",
+        "sxh",
+        "syh",
+        "sxxh",
+        "sxyh",
+        "syyh",
+    )
+    a_, b_ = F.col("u.intercept"), F.col("u.slope")
+    mse = (
+        F.col("syyh")
+        + F.col("nh") * a_ * a_
+        + b_ * b_ * F.col("sxxh")
+        - 2.0 * a_ * F.col("syh")
+        - 2.0 * b_ * F.col("sxyh")
+        + 2.0 * a_ * b_ * F.col("sxh")
+    ) / F.col("nh")
+    return f.select(
+        F.col("u.train_pct").alias("train_pct"),
+        F.col("u.n_train").alias("n_train"),
+        (F.floor(b_ * 1_000_000.0) / 1_000_000.0).alias("slope_q6"),
+        (F.floor(a_ * 1_000_000.0) / 1_000_000.0).alias("intercept_q6"),
+        (F.floor(F.sqrt(mse) * 1_000_000.0) / 1_000_000.0).alias(
+            "holdout_rmse_q6"
+        ),
+    )

@@ -1784,3 +1784,195 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "sax_word",
     )
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pp AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cy,
+         CAST(SUM(y) OVER () AS BIGINT) AS s,
+         CAST(COUNT(*) OVER () AS BIGINT) AS dd
+  FROM d
+),
+r1 AS (
+  SELECT min([-(CAST(cy AS DOUBLE) * cy / t
+                + CAST(s - cy AS DOUBLE) * (s - cy) / (dd - t)),
+              CAST(t AS DOUBLE), CAST(cy AS DOUBLE)]) AS b
+  FROM pp WHERE t < dd
+),
+root AS (
+  SELECT CAST(b[2] AS BIGINT) AS k1, CAST(b[3] AS BIGINT) AS cyk1,
+         -b[1] AS g
+  FROM r1 WHERE b IS NOT NULL
+),
+sides AS (
+  SELECT CASE WHEN pp.t < root.k1 THEN 2 ELSE 3 END AS lvl,
+         pp.t, root.k1, root.cyk1, pp.s, pp.dd,
+         CASE WHEN pp.t < root.k1 THEN CAST(pp.cy AS DOUBLE)
+              ELSE CAST(pp.cy - root.cyk1 AS DOUBLE) END AS sl,
+         CASE WHEN pp.t < root.k1 THEN CAST(pp.t AS DOUBLE)
+              ELSE CAST(pp.t - root.k1 AS DOUBLE) END AS nl,
+         CASE WHEN pp.t < root.k1 THEN CAST(root.cyk1 - pp.cy AS DOUBLE)
+              ELSE CAST(pp.s - pp.cy AS DOUBLE) END AS sr,
+         CASE WHEN pp.t < root.k1 THEN CAST(root.k1 - pp.t AS DOUBLE)
+              ELSE CAST(pp.dd - pp.t AS DOUBLE) END AS nr
+  FROM pp, root
+  WHERE pp.t < root.k1 OR (pp.t > root.k1 AND pp.t < pp.dd)
+),
+sub AS (
+  SELECT lvl,
+         min([-(sl * sl / nl + sr * sr / nr),
+              CAST(t AS DOUBLE), sl, nl, sr, nr]) AS b
+  FROM sides GROUP BY lvl
+)
+SELECT CAST(1 AS BIGINT) AS split_level,
+       root.k1 AS cp_index,
+       root2.dd AS n_seg,
+       floor(root.g * 1000.0) / 1000.0 AS gain_q3,
+       floor(CAST(root.cyk1 AS DOUBLE) / root.k1 * 1000000.0) / 1000000.0
+         AS mean_left_q6,
+       floor(CAST(root2.s - root.cyk1 AS DOUBLE) / (root2.dd - root.k1)
+             * 1000000.0) / 1000000.0 AS mean_right_q6
+FROM root, (SELECT CAST(MAX(s) AS BIGINT) AS s,
+                   CAST(MAX(dd) AS BIGINT) AS dd FROM pp) root2
+UNION ALL
+SELECT CAST(lvl AS BIGINT), CAST(b[2] AS BIGINT),
+       CAST(b[4] + b[6] AS BIGINT),
+       floor(-b[1] * 1000.0) / 1000.0,
+       floor(b[3] / b[4] * 1000000.0) / 1000000.0,
+       floor(b[5] / b[6] * 1000000.0) / 1000000.0
+FROM sub WHERE b IS NOT NULL
+""",
+    tags=("analytics", "timeseries", "iterative"),
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point detection (depth 2) on the
+    daily event-count series: find the split maximizing the SSE-
+    reduction gain sl²/nl + sr²/nr (the level-shift likelihood-ratio
+    criterion), then recurse once into each side — the classic
+    multiple-change-point upgrade of `ts_cusum_changepoint` (which
+    finds exactly one shift) and the standard first pass before PELT-
+    style exact methods. Emits up to three splits with per-side means.
+    Scale shape: one events-scale map-side-combined day aggregate;
+    every candidate evaluation is prefix-sum algebra over the tiny day
+    table, argmax via min-struct (broadcast 1-row root), so the corpus
+    is scanned once at any size. Determinism: prefix sums exact int64;
+    the gain enters the min-struct with identical double trees, ties
+    broken by index; a side too short to split simply emits no row on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pp = d.select(
+        F.row_number().over(W.orderBy("day")).cast("long").alias("t"),
+        F.sum("y").over(wcum).cast("long").alias("cy"),
+        F.sum("y").over(wall).cast("long").alias("s"),
+        F.count("*").over(wall).cast("long").alias("dd"),
+    )
+    g_root = F.col("cy").cast("double") * F.col("cy") / F.col("t") + (
+        F.col("s") - F.col("cy")
+    ).cast("double") * (F.col("s") - F.col("cy")) / (
+        F.col("dd") - F.col("t")
+    )
+    r1 = pp.filter(F.col("t") < F.col("dd")).agg(
+        F.min(
+            F.struct(
+                (-g_root).alias("ng"),
+                F.col("t").cast("double").alias("t"),
+                F.col("cy").cast("double").alias("cy"),
+            )
+        ).alias("b")
+    )
+    root = r1.filter(F.col("b").isNotNull()).select(
+        F.col("b.t").cast("long").alias("k1"),
+        F.col("b.cy").cast("long").alias("cyk1"),
+        (-F.col("b.ng")).alias("g"),
+    )
+    sides_src = pp.crossJoin(F.broadcast(root)).filter(
+        (F.col("t") < F.col("k1"))
+        | ((F.col("t") > F.col("k1")) & (F.col("t") < F.col("dd")))
+    )
+    is_l = F.col("t") < F.col("k1")
+    sides = sides_src.select(
+        F.when(is_l, 2).otherwise(3).alias("lvl"),
+        "t",
+        F.when(is_l, F.col("cy").cast("double"))
+        .otherwise((F.col("cy") - F.col("cyk1")).cast("double"))
+        .alias("sl"),
+        F.when(is_l, F.col("t").cast("double"))
+        .otherwise((F.col("t") - F.col("k1")).cast("double"))
+        .alias("nl"),
+        F.when(is_l, (F.col("cyk1") - F.col("cy")).cast("double"))
+        .otherwise((F.col("s") - F.col("cy")).cast("double"))
+        .alias("sr"),
+        F.when(is_l, (F.col("k1") - F.col("t")).cast("double"))
+        .otherwise((F.col("dd") - F.col("t")).cast("double"))
+        .alias("nr"),
+    )
+    g_sub = (
+        F.col("sl") * F.col("sl") / F.col("nl")
+        + F.col("sr") * F.col("sr") / F.col("nr")
+    )
+    sub = sides.groupBy("lvl").agg(
+        F.min(
+            F.struct(
+                (-g_sub).alias("ng"),
+                F.col("t").cast("double").alias("t"),
+                F.col("sl").alias("sl"),
+                F.col("nl").alias("nl"),
+                F.col("sr").alias("sr"),
+                F.col("nr").alias("nr"),
+            )
+        ).alias("b")
+    )
+    tot = pp.agg(
+        F.max("s").cast("long").alias("s"), F.max("dd").cast("long").alias("dd")
+    )
+    r_root = root.crossJoin(F.broadcast(tot)).select(
+        F.lit(1).cast("long").alias("split_level"),
+        F.col("k1").alias("cp_index"),
+        F.col("dd").alias("n_seg"),
+        (F.floor(F.col("g") * 1000.0) / 1000.0).alias("gain_q3"),
+        (
+            F.floor(
+                F.col("cyk1").cast("double") / F.col("k1") * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("mean_left_q6"),
+        (
+            F.floor(
+                (F.col("s") - F.col("cyk1")).cast("double")
+                / (F.col("dd") - F.col("k1"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("mean_right_q6"),
+    )
+    r_sub = sub.filter(F.col("b").isNotNull()).select(
+        F.col("lvl").cast("long").alias("split_level"),
+        F.col("b.t").cast("long").alias("cp_index"),
+        (F.col("b.nl") + F.col("b.nr")).cast("long").alias("n_seg"),
+        (F.floor(-F.col("b.ng") * 1000.0) / 1000.0).alias("gain_q3"),
+        (
+            F.floor(F.col("b.sl") / F.col("b.nl") * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("mean_left_q6"),
+        (
+            F.floor(F.col("b.sr") / F.col("b.nr") * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("mean_right_q6"),
+    )
+    return r_root.unionByName(r_sub)
