@@ -1987,7 +1987,18 @@ pow2(k, v) AS (
            x -> x / sqrt(list_dot_product({_PCA2_MV2}, {_PCA2_MV2})))
   FROM pow2, m2 WHERE k < {_PCA_ITERS}
 ),
-f2 AS (SELECT v AS v2 FROM pow2 WHERE k = {_PCA_ITERS}),
+g2 AS (SELECT v AS v2r FROM pow2 WHERE k = {_PCA_ITERS}),
+c2 AS (SELECT list_dot_product(v1, v2r) AS c FROM f1, g2),
+u2 AS (
+  SELECT list_transform(range(1, {_COV_DIM} + 1),
+           i -> list_extract(v2r, i) - c * list_extract(v1, i)) AS u
+  FROM g2, f1, c2
+),
+f2 AS (
+  SELECT list_transform(u,
+           x -> x / sqrt(list_dot_product(u, u))) AS v2
+  FROM u2
+),
 l2 AS (
   SELECT list_dot_product(v2,
            list_transform(mat.mm, row -> list_dot_product(row, v2))) AS lam2
@@ -2079,7 +2090,27 @@ def embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
                 lambda mm2: let(
-                    fold(mm2),
+                    # Gram-Schmidt re-orthogonalization: the deflation
+                    # residual is bounded by v1's convergence, so v2 is
+                    # explicitly projected off v1 and renormalized
+                    let(
+                        fold(mm2),
+                        lambda v2r: let(
+                            dot(v1, v2r),
+                            lambda c: let(
+                                F.zip_with(
+                                    v2r, v1, lambda x, y: x - c * y
+                                ),
+                                lambda u: let(
+                                    F.sqrt(dot(u, u)),
+                                    lambda nu: F.transform(
+                                        u,
+                                        lambda x: F.try_divide(x, nu),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
                     lambda v2: F.struct(
                         v1.alias("v1"),
                         lam1.alias("lam1"),

@@ -1,0 +1,240 @@
+"""Mathematical invariants of the round-7 operators — properties the
+oracle hash-match alone can't state (it proves both engines agree, not
+that the computed thing is RIGHT)."""
+
+from __future__ import annotations
+
+import math
+
+from odns_dataimporter_spark.registry import REGISTRY, all_queries
+
+all_queries()
+
+
+def test_msprt_p_values_always_valid_shape(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["events_msprt_sequential"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows, "needs at least one day"
+    for r in rows:
+        # p = min(1, 1/Lambda) is a probability
+        assert 0.0 <= r["p_always_valid_q6"] <= 1.0
+        # cumulative sample sizes never decrease
+    nt = [r["n_t"] for r in rows]
+    nc = [r["n_c"] for r in rows]
+    assert nt == sorted(nt) and nc == sorted(nc)
+    # reject flag is consistent with the p-value at the 0.05 line
+    for r in rows:
+        if r["p_always_valid_q6"] < 0.049999:
+            assert r["reject_05"]
+
+
+def test_wordpiece_piece_counts_bound_chars(spark, sf_dir):
+    rows = REGISTRY["tokenizer_wordpiece_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every piece covers >= 1 char; unks are pieces too
+        assert r["n_pieces"] >= 1
+        assert r["n_unk"] <= r["n_pieces"]
+        # compression ratio: pieces can't cover more chars than exist
+        assert r["n_pieces"] <= r["n_chars"]
+        assert r["chars_per_piece_q6"] >= 1.0
+
+
+def test_neyman_allocation_spends_at_most_budget(spark, sf_dir):
+    rows = REGISTRY["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["alloc_h"] for r in rows)
+    # floor-rounded proportional shares never exceed the budget and
+    # lose at most one unit per stratum
+    assert total <= 500
+    assert total >= 500 - len(rows)
+    for r in rows:
+        assert r["sigma_q6"] >= 0.0
+        assert 0 <= r["alloc_h"] <= r["n_h"] or r["alloc_h"] >= 0
+
+
+def test_mutual_information_nonnegative_and_ranked(spark, sf_dir):
+    rows = REGISTRY["ml_feature_selection_mi"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    # MI >= 0 up to the per-cell quantization (each cell floors at 1e-9)
+    for r in rows:
+        assert r["mi_q9"] >= -1e-6
+    ranked = sorted(rows, key=lambda r: r["mi_rank"])
+    mis = [r["mi_q9"] for r in ranked]
+    assert mis == sorted(mis, reverse=True)
+
+
+def test_kalman_gain_decreases_to_steady_state(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["ts_kalman_1d"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) >= 3
+    gains = [r["gain_q6"] for r in rows]
+    # diffuse prior: first gain ~1, then monotone decrease to the
+    # steady-state ratio (Riccati recursion is monotone from above)
+    assert gains[0] > 0.99
+    assert all(a >= b - 1e-9 for a, b in zip(gains, gains[1:]))
+    # steady state for Q=1e4, R=1e6: K* = (sqrt(Q^2+4QR)-Q)/(2R) ~ 0.0951
+    assert abs(gains[-1] - 0.0951) < 0.02
+    # posterior variance is positive and bounded by P0
+    assert all(0 < r["p_milli2"] <= 1_000_000_000 for r in rows)
+
+
+def test_sax_words_are_valid_and_paa_centered(spark, sf_dir):
+    rows = REGISTRY["ts_sax_symbols"].fn(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        word = rs[0]["sax_word"]
+        assert set(word) <= set("abcd")
+        assert len(word) == len(rs) <= 8
+        # z-normalized PAA means weighted by segment size sum to ~0
+        tot = sum(r["paa_q6"] * r["n_in_seg"] for r in rs)
+        n = sum(r["n_in_seg"] for r in rs)
+        assert abs(tot / n) < 0.01
+        # symbols consistent with breakpoints
+        for r in rs:
+            sym = "a" if r["paa_q6"] < -0.6745 else (
+                "b" if r["paa_q6"] < 0 else (
+                    "c" if r["paa_q6"] < 0.6745 else "d"))
+            # paa_q6 is floored AFTER symbol assignment: only boundary
+            # rows may differ by one letter
+            assert abs(ord(sym) - ord(r["symbol"])) <= 1
+
+
+def test_ccnet_paragraph_dedup_conserves_chunks(spark, sf_dir):
+    rows = REGISTRY["dedup_paragraph_ccnet"].fn(spark, sf_dir).collect()
+    assert rows
+    n_docs = len(rows)
+    total_chunks = sum(r["n_chunks"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    # every doc keeps at most what it had; globally at least one chunk
+    # per distinct paragraph survives
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        if r["n_kept"] == 0:
+            assert r["kept_digest"] is None
+    assert 0 < total_kept <= total_chunks
+    assert n_docs == len({r["doc_id"] for r in rows})
+
+
+def test_readability_bounds(spark, sf_dir):
+    rows = REGISTRY["text_readability_smog"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_syllables"] >= r["n_words"]  # >=1 syllable per word
+        assert 0 <= r["n_poly"] <= r["n_words"]
+        assert r["n_sent"] == math.ceil(r["n_words"] / 15)
+        # SMOG = 1.043*sqrt(30*poly/sent) + 3.1291 >= 3.1291
+        assert r["smog_q6"] >= 3.1291 - 1e-6
+
+
+def test_pca_topk_components_orthogonal(spark, sf_dir):
+    rows = REGISTRY["embed_pca_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 128
+    v = {1: [0.0] * 64, 2: [0.0] * 64}
+    eig = {}
+    for r in rows:
+        v[r["component"]][r["dim"]] = r["loading_q6"]
+        eig[r["component"]] = r["eigenvalue_q9"]
+    n1 = sum(x * x for x in v[1])
+    n2 = sum(x * x for x in v[2])
+    assert abs(n1 - 1.0) < 1e-3 and abs(n2 - 1.0) < 1e-3
+    dot = sum(a * b for a, b in zip(v[1], v[2]))
+    # the final Gram-Schmidt step forces orthogonality to quantization
+    assert abs(dot) < 1e-3
+    # eigenvalue ordering up to near-degeneracy: with lambda1 ~ lambda2
+    # (the 10-cluster synthetic embeddings), 12 power steps cannot
+    # strictly order the pair — allow a 15% flip margin, require PSD
+    assert eig[2] <= eig[1] * 1.15 + 1e-9
+    assert eig[1] >= -1e-9 and eig[2] >= -1e-9
+
+
+def test_cvm_nonnegative_and_null_consistent(spark, sf_dir):
+    rows = REGISTRY["stats_cvm_twosample"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cvm_q9"] >= -1e-9
+        assert r["n_early"] > 0 and r["n_late"] > 0
+        assert r["reject_05"] == (r["cvm_q9"] > 0.461) or abs(
+            r["cvm_q9"] - 0.461
+        ) < 1e-6
+
+
+def test_gbm_residual_step_reduces_sse(spark, sf_dir):
+    rows = {
+        r["round"]: r
+        for r in REGISTRY["ml_gbm_residual_step"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["n_left"] > 0 and r["n_right"] > 0
+        # fitting on the training residuals can never increase SSE
+        assert r["sse_ratio_q6"] <= 1.0 + 1e-6
+        assert r["sse_ratio_q6"] > 0.0
+    # the shrunken corrections move in opposite directions around the mean
+    r1 = rows[1]
+    assert r1["corr_left_q6"] * r1["corr_right_q6"] <= 0.0
+
+
+def test_gini_bounds(spark, sf_dir):
+    rows = REGISTRY["events_gini_concentration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["gini_q6"] <= 1.0
+        assert r["n_users"] <= r["n_events"]
+
+
+def test_learning_curve_nested_and_improving(spark, sf_dir):
+    rows = {
+        r["train_pct"]: r
+        for r in REGISTRY["ml_learning_curve"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {25, 50, 100}
+    # nested subsets: training sizes strictly increase
+    assert rows[25]["n_train"] < rows[50]["n_train"] < rows[100]["n_train"]
+    # holdout RMSE never EXPLODES with more data (the synthetic
+    # lineitem draws price INDEPENDENT of quantity — corr ~ 0.003 — so
+    # the true slope is ~0 and its sign is noise; the protocol, not the
+    # signal, is under test)
+    r25, r100 = rows[25]["holdout_rmse_q6"], rows[100]["holdout_rmse_q6"]
+    assert r100 <= r25 * 1.05
+    for r in rows.values():
+        assert r["holdout_rmse_q6"] > 0
+        assert r["intercept_q6"] > 0  # prices are positive
+
+
+def test_its_slope_identity(spark, sf_dir):
+    rows = REGISTRY["events_causal_impact_its"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pre"] >= 2 and r["n_post"] >= 2
+        # slope_change = post - pre up to independent q6 flooring
+        assert abs(
+            r["slope_change_q6"]
+            - (r["post_slope_q6"] - r["pre_slope_q6"])
+        ) <= 3e-6
+
+
+def test_binseg_root_dominates_and_partitions(spark, sf_dir):
+    rows = {
+        r["split_level"]: r
+        for r in REGISTRY["ts_changepoint_binseg"].fn(spark, sf_dir).collect()
+    }
+    assert 1 in rows
+    root = rows[1]
+    assert 1 <= root["cp_index"] < root["n_seg"]
+    for lvl, r in rows.items():
+        assert r["gain_q3"] >= 0.0
+        assert r["n_seg"] >= 2
+    if 2 in rows:
+        assert rows[2]["cp_index"] < root["cp_index"]
+        assert rows[2]["n_seg"] == root["cp_index"]
+    if 3 in rows:
+        assert rows[3]["cp_index"] > root["cp_index"]
+        assert rows[3]["n_seg"] == root["n_seg"] - root["cp_index"]
