@@ -118,12 +118,44 @@ HEADLINE = [
     "profile_fd_violations",
     "embed_random_projection",
     "text_mattr_diversity",
+    # round 7
+    "tokenizer_wordpiece_encode",
+    "dedup_paragraph_ccnet",
+    "text_readability_smog",
+    "events_msprt_sequential",
+    "ts_kalman_1d",
+    "events_gini_concentration",
+    "ml_gbm_residual_step",
+    "embed_pca_topk",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs
     # at sf0.1), so a bench row would measure result materialization,
     # not operator efficiency.
 ]
+
+# Order for the BOUNDED driver-facing stdout line (full per-query data
+# always lands in BENCH_FULL.json): the r5-era common core first so the
+# cross-round trend keeps its data points, then the newest round's ops
+# (their only driver-visible numbers), then the rest — whatever spills
+# past STDOUT_BUDGET is counted in queries_omitted.
+_R7_OPS = [
+    "tokenizer_wordpiece_encode",
+    "dedup_paragraph_ccnet",
+    "text_readability_smog",
+    "events_msprt_sequential",
+    "ts_kalman_1d",
+    "events_gini_concentration",
+    "ml_gbm_residual_step",
+    "embed_pca_topk",
+]
+_COMMON_CORE = [n for n in HEADLINE[:45] if n not in _R7_OPS]
+PRINT_ORDER = (
+    _COMMON_CORE
+    + _R7_OPS
+    + [n for n in HEADLINE if n not in _COMMON_CORE and n not in _R7_OPS]
+)
+assert sorted(PRINT_ORDER) == sorted(HEADLINE)
 
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
@@ -132,7 +164,7 @@ _INGEST_ROWS = 1_000_000
 # Hard cap on the stdout JSON line: the recording driver buffers only
 # the last 2000 chars of stdout; leave headroom for any stray trailing
 # output (Spark shutdown logs go to stderr, but be safe).
-STDOUT_BUDGET = 1750
+STDOUT_BUDGET = 1850
 
 
 def build_stdout_payload(
@@ -145,13 +177,13 @@ def build_stdout_payload(
     """Serialize the driver-facing JSON line, bounded to `budget` chars.
 
     `value` totals ALL queries; the `queries` dict is filled in `order`
-    (default: HEADLINE order) until adding the next entry would exceed
+    (default: PRINT_ORDER) until adding the next entry would exceed
     the budget, and `queries_omitted` counts what spilled over (the
     full set always lives in BENCH_FULL.json). Times are rounded to
     2 decimals here — millisecond digits are below the measured
     machine-load noise floor anyway.
     """
-    order = [n for n in (order or HEADLINE) if n in timings]
+    order = [n for n in (order or PRINT_ORDER) if n in timings]
     base = {
         "metric": "headline_queries_total_warm",
         "value": round(sum(timings.values()), 2),

@@ -36,14 +36,15 @@ def test_stdout_line_fits_driver_tail_buffer():
     assert parsed["unit"] == "sec"
     assert abs(parsed["value"] - sum(timings.values())) < 0.5
     assert parsed["sf"] == 0.1
-    # entries are filled in HEADLINE order; whatever fits must be a
-    # prefix of the cross-round trend set (cheap ones first would
-    # break min-based trend comparisons)
+    # entries are filled in PRINT_ORDER (common core, then the newest
+    # round's ops, then the rest); whatever fits must be a prefix of
+    # that order so the cross-round trend keeps its data points AND the
+    # new ops get driver-visible numbers
     kept = list(parsed["queries"])
-    assert kept == [n for n in bench.HEADLINE if n in timings][: len(kept)]
+    assert kept == [n for n in bench.PRINT_ORDER if n in timings][: len(kept)]
     assert parsed.get("queries_omitted", 0) + len(kept) == len(bench.HEADLINE)
-    # the r5 common-45 trend set must survive worst-case truncation
-    assert len(kept) >= 45
+    # the common core + the current round's ops survive truncation
+    assert len(kept) >= 45 + len(bench._R7_OPS)
 
 
 def test_stdout_line_keeps_all_queries_when_small():
