@@ -2155,3 +2155,198 @@ def embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eigenvalue_q9"
         ),
     )
+
+
+_AU_OFFSETS = (1, 7, 13)  # deterministic random-pair id offsets
+
+
+@register(
+    "embed_alignment_uniformity",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sq AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(list_sum(list_transform(qv, v -> v * v))) AS BIGINT)
+           AS ssq
+  FROM q GROUP BY label
+),
+ds AS (
+  SELECT label, gs.i AS dim,
+         CAST(SUM(list_extract(qv, gs.i)) AS BIGINT) AS s
+  FROM q, generate_series(1, 64) gs(i) GROUP BY 1, 2
+),
+ss AS (
+  SELECT label,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list((CAST(s AS DOUBLE) / 1000000.0)
+                  * (CAST(s AS DOUBLE) / 1000000.0) ORDER BY dim)),
+           (a, b) -> a + b) AS snorm2
+  FROM ds GROUP BY label
+),
+al AS (
+  SELECT sq.label, sq.n_c,
+         (2.0 * sq.n_c * (CAST(sq.ssq AS DOUBLE) / 1000000000000.0)
+          - 2.0 * ss.snorm2)
+           / (CAST(sq.n_c AS DOUBLE) * (sq.n_c - 1)) AS align
+  FROM sq JOIN ss USING (label) WHERE sq.n_c >= 2
+),
+pr AS (
+  SELECT a.qv AS qa, b.qv AS qb
+  FROM q a JOIN q b
+    ON b.vec_id = a.vec_id + {_AU_OFFSETS[0]}
+     OR b.vec_id = a.vec_id + {_AU_OFFSETS[1]}
+     OR b.vec_id = a.vec_id + {_AU_OFFSETS[2]}
+),
+un AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(floor(exp(-2.0 *
+             (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  i -> ((list_extract(qa, i) - list_extract(qb, i))
+                        / 1000000.0)
+                       * ((list_extract(qa, i) - list_extract(qb, i))
+                          / 1000000.0))),
+               (a, b) -> a + b)))
+             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS se
+  FROM pr
+)
+SELECT al.label, al.n_c,
+       floor(al.align * 1000000.0) / 1000000.0 AS align_q6,
+       floor(ln(CAST(un.se AS DOUBLE) / 1000000000000.0 / un.n_pairs)
+             * 1000000.0) / 1000000.0 AS uniformity_q6,
+       un.n_pairs
+FROM al, un
+""",
+    tags=("llm", "embedding"),
+)
+def embed_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment and uniformity of the embedding space (Wang & Isola
+    2020) — THE two quality axes for contrastive representations:
+    alignment = mean squared distance between positive pairs (same
+    label), uniformity = log-mean Gaussian potential over random pairs
+    (how evenly the sphere is covered; collapse shows up here first).
+    The scale trick: alignment needs NO pair enumeration — per label,
+    Σᵢⱼ‖zᵢ−zⱼ‖² = 2n·Σ‖z‖² − 2‖Σz‖², so two moment aggregates replace
+    the quadratic loop; uniformity uses a FIXED bounded pair sample
+    (id offsets {_AU_OFFSETS}, linear, deterministic) since exp(−2d²)
+    does not reduce to moments. Shape: one map-side-combined per-label
+    moment pass (with a 64-row posexplode for the dim sums), one
+    id-keyed self-join for the sample pairs — no quadratic stage at
+    any corpus size. Determinism: coordinates quantized to int micros;
+    Σ‖z‖² exact int64; ‖Σz‖² and pair distances are SEQUENTIAL folds
+    over dim order (engine-identical); per-pair Gaussian terms
+    floor-quantize to int picos before the cross-pair sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv"),
+    )
+    sq = q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum(
+            F.aggregate(
+                F.transform("qv", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+        )
+        .cast("long")
+        .alias("ssq"),
+    )
+    ds = (
+        q.select("label", F.posexplode("qv").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    ss = (
+        ds.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim0", "s"))).alias("p"))
+        .select(
+            "label",
+            F.aggregate(
+                F.transform(
+                    "p",
+                    lambda x: (x["s"].cast("double") / 1_000_000.0)
+                    * (x["s"].cast("double") / 1_000_000.0),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("snorm2"),
+        )
+    )
+    al = (
+        sq.join(ss, "label")
+        .filter(F.col("n_c") >= 2)
+        .select(
+            "label",
+            "n_c",
+            (
+                (
+                    2.0
+                    * F.col("n_c")
+                    * (F.col("ssq").cast("double") / 1_000_000_000_000.0)
+                    - 2.0 * F.col("snorm2")
+                )
+                / (F.col("n_c").cast("double") * (F.col("n_c") - 1))
+            ).alias("align"),
+        )
+    )
+    # explode the fixed offsets so the pair match is a pure EQUI-join
+    # (an OR-of-equalities would plan as a nested loop)
+    a = q.select(
+        F.col("qv").alias("qa"),
+        "vec_id",
+        F.explode(F.array(*[F.lit(k) for k in _AU_OFFSETS])).alias("off"),
+    ).select("qa", (F.col("vec_id") + F.col("off")).alias("idb"))
+    b = q.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qa"),
+            F.col("qb"),
+            lambda x, y: ((x - y) / 1_000_000.0)
+            * ((x - y) / 1_000_000.0),
+        ),
+        F.lit(0.0),
+        lambda acc, u: acc + u,
+    )
+    un = (
+        a.join(b, "idb")
+        .select(
+            F.floor(F.exp(-2.0 * d2) * 1_000_000_000_000.0)
+            .cast("long")
+            .alias("e")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("e").cast("long").alias("se"),
+        )
+    )
+    return al.crossJoin(F.broadcast(un)).select(
+        "label",
+        "n_c",
+        (F.floor(F.col("align") * 1_000_000.0) / 1_000_000.0).alias(
+            "align_q6"
+        ),
+        (
+            F.floor(
+                F.log(
+                    F.col("se").cast("double")
+                    / 1_000_000_000_000.0
+                    / F.col("n_pairs")
+                )
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("uniformity_q6"),
+        "n_pairs",
+    )

@@ -605,3 +605,160 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_q6"
         ),
     )
+
+
+_DOREMI_ETA = 1.0
+_DOREMI_STEPS = 10
+
+# DuckDB text macros for the multiplicative-weights step (recursive CTE
+# below; list_reduce cannot CARRY list state, but a recursive CTE can).
+_DRM_MEAN = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len(w) + 1), "
+    "i -> list_extract(w, i) * list_extract(ls, i))), (a, b) -> a + b)"
+)
+_DRM_W2 = (
+    f"list_transform(range(1, len(w) + 1), "
+    f"i -> list_extract(w, i) * exp({_DOREMI_ETA} * "
+    f"(list_extract(ls, i) - {_DRM_MEAN})))"
+)
+_DRM_SUM2 = (
+    f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {_DRM_W2}), "
+    "(a, b) -> a + b)"
+)
+
+
+@register(
+    "sample_doremi_mixture",
+    oracle=f"""
+WITH RECURSIVE
+d AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS sc,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS st
+  FROM documents GROUP BY source
+),
+l AS (
+  SELECT list(CAST(sc AS DOUBLE) / st ORDER BY source) AS ls,
+         list(source ORDER BY source) AS names,
+         list(st ORDER BY source) AS toks
+  FROM d
+),
+it(k, w) AS (
+  SELECT 0, list_transform(ls, x -> 1.0 / len(ls)) FROM l
+  UNION ALL
+  SELECT k + 1, list_transform({_DRM_W2}, x -> x / ({_DRM_SUM2}))
+  FROM it, l WHERE k < {_DOREMI_STEPS}
+),
+fin AS (SELECT w FROM it WHERE k = {_DOREMI_STEPS}),
+tt AS (SELECT CAST(SUM(st) AS BIGINT) AS total_toks FROM d)
+SELECT list_extract(names, i) AS domain,
+       CAST(list_extract(toks, i) AS BIGINT) AS n_tokens,
+       floor(list_extract(ls, i) * 1000000.0) / 1000000.0 AS loss_q6,
+       floor(list_extract(w, i) * 1000000.0) / 1000000.0 AS weight_q6,
+       CAST(floor(list_extract(w, i) * total_toks) AS BIGINT)
+         AS budget_tokens
+FROM (SELECT fin.w, l.names, l.ls, l.toks, tt.total_toks,
+             unnest(range(1, len(l.names) + 1)) AS i
+      FROM fin, l, tt)
+""",
+    tags=("llm", "sampling", "iterative"),
+)
+def sample_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture optimization (Xie et al. 2023,
+    reduced to its multiplicative-weights core): per source domain, a
+    deterministic hardness proxy (chars per token — stands in for the
+    proxy-model excess loss), then {_DOREMI_STEPS} rounds of
+    w ← normalize(w·exp(η·(loss − ⟨w, loss⟩))) — domains harder than
+    the current mixture average get upweighted, the exact update
+    Group-DRO/DoReMi uses to pick training-corpus sampling weights.
+    Emits the final mixture and each domain's token budget. Scale
+    shape: ONE map-side-combined groupBy over documents; the
+    iteration runs on a single row holding the domain-count-sized
+    arrays (a few entries no matter the corpus), so 100 TB costs one
+    scan. Determinism: losses are ratios of exact int64 sums; the
+    mixture mean and the normalizer are SEQUENTIAL folds over the
+    source-sorted array (engine-identical IEEE trees; the oracle
+    recomputes the mean per element — same deterministic value);
+    η = 1.0 exact; floor-q6 outputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("sc"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("st"),
+    )
+    one = d.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "source",
+                    (F.col("sc").cast("double") / F.col("st")).alias("loss"),
+                    "st",
+                )
+            )
+        ).alias("p"),
+        F.sum("st").cast("long").alias("total_toks"),
+    ).select(
+        F.transform("p", lambda x: x["source"]).alias("names"),
+        F.transform("p", lambda x: x["loss"]).alias("ls"),
+        F.transform("p", lambda x: x["st"]).alias("toks"),
+        "total_toks",
+    )
+
+    def let(val, body):
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    ls = F.col("ls")
+
+    def step(w, _):
+        mean = F.aggregate(
+            F.zip_with(w, ls, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        return let(
+            mean,
+            lambda m: let(
+                F.zip_with(
+                    w, ls, lambda wi, li: wi * F.exp(_DOREMI_ETA * (li - m))
+                ),
+                lambda w2: let(
+                    F.aggregate(w2, F.lit(0.0), lambda a, b: a + b),
+                    lambda s2: F.transform(w2, lambda x: x / s2),
+                ),
+            ),
+        )
+
+    init = F.transform(ls, lambda _: 1.0 / F.size(ls))
+    fin = one.select(
+        "names",
+        "ls",
+        "toks",
+        "total_toks",
+        F.aggregate(
+            F.array_repeat(F.lit(0), _DOREMI_STEPS), init, step
+        ).alias("w"),
+    )
+    e = fin.select(
+        "total_toks",
+        F.explode(
+            F.arrays_zip(
+                F.col("names").alias("domain"),
+                F.col("ls").alias("loss"),
+                F.col("w").alias("wt"),
+                F.col("toks").alias("n_tokens"),
+            )
+        ).alias("z"),
+    )
+    return e.select(
+        F.col("z.domain").alias("domain"),
+        F.col("z.n_tokens").cast("long").alias("n_tokens"),
+        (F.floor(F.col("z.loss") * 1_000_000.0) / 1_000_000.0).alias(
+            "loss_q6"
+        ),
+        (F.floor(F.col("z.wt") * 1_000_000.0) / 1_000_000.0).alias(
+            "weight_q6"
+        ),
+        F.floor(F.col("z.wt") * F.col("total_toks"))
+        .cast("long")
+        .alias("budget_tokens"),
+    )

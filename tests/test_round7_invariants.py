@@ -238,3 +238,39 @@ def test_binseg_root_dominates_and_partitions(spark, sf_dir):
     if 3 in rows:
         assert rows[3]["cp_index"] > root["cp_index"]
         assert rows[3]["n_seg"] == root["n_seg"] - root["cp_index"]
+
+
+def test_alignment_uniformity_signs(spark, sf_dir):
+    rows = (
+        REGISTRY["embed_alignment_uniformity"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        # squared distances: alignment >= 0; for unit-norm vectors
+        # ||zi-zj||^2 <= 4
+        assert -1e-9 <= r["align_q6"] <= 4.0
+        # log-mean of exp(-2d^2) terms in (0, 1] => uniformity <= 0
+        assert r["uniformity_q6"] <= 1e-9
+        assert r["n_pairs"] > 0
+    # the synthetic `label` column is independent of the 10-cluster
+    # geometry, so same-label pairs behave like random pairs: the
+    # alignment must sit AT the random-pair expectation (~2 for unit
+    # vectors), not collapse to 0 or blow past the 4 bound
+    mean_align = sum(r["align_q6"] for r in rows) / len(rows)
+    assert 1.5 < mean_align < 2.5
+
+
+def test_doremi_mixture_is_distribution_tilted_to_loss(spark, sf_dir):
+    rows = REGISTRY["sample_doremi_mixture"].fn(spark, sf_dir).collect()
+    assert rows
+    total_w = sum(r["weight_q6"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4  # floor-q6 per domain
+    # multiplicative weights preserve loss ordering: heavier weight on
+    # harder domains
+    by_loss = sorted(rows, key=lambda r: r["loss_q6"])
+    by_w = sorted(rows, key=lambda r: r["weight_q6"])
+    assert [r["domain"] for r in by_loss] == [r["domain"] for r in by_w]
+    total_toks = sum(r["n_tokens"] for r in rows)
+    assert sum(r["budget_tokens"] for r in rows) <= total_toks * 1.0 + len(
+        rows
+    )
