@@ -596,3 +596,103 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_png_features, schema=_PNG_SCHEMA
     )
     return feats.select("doc_id", "width", "height", "bit_depth", "px_sum")
+
+
+_ZCR_FRAME = 100  # samples per analysis frame
+_ZCR_ENERGY = 4_000_000_000  # voiced-frame energy threshold (sum of s^2)
+
+_ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_voiced", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def extract_wav_zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the PCM16 WAV, decode the actual
+    samples back with the RIFF chunk walker, then compute zero-crossing
+    count, per-frame energy gating, and peak amplitude in numpy."""
+    import numpy as np
+
+    from odns_dataimporter_spark.media import decode_wav_samples, encode_wav
+
+    def feats(text: str):
+        _, _, samples = decode_wav_samples(encode_wav(text.encode("utf-8")))
+        s = np.asarray(samples, dtype=np.int64)
+        n = len(s)
+        zcr = int(np.sum(s[:-1] * s[1:] < 0)) if n > 1 else 0
+        nf = n // _ZCR_FRAME
+        if nf:
+            fr = s[: nf * _ZCR_FRAME].reshape(nf, _ZCR_FRAME)
+            voiced = int(np.sum((fr * fr).sum(axis=1) > _ZCR_ENERGY))
+        else:
+            voiced = 0
+        peak = int(np.abs(s).max()) if n else 0
+        return n, zcr, nf, voiced, peak
+
+    for pdf in batches:
+        out = [feats(t) for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": [o[0] for o in out],
+                "zcr": [o[1] for o in out],
+                "n_frames": [o[2] for o in out],
+                "n_voiced": [o[3] for o in out],
+                "peak_abs": [o[4] for o in out],
+            }
+        )
+
+
+@register(
+    "multimodal_wav_zcr",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+           h -> (CAST('0x' || h AS BIGINT) - 128) * 256) AS sm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sm) AS BIGINT) AS n_samples,
+       CAST(COALESCE(CASE WHEN len(sm) > 1 THEN
+         list_sum(list_transform(range(1, len(sm)),
+           i -> CASE WHEN list_extract(sm, i) * list_extract(sm, i + 1) < 0
+                THEN 1 ELSE 0 END)) END, 0) AS BIGINT) AS zcr,
+       CAST(len(sm) // {_ZCR_FRAME} AS BIGINT) AS n_frames,
+       CAST(COALESCE(CASE WHEN len(sm) >= {_ZCR_FRAME} THEN
+         list_sum(list_transform(range(0, len(sm) // {_ZCR_FRAME}),
+           f -> CASE WHEN list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      sm[(f * {_ZCR_FRAME} + 1):((f + 1) * {_ZCR_FRAME})],
+                      x -> x * x)),
+                  (a, b) -> a + b) > {_ZCR_ENERGY}
+                THEN 1 ELSE 0 END)) END, 0) AS BIGINT) AS n_voiced,
+       CAST(COALESCE(list_max(list_transform(sm, x -> abs(x))), 0)
+            AS BIGINT) AS peak_abs
+FROM s
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction on REAL decoded PCM16 samples:
+    zero-crossing count (the classic voiced/unvoiced and pitch-band
+    discriminator), per-{_ZCR_FRAME}-sample frame energy gating (count
+    of frames above a fixed energy threshold — the VAD primitive), and
+    peak amplitude. The WAV payloads are synthesized from corpus bytes
+    and decoded back by the RIFF chunk walker (media.py), so the
+    Arrow-batched mapInPandas stage exercises the exact byte path a
+    crawled audio column would take; the DuckDB oracle recomputes the
+    same integers from the raw bytes (hex-pair trick), making a REAL
+    decode path fully value-hash verified. Scale shape: embarrassingly
+    parallel map, zero shuffle; all features exact int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        extract_wav_zcr, schema=_ZCR_SCHEMA
+    )

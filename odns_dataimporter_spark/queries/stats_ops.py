@@ -1655,3 +1655,318 @@ def stats_cvm_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(stat * 1_000_000_000.0) / 1_000_000_000.0).alias("cvm_q9"),
         (stat > 0.461).alias("reject_05"),
     )
+
+
+_SPR_VARS = ("qv", "dv", "tv", "pv")
+_SPR_PAIRS = tuple(
+    (a, b)
+    for i, a in enumerate(_SPR_VARS)
+    for b in _SPR_VARS[i + 1 :]
+)
+
+
+def _spr_oracle() -> str:
+    mm = []
+    for v in _SPR_VARS:
+        mm.append(
+            "mm_" + v + " AS (\n"
+            "  SELECT val, CAST(2 * cum - 2 * c + c + 1 AS BIGINT) AS mr2\n"
+            "  FROM (\n"
+            "    SELECT " + v + " AS val, CAST(SUM(cnt) AS BIGINT) AS c,\n"
+            "           CAST(SUM(SUM(cnt)) OVER (ORDER BY " + v + "\n"
+            "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+            " ROW) AS BIGINT) AS cum\n"
+            "    FROM cells GROUP BY " + v + ")\n)"
+        )
+    u_cols = ",\n         ".join(
+        "CAST(mm_" + v + ".mr2 AS DOUBLE) / (2.0 * tot.n) AS u_" + v
+        for v in _SPR_VARS
+    )
+    u_joins = "\n  ".join(
+        "JOIN mm_" + v + " ON mm_" + v + ".val = c." + v for v in _SPR_VARS
+    )
+    s_cols = []
+    for v in _SPR_VARS:
+        s_cols.append(
+            "CAST(SUM(CAST(floor(cnt * u_" + v + " * 1000000.0) AS BIGINT))"
+            " AS BIGINT) AS s_" + v
+        )
+        s_cols.append(
+            "CAST(SUM(CAST(floor(cnt * u_" + v + " * u_" + v
+            + " * 1000000.0) AS BIGINT)) AS BIGINT) AS ss_" + v
+        )
+    for a, b in _SPR_PAIRS:
+        s_cols.append(
+            "CAST(SUM(CAST(floor(cnt * u_" + a + " * u_" + b
+            + " * 1000000.0) AS BIGINT)) AS BIGINT) AS sp_" + a + "_" + b
+        )
+    selects = []
+    for a, b in _SPR_PAIRS:
+        sa = "(CAST(s_" + a + " AS DOUBLE) / 1000000.0)"
+        sb = "(CAST(s_" + b + " AS DOUBLE) / 1000000.0)"
+        saa = "(CAST(ss_" + a + " AS DOUBLE) / 1000000.0)"
+        sbb = "(CAST(ss_" + b + " AS DOUBLE) / 1000000.0)"
+        sab = "(CAST(sp_" + a + "_" + b + " AS DOUBLE) / 1000000.0)"
+        selects.append(
+            "SELECT '" + a + "' AS var_a, '" + b + "' AS var_b,"
+            " tot.n AS n,\n"
+            "  floor((tot.n * " + sab + " - " + sa + " * " + sb + ")\n"
+            "        / sqrt((tot.n * " + saa + " - " + sa + " * " + sa
+            + ") * (tot.n * " + sbb + " - " + sb + " * " + sb + "))\n"
+            "        * 1000000.0) / 1000000.0 AS rho_q6\n"
+            "FROM s, tot"
+        )
+    return (
+        """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qv,
+         CAST(round(l_discount * 100) AS BIGINT) AS dv,
+         CAST(round(l_tax * 100) AS BIGINT) AS tv,
+         CAST(floor(l_extendedprice / 1000) AS BIGINT) AS pv,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3, 4
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+"""
+        + ",\n".join(mm)
+        + ",\nu AS (\n  SELECT c.cnt,\n         "
+        + u_cols
+        + "\n  FROM cells c, tot\n  "
+        + u_joins
+        + "\n),\ns AS (\n  SELECT\n    "
+        + ",\n    ".join(s_cols)
+        + "\n  FROM u\n)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    oracle=_spr_oracle(),
+    tags=("analytics", "stats"),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix (upper triangle, 6 pairs) over
+    four lineitem measures — the ties-aware rank companion to the
+    Pearson `stats_corr_matrix` (monotone-but-nonlinear dependence
+    that Pearson underreports). The scale trick: NO global row sort —
+    variables are discretized measures, so midranks come from each
+    variable's distinct-VALUE histogram (mr2 = 2·cum_prev + cnt + 1,
+    kept doubled for exactness), the joint distribution lives in a
+    bounded (qty × disc × tax × price-bin) cell table built by ONE
+    map-side-combined shuffle, and every Σrank·rank is a sum over
+    cells, not rows. Ranks are normalized to u = mr2/2N and each
+    cell's contribution floor-quantizes to int64 micros before the
+    cross-cell sum (order-independent; also keeps 100 TB sums inside
+    int64 where raw Σmr2² would overflow at ~1M rows). Broadcast
+    midrank maps, one final Pearson-on-ranks formula per pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("qv"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dv"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tv"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("pv"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    u = cells.crossJoin(F.broadcast(tot))
+    for v in _SPR_VARS:
+        marg = cells.groupBy(v).agg(F.sum("cnt").cast("long").alias("c"))
+        wcum = (
+            W.orderBy(v).rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        mm = marg.select(
+            F.col(v).alias("val"),
+            (
+                2 * (F.sum("c").over(wcum).cast("long") - F.col("c"))
+                + F.col("c")
+                + 1
+            )
+            .cast("long")
+            .alias(f"mr2_{v}"),
+        )
+        u = u.join(
+            F.broadcast(mm), u[v] == mm["val"], "inner"
+        ).drop("val")
+    for v in _SPR_VARS:
+        u = u.withColumn(
+            f"u_{v}",
+            F.col(f"mr2_{v}").cast("double") / (2.0 * F.col("n")),
+        )
+    aggs = []
+    for v in _SPR_VARS:
+        aggs.append(
+            F.sum(
+                F.floor(F.col("cnt") * F.col(f"u_{v}") * 1_000_000.0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias(f"s_{v}")
+        )
+        aggs.append(
+            F.sum(
+                F.floor(
+                    F.col("cnt")
+                    * F.col(f"u_{v}")
+                    * F.col(f"u_{v}")
+                    * 1_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"ss_{v}")
+        )
+    for a, b in _SPR_PAIRS:
+        aggs.append(
+            F.sum(
+                F.floor(
+                    F.col("cnt")
+                    * F.col(f"u_{a}")
+                    * F.col(f"u_{b}")
+                    * 1_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"sp_{a}_{b}")
+        )
+    s = u.groupBy().agg(*aggs).crossJoin(F.broadcast(tot))
+
+    def rho(a, b):
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double") / 1_000_000.0
+        sb = F.col(f"s_{b}").cast("double") / 1_000_000.0
+        saa = F.col(f"ss_{a}").cast("double") / 1_000_000.0
+        sbb = F.col(f"ss_{b}").cast("double") / 1_000_000.0
+        sab = F.col(f"sp_{a}_{b}").cast("double") / 1_000_000.0
+        return (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    parts = [
+        s.select(
+            F.lit(a).alias("var_a"),
+            F.lit(b).alias("var_b"),
+            F.col("n").alias("n"),
+            (F.floor(rho(a, b) * 1_000_000.0) / 1_000_000.0).alias(
+                "rho_q6"
+            ),
+        )
+        for a, b in _SPR_PAIRS
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+_TUKEY_QCRIT = 3.858  # q(0.05, k=5 groups, df=inf), Tukey-Kramer
+
+
+@register(
+    "stats_tukey_hsd",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)
+                  * CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS ss
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(floor((CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * s / n) * 1000.0) AS BIGINT))
+           AS BIGINT) / 1000.0 AS ssw
+  FROM g
+)
+SELECT a.event_type AS group_a, b.event_type AS group_b,
+       a.n AS n_a, b.n AS n_b,
+       floor((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / 1000.0 * 1000000.0) / 1000000.0 AS mean_diff_q6,
+       floor(abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(p.ssw / (p.nn - p.k) * 0.5
+                    * (1.0 / a.n + 1.0 / b.n))
+             * 1000000.0) / 1000000.0 AS q_stat_q6,
+       abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+         / sqrt(p.ssw / (p.nn - p.k) * 0.5 * (1.0 / a.n + 1.0 / b.n))
+         > CAST({_TUKEY_QCRIT} AS DOUBLE) AS significant_05
+FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN p
+""",
+    tags=("analytics", "stats"),
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc pairwise comparisons — the step AFTER
+    `stats_anova_oneway` rejects: which event-type pairs actually
+    differ in mean value, with the studentized-range statistic
+    q = |x̄ᵢ−x̄ⱼ|/√(MSE/2·(1/nᵢ+1/nⱼ)) controlling the familywise error
+    that naive pairwise t-tests inflate (the multiple-comparison
+    discipline `stats_fdr_bh` applies to p-value lists, done here at
+    the contrast level with the exact-for-equal-n studentized range).
+    Scale shape: one map-side-combined moment aggregate; the pair
+    enumeration is a self-join of the GROUP table (k(k−1)/2 rows for k
+    types) with a 1-row pooled-variance broadcast — nothing
+    corpus-sized moves twice at any scale. Determinism: group moments
+    are exact int64 milli-sums; each group's within-SS floor-quantizes
+    to int millis before pooling; the q expression enters once with an
+    identical tree; the critical value is the fixed q(0.05, 5, ∞)."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000.0).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vm).cast("long").alias("s"),
+        F.sum(vm * vm).cast("long").alias("ss"),
+    )
+    g = g.localCheckpoint(eager=False)
+    p = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        (
+            F.sum(
+                F.floor(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    * 1000.0
+                ).cast("long")
+            ).cast("long")
+            / 1000.0
+        ).alias("ssw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    j = (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(p))
+    )
+    diff = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    se = F.sqrt(
+        F.col("ssw")
+        / (F.col("nn") - F.col("k"))
+        * 0.5
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (F.floor(diff / 1000.0 * 1_000_000.0) / 1_000_000.0).alias(
+            "mean_diff_q6"
+        ),
+        (F.floor(F.abs(diff) / se * 1_000_000.0) / 1_000_000.0).alias(
+            "q_stat_q6"
+        ),
+        (F.abs(diff) / se > _TUKEY_QCRIT).alias("significant_05"),
+    )

@@ -274,3 +274,41 @@ def test_doremi_mixture_is_distribution_tilted_to_loss(spark, sf_dir):
     assert sum(r["budget_tokens"] for r in rows) <= total_toks * 1.0 + len(
         rows
     )
+
+
+def test_spearman_bounds_and_symmetric_pairs(spark, sf_dir):
+    rows = REGISTRY["stats_spearman_corr"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["rho_q6"] <= 1.0 + 1e-6
+        order = ["qv", "dv", "tv", "pv"]
+        assert order.index(r["var_a"]) < order.index(r["var_b"])
+    # synthetic lineitem draws measures independently: no pair should
+    # show strong monotone dependence
+    assert max(abs(r["rho_q6"]) for r in rows) < 0.3
+
+
+def test_tukey_pairs_and_nonnegative_q(spark, sf_dir):
+    rows = REGISTRY["stats_tukey_hsd"].fn(spark, sf_dir).collect()
+    k = len({r["group_a"] for r in rows} | {r["group_b"] for r in rows})
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["q_stat_q6"] >= 0.0
+        assert r["significant_05"] == (r["q_stat_q6"] > 3.858) or abs(
+            r["q_stat_q6"] - 3.858
+        ) < 1e-5
+        # |mean diff| consistent with q: both derive from the same diff
+        assert (abs(r["mean_diff_q6"]) > 0) == (r["q_stat_q6"] > 0) or abs(
+            r["mean_diff_q6"]
+        ) < 1e-5
+
+
+def test_wav_zcr_bounds(spark, sf_dir):
+    rows = REGISTRY["multimodal_wav_zcr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["zcr"] < max(r["n_samples"], 1)
+        assert r["n_frames"] == r["n_samples"] // 100
+        assert 0 <= r["n_voiced"] <= r["n_frames"]
+        # PCM16 from byte payloads: peak is (b-128)*256 so <= 32768
+        assert 0 <= r["peak_abs"] <= 32768
