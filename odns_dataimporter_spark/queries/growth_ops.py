@@ -1688,3 +1688,153 @@ def events_causal_impact_its(spark: SparkSession, sf_dir: str) -> DataFrame:
             "level_change_q6"
         ),
     )
+
+
+@register(
+    "events_iptw_ate",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5('{_AB_SALT}'
+                   || CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 50
+              THEN 1 ELSE 0 END AS t,
+         CAST(COUNT(*) AS BIGINT) AS activity,
+         CAST(SUM(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT *, CAST(least(activity // 5, 9) AS BIGINT) AS stratum FROM u
+),
+p AS (
+  SELECT stratum,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS DOUBLE) / COUNT(*) AS ps
+  FROM b GROUP BY stratum
+),
+w AS (
+  SELECT b.t, b.y, p.ps,
+         CASE WHEN b.t = 1 THEN 1.0 / p.ps
+              ELSE 1.0 / (1.0 - p.ps) END AS iw
+  FROM b JOIN p USING (stratum)
+  WHERE p.n_t > 0 AND p.n_t < p.n
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN t = 1
+         THEN CAST(floor(y * iw) AS BIGINT) ELSE 0 END) AS BIGINT) AS wy_t,
+    CAST(SUM(CASE WHEN t = 1
+         THEN CAST(floor(1000000.0 * iw) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS wn_t,
+    CAST(SUM(CASE WHEN t = 0
+         THEN CAST(floor(y * iw) AS BIGINT) ELSE 0 END) AS BIGINT) AS wy_c,
+    CAST(SUM(CASE WHEN t = 0
+         THEN CAST(floor(1000000.0 * iw) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS wn_c,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM w
+)
+SELECT n_users,
+       floor(CAST(wy_t AS DOUBLE) / (CAST(wn_t AS DOUBLE) / 1000000.0)
+             * 1000.0) / 1000000.0 AS mu_t_q6,
+       floor(CAST(wy_c AS DOUBLE) / (CAST(wn_c AS DOUBLE) / 1000000.0)
+             * 1000.0) / 1000000.0 AS mu_c_q6,
+       floor((CAST(wy_t AS DOUBLE) / (CAST(wn_t AS DOUBLE) / 1000000.0)
+              - CAST(wy_c AS DOUBLE) / (CAST(wn_c AS DOUBLE) / 1000000.0))
+             * 1000.0) / 1000000.0 AS ate_q6
+FROM s
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect by inverse-propensity-of-treatment
+    weighting (Horvitz-Thompson with stabilized Hájek normalization) —
+    the observational-causal counterpart of the randomized
+    `events_cuped_adjustment`: propensity is estimated per activity
+    stratum (decile-capped activity buckets, the classic
+    stratification estimator), each user is weighted 1/p(t|x) or
+    1/(1−p), and the ATE is the weighted outcome-mean difference;
+    strata with no overlap (all-treated or all-control — positivity
+    violation) are excluded on both engines, exactly as the estimator
+    requires. Scale shape: one user-grid shuffle, a stratum-count
+    broadcast join, one final weighted aggregate — at 100 TB the
+    stratum table is 10 rows and everything else is map-side combined.
+    Determinism: weighted sums floor-quantize per user (outcome·w to
+    int millis, w to int micros) before the cross-user sum, so float
+    order never matters; propensities are exact count ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    is_t = (
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_AB_SALT}', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+        )
+        < 50
+    ).cast("int")
+    u = ev.groupBy("user_id").agg(
+        F.max(is_t).alias("t"),
+        F.count("*").cast("long").alias("activity"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    b = u.select(
+        "t",
+        "y",
+        F.least(F.floor(F.col("activity") / 5), F.lit(9))
+        .cast("long")
+        .alias("stratum"),
+    )
+    p = b.groupBy("stratum").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.count("*").cast("long").alias("n"),
+        (F.sum("t").cast("double") / F.count("*")).alias("ps"),
+    )
+    w = b.join(F.broadcast(p), "stratum").filter(
+        (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
+    )
+    iw = F.when(F.col("t") == 1, 1.0 / F.col("ps")).otherwise(
+        1.0 / (1.0 - F.col("ps"))
+    )
+    z = F.lit(0).cast("long")
+    s = w.agg(
+        F.sum(
+            F.when(F.col("t") == 1, F.floor(F.col("y") * iw).cast("long"))
+            .otherwise(z)
+        )
+        .cast("long")
+        .alias("wy_t"),
+        F.sum(
+            F.when(
+                F.col("t") == 1, F.floor(1_000_000.0 * iw).cast("long")
+            ).otherwise(z)
+        )
+        .cast("long")
+        .alias("wn_t"),
+        F.sum(
+            F.when(F.col("t") == 0, F.floor(F.col("y") * iw).cast("long"))
+            .otherwise(z)
+        )
+        .cast("long")
+        .alias("wy_c"),
+        F.sum(
+            F.when(
+                F.col("t") == 0, F.floor(1_000_000.0 * iw).cast("long")
+            ).otherwise(z)
+        )
+        .cast("long")
+        .alias("wn_c"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    mu_t = F.col("wy_t").cast("double") / (
+        F.col("wn_t").cast("double") / 1_000_000.0
+    )
+    mu_c = F.col("wy_c").cast("double") / (
+        F.col("wn_c").cast("double") / 1_000_000.0
+    )
+    return s.select(
+        "n_users",
+        (F.floor(mu_t * 1000.0) / 1_000_000.0).alias("mu_t_q6"),
+        (F.floor(mu_c * 1000.0) / 1_000_000.0).alias("mu_c_q6"),
+        (F.floor((mu_t - mu_c) * 1000.0) / 1_000_000.0).alias("ate_q6"),
+    )

@@ -1976,3 +1976,123 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_right_q6"),
     )
     return r_root.unionByName(r_sub)
+
+
+_HYST_HI = 1.3  # alert opens when hourly count > HI * daily-mean rate
+_HYST_LO = 0.8  # alert closes when it drops below LO * rate
+
+
+@register(
+    "ts_alert_hysteresis",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hour, y,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh
+  FROM h
+),
+c AS (
+  SELECT event_type, hour, y,
+         CASE WHEN y * nh > CAST({_HYST_HI} AS DOUBLE) * tot THEN 1
+              WHEN y * nh < CAST({_HYST_LO} AS DOUBLE) * tot THEN 0
+              ELSE NULL END AS crossing
+  FROM m
+),
+st AS (
+  SELECT event_type, hour, y,
+         COALESCE(CAST(last_value(crossing IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT), 0) AS alert
+  FROM c
+)
+SELECT event_type,
+       CAST(SUM(alert) AS BIGINT) AS hours_in_alert,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN alert = 1 AND COALESCE(lag_alert, 0) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+       floor(SUM(alert) * 1000000.0 / COUNT(*)) / 1000000.0
+         AS alert_frac_q6
+FROM (SELECT *, lag(alert) OVER (PARTITION BY event_type ORDER BY hour)
+               AS lag_alert FROM st)
+GROUP BY event_type
+""",
+    tags=("analytics", "timeseries"),
+)
+def ts_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis (Schmitt-trigger) alerting over the hourly rate per
+    event type: the alert OPENS when an hour exceeds {_HYST_HI}× the
+    type's mean hourly rate and only CLOSES when it falls below
+    {_HYST_LO}× — the two-threshold discipline every production
+    monitor uses to stop flapping at a single threshold (plain
+    thresholding is `stats_mad_outliers`'s job; this is its stateful
+    ops-grade sibling). The sequential state is expressed as
+    last-non-NULL crossing carried forward (the same LOCF idiom as
+    `ts_gapfill_locf`), so no fold is needed. Emits per type: hours in
+    alert, number of distinct alert episodes (0→1 edges), alert duty
+    fraction. Scale shape: one map-side-combined (type, hour) shuffle;
+    the state windows ride one (type)-keyed exchange of the tiny
+    hourly table. Determinism: the thresholds compare exact integers
+    cross-multiplied against the type totals (y·nh vs k·tot — one
+    DOUBLE multiply, no division); episode edges are integer lag
+    comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("y"))
+    wa = W.partitionBy("event_type")
+    m = h.select(
+        "event_type",
+        "hour",
+        "y",
+        F.sum("y").over(wa).cast("long").alias("tot"),
+        F.count("*").over(wa).cast("long").alias("nh"),
+    )
+    crossing = (
+        F.when(F.col("y") * F.col("nh") > _HYST_HI * F.col("tot"), 1)
+        .when(F.col("y") * F.col("nh") < _HYST_LO * F.col("tot"), 0)
+        .otherwise(F.lit(None))
+    )
+    c = m.select("event_type", "hour", "y", crossing.alias("crossing"))
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    st = c.select(
+        "event_type",
+        "hour",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(wcum).cast("long"),
+            F.lit(0),
+        ).alias("alert"),
+    )
+    lagged = st.select(
+        "event_type",
+        "alert",
+        F.lag("alert")
+        .over(W.partitionBy("event_type").orderBy("hour"))
+        .alias("lag_alert"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.sum("alert").cast("long").alias("hours_in_alert"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(
+            F.when(
+                (F.col("alert") == 1)
+                & (F.coalesce(F.col("lag_alert"), F.lit(0)) == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alerts"),
+        (
+            F.floor(F.sum("alert") * 1_000_000.0 / F.count("*"))
+            / 1_000_000.0
+        ).alias("alert_frac_q6"),
+    )

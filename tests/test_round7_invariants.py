@@ -312,3 +312,28 @@ def test_wav_zcr_bounds(spark, sf_dir):
         assert 0 <= r["n_voiced"] <= r["n_frames"]
         # PCM16 from byte payloads: peak is (b-128)*256 so <= 32768
         assert 0 <= r["peak_abs"] <= 32768
+
+
+def test_iptw_recovers_randomized_effect(spark, sf_dir):
+    row = REGISTRY["events_iptw_ate"].fn(spark, sf_dir).collect()[0]
+    assert row["n_users"] > 0
+    # the assignment IS randomized (hash), so the true effect is ~0 and
+    # propensities are ~0.5 in every stratum: the IPTW point estimate
+    # must sit near zero relative to the outcome scale
+    assert abs(row["ate_q6"]) < 0.5 * max(row["mu_t_q6"], row["mu_c_q6"])
+    assert row["mu_t_q6"] > 0 and row["mu_c_q6"] > 0
+
+
+def test_hysteresis_episode_accounting(spark, sf_dir):
+    rows = REGISTRY["ts_alert_hysteresis"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hours_in_alert"] <= r["n_hours"]
+        # an episode needs at least one alert hour; episodes can't
+        # outnumber alert hours
+        assert r["n_alerts"] <= max(r["hours_in_alert"], 0)
+        if r["hours_in_alert"] > 0:
+            assert r["n_alerts"] >= 1
+        assert abs(
+            r["alert_frac_q6"] - r["hours_in_alert"] / r["n_hours"]
+        ) < 1e-5
