@@ -578,6 +578,21 @@ _BNLJ_ALLOWED = {
     "ml_mrr_recall_at_k",
     # round 7: 1-row full-data variance broadcast into the |days| table
     "events_msprt_sequential",
+    # round 7 waves B-E: 1-row scalar broadcasts (time midpoint /
+    # stump state + totals / global uniformity row) crossJoined into
+    # small aggregated tables — the same shape as ks_drift
+    "stats_cvm_twosample",
+    "ml_gbm_residual_step",
+    "embed_alignment_uniformity",
+    # 1-row weight-total broadcast into the stratum table
+    "sample_neyman_allocation",
+    # 1-row root-split + totals broadcasts into the |days| prefix table
+    "ts_changepoint_binseg",
+    # 1-row corpus-total broadcast into the bounded joint-cell table
+    "stats_spearman_corr",
+    # theta self-join (a < b) of the k-row GROUP table: k(k-1)/2 pairs
+    # by construction, plus the 1-row pooled-variance broadcast
+    "stats_tukey_hsd",
 }
 
 
