@@ -1188,3 +1188,106 @@ def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+_SKEW_TARGET = 200  # target rows per (key, salt) reducer cell
+_SKEW_TOPK = 5
+
+
+@register(
+    "profile_shuffle_skew",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_c,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM k
+),
+t AS (
+  SELECT user_id, c,
+         CAST(row_number() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rk
+  FROM k QUALIFY rk <= {_SKEW_TOPK}
+)
+SELECT t.rk AS heavy_rank, t.user_id AS key_id, t.c AS key_rows,
+       s.n_keys, s.n_rows,
+       floor(CAST(s.max_c AS DOUBLE) * s.n_keys / s.n_rows * 1000000.0)
+         / 1000000.0 AS max_over_mean_q6,
+       floor(CAST(s.scc AS DOUBLE) * s.n_keys
+             / (CAST(s.n_rows AS DOUBLE) * s.n_rows) * 1000000.0)
+         / 1000000.0 AS l2_skew_q6,
+       CAST(ceil(CAST(s.max_c AS DOUBLE) / {_SKEW_TARGET}) AS BIGINT)
+         AS recommended_salts
+FROM t, s
+""",
+    tags=("etl", "profiling", "scale"),
+)
+def profile_shuffle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the measurement that decides whether
+    a join/aggregation key needs salting BEFORE the job hits the
+    straggler: per candidate key (user_id over events), the heavy-
+    hitter top-{_SKEW_TOPK}, max/mean ratio, the L2 skew factor
+    n·Σc²/(Σc)² (1.0 = perfectly uniform — the expected reducer
+    slowdown under hash partitioning), and the salt fan-out
+    ceil(max_key/{_SKEW_TARGET}) that `join_skew_salted` would need.
+    This is the profiling half of the skew story the engine already
+    mitigates (join_skew_salted, agg_skew_salted, AQE notes in
+    ARCHITECTURE.md). Scale shape: ONE map-side-combined key count,
+    1-row moment aggregate, a top-k rank window over the key table
+    (TakeOrdered-class, no global sort of raw rows). Determinism:
+    all moments exact int64; ties in the heavy-hitter rank broken by
+    key id; two final float divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    k = k.localCheckpoint(eager=False)
+    s = k.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    from pyspark.sql.window import Window
+
+    t = (
+        k.select(
+            "user_id",
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "user_id"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _SKEW_TOPK)
+    )
+    return t.crossJoin(F.broadcast(s)).select(
+        F.col("rk").alias("heavy_rank"),
+        F.col("user_id").alias("key_id"),
+        F.col("c").alias("key_rows"),
+        "n_keys",
+        "n_rows",
+        (
+            F.floor(
+                F.col("max_c").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("max_over_mean_q6"),
+        (
+            F.floor(
+                F.col("scc").cast("double")
+                * F.col("n_keys")
+                / (F.col("n_rows").cast("double") * F.col("n_rows"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("l2_skew_q6"),
+        F.ceil(F.col("max_c").cast("double") / _SKEW_TARGET)
+        .cast("long")
+        .alias("recommended_salts"),
+    )

@@ -2657,3 +2657,230 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holdout_rmse_q6"
         ),
     )
+
+
+_RIDGE_ETA = 0.5
+_RIDGE_LAM = 0.125  # binary-exact
+_RIDGE_STEPS = 25
+_RIDGE_DIM = 64
+
+# DuckDB macro: gradient step on the one-row (mat C/N, vec b/N) state.
+_RIDGE_GRAD = (
+    "list_transform(range(1, 65), i -> "
+    "list_extract(w, i) - {eta} * ("
+    "(list_dot_product(list_extract(cm, i), w)"
+    " - list_extract(bv, i))"
+    " + {lam} * list_extract(w, i)))"
+).format(eta=_RIDGE_ETA, lam=_RIDGE_LAM)
+
+
+@register(
+    "ml_ridge_probe",
+    oracle=f"""
+WITH RECURSIVE
+q AS (
+  SELECT CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+g AS (
+  SELECT gi.i AS i, gj.j AS j,
+         CAST(SUM(list_extract(qv, gi.i) * list_extract(qv, gj.j))
+           AS BIGINT) AS sxy
+  FROM q, generate_series(1, {_RIDGE_DIM}) gi(i),
+          generate_series(1, {_RIDGE_DIM}) gj(j)
+  GROUP BY 1, 2
+),
+bv0 AS (
+  SELECT gs.i AS i,
+         CAST(SUM(list_extract(qv, gs.i) * y) AS BIGINT) AS sy
+  FROM q, generate_series(1, {_RIDGE_DIM}) gs(i) GROUP BY 1
+),
+mat AS (
+  SELECT list(rw ORDER BY i) AS cm
+  FROM (SELECT i, list(CAST(sxy AS DOUBLE) / 1000000000000.0 / tot.n
+                       ORDER BY j) AS rw
+        FROM g, tot GROUP BY i) 
+),
+bvec AS (
+  SELECT list(CAST(sy AS DOUBLE) / 1000000.0 / tot.n ORDER BY i) AS bv
+  FROM bv0, tot
+),
+it(k, w) AS (
+  SELECT 0, list_transform(range(1, {_RIDGE_DIM} + 1),
+                           x -> CAST(0.0 AS DOUBLE))
+  UNION ALL
+  SELECT k + 1, {_RIDGE_GRAD}
+  FROM it, mat, bvec WHERE k < {_RIDGE_STEPS}
+),
+fin AS (SELECT w FROM it WHERE k = {_RIDGE_STEPS}),
+ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN (CASE WHEN list_dot_product(
+                list_transform(qv, v -> CAST(v AS DOUBLE) / 1000000.0),
+                fin.w) > 0.0 THEN 1 ELSE -1 END) = y
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM q, fin
+)
+SELECT ev.n, ev.n_correct, ev.n_pos,
+       floor(ev.n_correct * 1000000.0 / ev.n) / 1000000.0 AS accuracy_q6,
+       floor(sqrt(list_dot_product(fin.w, fin.w)) * 1000000.0) / 1000000.0
+         AS w_norm_q6
+FROM ev, fin
+""",
+    tags=("ml", "embedding", "iterative"),
+)
+def ml_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe on the embedding space — ridge regression against a
+    binary label (label<5), THE standard representation-quality probe
+    (if a linear readout separates the classes, the geometry encodes
+    them): minimize ‖Xw−y‖²/N + λ‖w‖² by {_RIDGE_STEPS} gradient steps
+    w ← w − η(Cw − b + λw) where C = XᵀX/N and b = Xᵀy/N are EXACT
+    sufficient statistics — the corpus collapses to d² + d integer
+    cells in one pass (the embed_covariance derivation, uncentered),
+    the solver never touches data again, and one second pass scores
+    train accuracy of sign(w·x). Scale shape: two corpus scans total
+    (moments; scoring against the broadcast 1-row w), both map-side
+    combined; the iteration is single-row array math. Determinism:
+    moment sums exact int64 on micro-quantized coordinates; gradient
+    and scoring dot products are sequential folds with identical IEEE
+    trees; η and λ binary-exact; unit-norm rows keep ‖C‖ ≤ 1 so the
+    fixed step size is stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(-1).alias("y"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv"),
+    )
+    tot = q.agg(F.count("*").cast("long").alias("n"))
+    a = q.select(F.posexplode("qv").alias("i", "xi"), "qv", "y")
+    gb = a.select(
+        F.col("i").cast("long").alias("i"),
+        "xi",
+        "y",
+        F.posexplode("qv").alias("j", "xj"),
+    )
+    g = gb.groupBy("i", F.col("j").cast("long").alias("j")).agg(
+        F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sxy")
+    )
+    bv0 = (
+        q.select("y", F.posexplode("qv").alias("i", "xi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum(F.col("xi") * F.col("y")).cast("long").alias("sy"))
+    )
+    mat = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("i")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "j",
+                        (
+                            F.col("sxy").cast("double")
+                            / 1_000_000_000_000.0
+                            / F.col("n")
+                        ).alias("c"),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("i", F.transform("p", lambda x: x["c"]).alias("rw"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "rw"))).alias("pp"))
+        .select(F.transform("pp", lambda x: x["rw"]).alias("cm"))
+    )
+    bvec = (
+        bv0.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        (
+                            F.col("sy").cast("double")
+                            / 1_000_000.0
+                            / F.col("n")
+                        ).alias("b"),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.transform("p", lambda x: x["b"]).alias("bv"))
+    )
+
+    def dot(a_, b_):
+        return F.aggregate(
+            F.zip_with(a_, b_, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    state = mat.crossJoin(F.broadcast(bvec))
+
+    def let(val, body):
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    # gradient step mirrors the oracle's exact IEEE tree:
+    # w_i - eta*((dot(C_i, w) - b_i) + lam*w_i); cw is let-bound so the
+    # 64 matvec dots evaluate once per step, not once per element
+    def gstep(w, _):
+        return let(
+            F.transform(F.col("cm"), lambda row: dot(row, w)),
+            lambda cw: F.transform(
+                w,
+                lambda wi, i: wi
+                - _RIDGE_ETA
+                * (
+                    (F.element_at(cw, i + 1) - F.element_at(F.col("bv"), i + 1))
+                    + _RIDGE_LAM * wi
+                ),
+            ),
+        )
+
+    fin = state.select(
+        F.aggregate(
+            F.array_repeat(F.lit(0), _RIDGE_STEPS),
+            F.array_repeat(F.lit(0.0), _RIDGE_DIM),
+            gstep,
+        ).alias("w")
+    )
+    ev = q.crossJoin(F.broadcast(fin)).select(
+        "y",
+        dot(
+            F.transform("qv", lambda v: v.cast("double") / 1_000_000.0),
+            F.col("w"),
+        ).alias("score"),
+    )
+    evs = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.when(F.col("score") > 0.0, 1).otherwise(-1) == F.col("y"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return evs.crossJoin(F.broadcast(fin)).select(
+        "n",
+        "n_correct",
+        "n_pos",
+        (F.floor(F.col("n_correct") * 1_000_000.0 / F.col("n")) / 1_000_000.0).alias(
+            "accuracy_q6"
+        ),
+        (
+            F.floor(F.sqrt(dot(F.col("w"), F.col("w"))) * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("w_norm_q6"),
+    )

@@ -593,6 +593,10 @@ _BNLJ_ALLOWED = {
     # theta self-join (a < b) of the k-row GROUP table: k(k-1)/2 pairs
     # by construction, plus the 1-row pooled-variance broadcast
     "stats_tukey_hsd",
+    # 1-row broadcasts: corpus total into moment cells / fitted weight
+    # vector into the scoring scan / key-moment row into the top-k table
+    "ml_ridge_probe",
+    "profile_shuffle_skew",
 }
 
 

@@ -337,3 +337,32 @@ def test_hysteresis_episode_accounting(spark, sf_dir):
         assert abs(
             r["alert_frac_q6"] - r["hours_in_alert"] / r["n_hours"]
         ) < 1e-5
+
+
+def test_shuffle_skew_profile_consistency(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["profile_shuffle_skew"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["heavy_rank"],
+    )
+    assert 1 <= len(rows) <= 5
+    counts = [r["key_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    r = rows[0]
+    # L2 skew factor >= 1 (Cauchy-Schwarz, equality iff uniform)
+    assert r["l2_skew_q6"] >= 1.0 - 1e-6
+    # the heaviest key IS the max: ratio consistent
+    assert r["max_over_mean_q6"] >= 1.0 - 1e-6
+    assert r["recommended_salts"] >= 1
+    assert r["key_rows"] <= r["n_rows"]
+
+
+def test_ridge_probe_beats_majority_class(spark, sf_dir):
+    row = REGISTRY["ml_ridge_probe"].fn(spark, sf_dir).collect()[0]
+    assert row["n"] > 0
+    maj = max(row["n_pos"], row["n"] - row["n_pos"]) / row["n"]
+    # the 10 clusters are label-independent BUT ridge on 64 dims can
+    # still fit some signal; at minimum the probe must not be
+    # degenerate (predicting one class everywhere scores exactly maj)
+    assert 0.0 < row["accuracy_q6"] <= 1.0
+    assert row["accuracy_q6"] >= maj - 0.1
+    assert row["w_norm_q6"] >= 0.0
