@@ -2472,3 +2472,94 @@ def text_readability_smog(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("smog_q6"),
     )
+
+
+_WM_GAMMA_PCT = 25  # green-list fraction (percent)
+_WM_Z = 4.0  # detection threshold (Kirchenbauer et al.'s z > 4)
+
+
+@register(
+    "text_watermark_greenlist",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) - 1 AS BIGINT) AS n_scored,
+         CAST(COALESCE(list_sum(list_transform(range(2, len(toks) + 1),
+           i -> CASE WHEN CAST('0x' || substr(md5(
+                  list_extract(toks, i - 1) || '|'
+                  || list_extract(toks, i)), 1, 8) AS BIGINT) % 100
+                  < {_WM_GAMMA_PCT}
+                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_green
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, n_scored, n_green,
+       floor((n_green - {_WM_GAMMA_PCT / 100.0} * n_scored)
+             / sqrt(n_scored * {_WM_GAMMA_PCT / 100.0}
+                    * (1.0 - {_WM_GAMMA_PCT / 100.0}))
+             * 1000000.0) / 1000000.0 AS z_q6,
+       (n_green - {_WM_GAMMA_PCT / 100.0} * n_scored)
+         / sqrt(n_scored * {_WM_GAMMA_PCT / 100.0}
+                * (1.0 - {_WM_GAMMA_PCT / 100.0})) > {_WM_Z}
+         AS watermarked
+FROM s
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection (Kirchenbauer et al. 2023's green-list
+    scheme): each token is "green" iff a hash seeded by its PREDECESSOR
+    lands in the γ={_WM_GAMMA_PCT}% list; a watermarking sampler biases
+    generation toward green tokens, so watermarked text shows a
+    one-sided z = (g − γT)/√(Tγ(1−γ)) ≫ 0 while natural text sits near
+    zero — the standard synthetic-text provenance screen a training
+    pipeline runs to keep model output out of the training corpus
+    (beside `decontam_ngram`'s eval-leak screen). Scale shape: ZERO
+    shuffle — the predecessor pairing and green test run inside the
+    token array per row (one md5 per adjacent pair, whole-stage
+    codegen); one column-pruned scan at any corpus size. Determinism:
+    md5-derived greens are engine-identical exact ints; γ is a binary-
+    exact 0.25; single-token docs are excluded on both engines (no
+    scorable pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    green = lambda prev, cur: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(prev, F.lit("|"), cur)), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < _WM_GAMMA_PCT
+    ).cast("int")
+    s = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            (F.size(toks) - 1).cast("long").alias("n_scored"),
+            F.coalesce(
+                F.aggregate(
+                    F.sequence(F.lit(2), F.size(toks)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc
+                    + green(
+                        F.element_at(toks, (i - 1).cast("int")),
+                        F.element_at(toks, i.cast("int")),
+                    ),
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_green"),
+        )
+    )
+    gamma = _WM_GAMMA_PCT / 100.0
+    z = (F.col("n_green") - gamma * F.col("n_scored")) / F.sqrt(
+        F.col("n_scored") * gamma * (1.0 - gamma)
+    )
+    return s.select(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        (F.floor(z * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
+        (z > _WM_Z).alias("watermarked"),
+    )

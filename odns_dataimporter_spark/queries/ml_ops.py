@@ -2884,3 +2884,256 @@ def ml_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("w_norm_q6"),
     )
+
+
+_PLATT_STEPS = 8
+
+# DuckDB fold macros over the sorted bins list `bins` (struct s, c1, n)
+# given current (a, b). Each is a SEQUENTIAL list_reduce with a scalar
+# DOUBLE accumulator (safe — only list-typed accumulators are broken).
+def _platt_sum(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(bins, t -> " + expr + ")), (x, y) -> x + y)"
+    )
+
+
+_PLATT_P = "(1.0 / (1.0 + exp(-(a * (t.s / 1000.0) + b))))"
+_PLATT_S1 = _platt_sum(
+    f"t.n * {_PLATT_P} * (1.0 - {_PLATT_P}) * (t.s / 1000.0)"
+    " * (t.s / 1000.0)"
+)
+_PLATT_S2 = _platt_sum(
+    f"t.n * {_PLATT_P} * (1.0 - {_PLATT_P}) * (t.s / 1000.0)"
+)
+_PLATT_S3 = _platt_sum(f"t.n * {_PLATT_P} * (1.0 - {_PLATT_P})")
+_PLATT_G1 = _platt_sum(f"(t.n * {_PLATT_P} - t.c1) * (t.s / 1000.0)")
+_PLATT_G2 = _platt_sum(f"(t.n * {_PLATT_P} - t.c1)")
+_PLATT_DET = f"({_PLATT_S1} * {_PLATT_S3} - {_PLATT_S2} * {_PLATT_S2})"
+
+
+@register(
+    "ml_platt_calibration",
+    oracle=f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         (CAST('0x' || substr(md5('auc|' || CAST(o_orderkey AS VARCHAR)),
+               1, 8) AS BIGINT) % {_AUC_NOISE})
+         + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+h AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n
+  FROM raw GROUP BY s
+),
+bl AS (
+  SELECT list(struct_pack(s := s, c1 := c1, n := n) ORDER BY s) AS bins,
+         CAST(SUM(c1) AS BIGINT) AS pos,
+         CAST(SUM(n) AS BIGINT) AS tot
+  FROM h
+),
+it(k, a, b) AS (
+  SELECT 0, CAST(0 AS DOUBLE),
+         ln(CAST(pos AS DOUBLE) / (tot - pos))
+  FROM bl
+  UNION ALL
+  SELECT k + 1,
+         a - ({_PLATT_S3} * {_PLATT_G1} - {_PLATT_S2} * {_PLATT_G2})
+               / {_PLATT_DET},
+         b - ({_PLATT_S1} * {_PLATT_G2} - {_PLATT_S2} * {_PLATT_G1})
+               / {_PLATT_DET}
+  FROM it, bl WHERE k < {_PLATT_STEPS}
+),
+fin AS (SELECT a, b FROM it WHERE k = {_PLATT_STEPS}),
+nll AS (
+  SELECT
+    CAST(SUM(CASE WHEN c1 > 0 AND c1 < n THEN
+         CAST(floor((c1 * ln(CAST(c1 AS DOUBLE) / n)
+         + (n - c1) * ln(1.0 - CAST(c1 AS DOUBLE) / n)) * 1000000.0)
+         AS BIGINT) END) AS BIGINT) AS sat_micro,
+    CAST(SUM(CAST(floor((c1 * ln(1.0 / (1.0 + exp(-(fin.a * (s / 1000.0)
+           + fin.b))))
+         + (n - c1) * ln(1.0 - 1.0 / (1.0 + exp(-(fin.a * (s / 1000.0)
+           + fin.b))))) * 1000000.0) AS BIGINT)) AS BIGINT) AS cal_micro
+  FROM h, fin
+)
+SELECT CAST(len(bl.bins) AS BIGINT) AS n_bins, bl.pos, bl.tot,
+       floor(fin.a * 1000000.0) / 1000000.0 AS platt_a_q6,
+       floor(fin.b * 1000000.0) / 1000000.0 AS platt_b_q6,
+       floor(-(CAST(nll.cal_micro AS DOUBLE) / 1000000.0) / bl.tot
+             * 1000000.0) / 1000000.0 AS nll_calibrated_q6,
+       floor(-(CAST(nll.sat_micro AS DOUBLE) / 1000000.0) / bl.tot
+             * 1000000.0) / 1000000.0 AS nll_saturated_q6
+FROM bl, fin, nll
+""",
+    tags=("ml", "iterative"),
+)
+def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling — fit the sigmoid calibrator P(y=1|s) = σ(A·s + B)
+    by {_PLATT_STEPS} Newton-Raphson steps, turning the raw hash-model
+    score (shared with `ml_auc_roc`/`ml_calibration_ece`) into an
+    actual probability — the post-hoc calibration fit that ECE only
+    MEASURES. The scale mechanism: scores collapse to their bounded
+    distinct-value histogram in one pass, and every Newton quantity
+    (2-param gradient + 2x2 Hessian, solved in closed form) is a
+    sequential fold over that tiny sorted bins array on ONE row —
+    identical IEEE trees on both engines, data never rescanned.
+    Reported against the saturated (per-bin empirical) NLL as the
+    attainable floor. Determinism: histogram counts exact int64; the
+    Newton iteration runs in a recursive CTE / single-row F.aggregate
+    with let-bound shared sums; NLL terms floor-quantize to int64
+    micros per bin before summing (order-free); the init prior
+    log-odds is one exact-count ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    raw = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    h = raw.groupBy("s").agg(
+        F.sum("y").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    h = h.localCheckpoint(eager=False)
+    bl = h.agg(
+        F.array_sort(F.collect_list(F.struct("s", "c1", "n"))).alias(
+            "bins"
+        ),
+        F.sum("c1").cast("long").alias("pos"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+
+    def let(val, body):
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    bins = F.col("bins")
+
+    def sig(a, b, t):
+        return 1.0 / (1.0 + F.exp(-(a * (t["s"] / 1000.0) + b)))
+
+    def fsum(fn):
+        return F.aggregate(bins, F.lit(0.0), lambda x, t: x + fn(t))
+
+    def step(acc, _):
+        a, b = acc[0], acc[1]
+
+        def p(t):
+            return sig(a, b, t)
+
+        s1 = fsum(
+            lambda t: t["n"]
+            * p(t)
+            * (1.0 - p(t))
+            * (t["s"] / 1000.0)
+            * (t["s"] / 1000.0)
+        )
+        s2 = fsum(
+            lambda t: t["n"] * p(t) * (1.0 - p(t)) * (t["s"] / 1000.0)
+        )
+        s3 = fsum(lambda t: t["n"] * p(t) * (1.0 - p(t)))
+        g1 = fsum(lambda t: (t["n"] * p(t) - t["c1"]) * (t["s"] / 1000.0))
+        g2 = fsum(lambda t: (t["n"] * p(t) - t["c1"]))
+        det = s1 * s3 - s2 * s2
+        return F.array(
+            a - (s3 * g1 - s2 * g2) / det,
+            b - (s1 * g2 - s2 * g1) / det,
+        )
+
+    init = F.array(
+        F.lit(0.0),
+        F.log(
+            F.col("pos").cast("double") / (F.col("tot") - F.col("pos"))
+        ),
+    )
+    fin = bl.select(
+        "bins",
+        "pos",
+        "tot",
+        F.aggregate(
+            F.array_repeat(F.lit(0), _PLATT_STEPS), init, step
+        ).alias("ab"),
+    )
+    fin = fin.localCheckpoint(eager=False)
+    a_, b_ = F.col("a"), F.col("b")
+    fin1 = fin.select(
+        F.size("bins").cast("long").alias("n_bins"),
+        "pos",
+        "tot",
+        F.col("ab")[0].alias("a"),
+        F.col("ab")[1].alias("b"),
+    )
+    pcal = 1.0 / (1.0 + F.exp(-(a_ * (F.col("s") / 1000.0) + b_)))
+    nll = (
+        h.crossJoin(F.broadcast(fin1))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("c1") > 0) & (F.col("c1") < F.col("n")),
+                    F.floor(
+                        (
+                            F.col("c1")
+                            * F.log(
+                                F.col("c1").cast("double") / F.col("n")
+                            )
+                            + (F.col("n") - F.col("c1"))
+                            * F.log(
+                                1.0
+                                - F.col("c1").cast("double") / F.col("n")
+                            )
+                        )
+                        * 1_000_000.0
+                    ).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("sat_micro"),
+            F.sum(
+                F.floor(
+                    (
+                        F.col("c1") * F.log(pcal)
+                        + (F.col("n") - F.col("c1")) * F.log(1.0 - pcal)
+                    )
+                    * 1_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cal_micro"),
+        )
+    )
+    return fin1.crossJoin(F.broadcast(nll)).select(
+        "n_bins",
+        "pos",
+        "tot",
+        (F.floor(F.col("a") * 1_000_000.0) / 1_000_000.0).alias(
+            "platt_a_q6"
+        ),
+        (F.floor(F.col("b") * 1_000_000.0) / 1_000_000.0).alias(
+            "platt_b_q6"
+        ),
+        (
+            F.floor(
+                -(F.col("cal_micro").cast("double") / 1_000_000.0)
+                / F.col("tot")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("nll_calibrated_q6"),
+        (
+            F.floor(
+                -(F.col("sat_micro").cast("double") / 1_000_000.0)
+                / F.col("tot")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("nll_saturated_q6"),
+    )

@@ -597,6 +597,8 @@ _BNLJ_ALLOWED = {
     # vector into the scoring scan / key-moment row into the top-k table
     "ml_ridge_probe",
     "profile_shuffle_skew",
+    # 1-row fitted (A, B) + NLL broadcasts into the bins histogram
+    "ml_platt_calibration",
 }
 
 

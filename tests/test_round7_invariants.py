@@ -366,3 +366,32 @@ def test_ridge_probe_beats_majority_class(spark, sf_dir):
     assert 0.0 < row["accuracy_q6"] <= 1.0
     assert row["accuracy_q6"] >= maj - 0.1
     assert row["w_norm_q6"] >= 0.0
+
+
+def test_platt_improves_on_uncalibrated_and_bounded_by_saturated(
+    spark, sf_dir
+):
+    row = REGISTRY["ml_platt_calibration"].fn(spark, sf_dir).collect()[0]
+    assert row["n_bins"] >= 2
+    assert 0 < row["pos"] < row["tot"]
+    # NLLs are positive and the saturated model (when defined) is the
+    # attainable floor for any calibrator on the same bins
+    assert row["nll_calibrated_q6"] > 0
+    if row["nll_saturated_q6"] is not None:
+        assert row["nll_calibrated_q6"] >= row["nll_saturated_q6"] - 1e-4
+    # the synthetic score has positive lift: the fitted slope must be
+    # positive (higher score => higher probability)
+    assert row["platt_a_q6"] > 0
+
+
+def test_watermark_natural_text_near_null(spark, sf_dir):
+    rows = REGISTRY["text_watermark_greenlist"].fn(spark, sf_dir).collect()
+    assert rows
+    n_flagged = sum(1 for r in rows if r["watermarked"])
+    for r in rows:
+        assert 0 <= r["n_green"] <= r["n_scored"]
+    # natural (hash-random) text: green rate ~ gamma, z ~ N(0,1); a
+    # z>4 flag should be a <<1% event
+    assert n_flagged <= max(1, len(rows) // 50)
+    mean_z = sum(r["z_q6"] for r in rows) / len(rows)
+    assert abs(mean_z) < 1.0
