@@ -2350,3 +2350,156 @@ def embed_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uniformity_q6"),
         "n_pairs",
     )
+
+
+@register(
+    "embed_drift_mahalanobis",
+    oracle="""
+WITH q AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+d AS (
+  SELECT half, gs.i AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(list_extract(qv, gs.i)) AS BIGINT) AS s,
+         CAST(SUM(list_extract(qv, gs.i) * list_extract(qv, gs.i))
+           AS BIGINT) AS ss
+  FROM q, generate_series(1, 64) gs(i) GROUP BY 1, 2
+),
+j AS (
+  SELECT a.dim,
+         CAST(a.s AS DOUBLE) / a.n / 1000000.0 AS mu_a,
+         CAST(b.s AS DOUBLE) / b.n / 1000000.0 AS mu_b,
+         ((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / a.n
+          + (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+            / b.n) / 2000000000000.0 AS var_pooled,
+         a.n AS n_a, b.n AS n_b
+  FROM d a JOIN d b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+  WHERE a.n * a.ss > a.s * a.s OR b.n * b.ss > b.s * b.s
+),
+t AS (
+  SELECT CAST(SUM(CAST(floor((mu_a - mu_b) * (mu_a - mu_b)
+                / var_pooled * 1000000000.0) AS BIGINT)) AS BIGINT)
+           AS d2_nano,
+         CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN (mu_a - mu_b) * (mu_a - mu_b) / var_pooled
+                  > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_dims
+  FROM j
+)
+SELECT n_a, n_b,
+       CAST(d2_nano AS BIGINT) / 1000000000.0 AS mahalanobis2_q9,
+       n_drifted_dims,
+       CAST(d2_nano AS DOUBLE) / 1000000000.0
+         / (1.0 / n_a + 1.0 / n_b) > 88.0 AS drift_alarm
+FROM t
+""",
+    tags=("llm", "embedding", "stats"),
+)
+def embed_drift_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: Mahalanobis² distance (diagonal-
+    covariance form, the standard high-d simplification — documented)
+    between the mean vectors of two corpus halves (even/odd vec_id
+    stands in for reference-window vs live-window), per-dimension
+    drift flags, and a χ²-scaled alarm (D²/(1/n₁+1/n₂) against the
+    d=64 χ² 0.975 quantile ≈ 88) — the embedding counterpart of
+    `stats_psi_drift`: value-level monitors can't see a representation
+    rotating under a re-trained encoder; this can. Scale shape: ONE
+    map-side-combined (half, dim) moment pass (64-row posexplode per
+    vector), a 64-row join, a 1-row reduce — no pairwise anything.
+    Determinism: per-dim moments exact int64 on micro-quantized
+    coordinates; each dimension's D² term floor-quantizes to int64
+    nanos before the cross-dim sum; dimensions with zero pooled spread
+    (degenerate single-vector halves — no drift information, and ANSI
+    doubles error on /0) are excluded by an exact integer predicate on
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1_000_000.0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "x"),
+    )
+    d = q.groupBy("half", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    a = d.filter(F.col("half") == 0).select(
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = d.filter(F.col("half") == 1).select(
+        F.col("dim").alias("dim_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, F.col("dim") == F.col("dim_b")).filter(
+        (F.col("n_a") * F.col("ss_a") > F.col("s_a") * F.col("s_a"))
+        | (F.col("n_b") * F.col("ss_b") > F.col("s_b") * F.col("s_b"))
+    ).select(
+        (F.col("s_a").cast("double") / F.col("n_a") / 1_000_000.0).alias(
+            "mu_a"
+        ),
+        (F.col("s_b").cast("double") / F.col("n_b") / 1_000_000.0).alias(
+            "mu_b"
+        ),
+        (
+            (
+                (
+                    F.col("ss_a").cast("double")
+                    - F.col("s_a").cast("double")
+                    * F.col("s_a")
+                    / F.col("n_a")
+                )
+                / F.col("n_a")
+                + (
+                    F.col("ss_b").cast("double")
+                    - F.col("s_b").cast("double")
+                    * F.col("s_b")
+                    / F.col("n_b")
+                )
+                / F.col("n_b")
+            )
+            / 2_000_000_000_000.0
+        ).alias("var_pooled"),
+        "n_a",
+        "n_b",
+    )
+    term = (
+        (F.col("mu_a") - F.col("mu_b"))
+        * (F.col("mu_a") - F.col("mu_b"))
+        / F.col("var_pooled")
+    )
+    t = j.agg(
+        F.sum(F.floor(term * 1_000_000_000.0).cast("long"))
+        .cast("long")
+        .alias("d2_nano"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.when(term > 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_drifted_dims"),
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        (F.col("d2_nano") / 1_000_000_000.0).alias("mahalanobis2_q9"),
+        "n_drifted_dims",
+        (
+            F.col("d2_nano").cast("double")
+            / 1_000_000_000.0
+            / (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            > 88.0
+        ).alias("drift_alarm"),
+    )

@@ -395,3 +395,13 @@ def test_watermark_natural_text_near_null(spark, sf_dir):
     assert n_flagged <= max(1, len(rows) // 50)
     mean_z = sum(r["z_q6"] for r in rows) / len(rows)
     assert abs(mean_z) < 1.0
+
+
+def test_mahalanobis_drift_null_on_random_split(spark, sf_dir):
+    row = REGISTRY["embed_drift_mahalanobis"].fn(spark, sf_dir).collect()[0]
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    assert row["mahalanobis2_q9"] >= 0.0
+    # even/odd vec_id is a random split of the SAME distribution: the
+    # scaled statistic must not scream drift
+    assert not row["drift_alarm"]
+    assert 0 <= row["n_drifted_dims"] <= 64
