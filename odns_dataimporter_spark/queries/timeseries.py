@@ -2096,3 +2096,124 @@ def ts_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("alert_frac_q6"),
     )
+
+
+_CRO_A = 0.25  # Croston smoothing constant (binary-exact)
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+nz AS (
+  SELECT y, t, CAST(t - lag(t, 1, 0) OVER (ORDER BY t) AS BIGINT) AS q
+  FROM (SELECT y, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t
+        FROM d)
+  WHERE y > 0
+),
+o AS (
+  SELECT y, q,
+         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS k,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM nz
+),
+it(k, z, p) AS (
+  SELECT 1, CAST(y AS DOUBLE), CAST(q AS DOUBLE) FROM o WHERE k = 1
+  UNION ALL
+  SELECT o.k,
+         {_CRO_A} * o.y + (1.0 - {_CRO_A}) * it.z,
+         {_CRO_A} * o.q + (1.0 - {_CRO_A}) * it.p
+  FROM it JOIN o ON o.k = it.k + 1
+),
+fin AS (SELECT z, p FROM it ORDER BY k DESC LIMIT 1)
+SELECT (SELECT MAX(m) FROM o) AS n_nonzero,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_hours,
+       floor(fin.z * 1000000.0) / 1000000.0 AS size_hat_q6,
+       floor(fin.p * 1000000.0) / 1000000.0 AS interval_hat_q6,
+       floor(fin.z / fin.p * 1000000.0) / 1000000.0 AS demand_rate_q6
+FROM fin
+""",
+    tags=("analytics", "timeseries", "iterative"),
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (the standard sparse-
+    series forecaster where Holt/SES fail — spare parts, rare
+    purchases): maintain TWO exponential smoothers, one over the
+    nonzero demand sizes and one over the inter-demand intervals,
+    updated ONLY at nonzero observations; the demand-rate forecast is
+    their ratio ẑ/p̂. Runs on the hourly purchase-count series (zeros
+    are the point). Scale shape: one map-side-combined hour aggregate;
+    the nonzero subsequence collapses to one array row and the coupled
+    fold runs inside it (kalman/holt discipline — state never leaves
+    the row). Determinism: demand sizes and intervals are exact
+    integers entering the fold; α = 0.25 binary-exact; both smoothers
+    update with identical IEEE trees (oracle = recursive CTE over the
+    row_number-ordered nonzero table); init is the first observation
+    pair, with the first interval defined as its index gap from the
+    series start (documented convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    rn = F.row_number().over(W.orderBy("hr"))
+    base = d.select("hr", "y", rn.cast("long").alias("t"))
+    nz = base.filter(F.col("y") > 0).select(
+        "y",
+        "t",
+        (
+            F.col("t")
+            - F.coalesce(
+                F.lag("t").over(W.orderBy("t")), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    tot_hours = d.agg(F.count("*").cast("long").alias("n_hours"))
+    arr = nz.agg(
+        F.array_sort(F.collect_list(F.struct("t", "y", "q"))).alias("p"),
+        F.count("*").cast("long").alias("n_nonzero"),
+    )
+
+    def step(acc, o):
+        return F.struct(
+            (_CRO_A * o["y"] + (1.0 - _CRO_A) * acc["z"]).alias("z"),
+            (_CRO_A * o["q"] + (1.0 - _CRO_A) * acc["p"]).alias("p"),
+        )
+
+    first = F.element_at(F.col("p"), 1)
+    init = F.struct(
+        first["y"].cast("double").alias("z"),
+        first["q"].cast("double").alias("p"),
+    )
+    fin = arr.select(
+        "n_nonzero",
+        F.aggregate(
+            F.slice(
+                F.col("p"), 2, F.greatest(F.size("p") - 1, F.lit(0))
+            ),
+            init,
+            step,
+        ).alias("st"),
+    )
+    return fin.crossJoin(F.broadcast(tot_hours)).select(
+        "n_nonzero",
+        "n_hours",
+        (F.floor(F.col("st.z") * 1_000_000.0) / 1_000_000.0).alias(
+            "size_hat_q6"
+        ),
+        (F.floor(F.col("st.p") * 1_000_000.0) / 1_000_000.0).alias(
+            "interval_hat_q6"
+        ),
+        (
+            F.floor(F.col("st.z") / F.col("st.p") * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("demand_rate_q6"),
+    )

@@ -405,3 +405,16 @@ def test_mahalanobis_drift_null_on_random_split(spark, sf_dir):
     # scaled statistic must not scream drift
     assert not row["drift_alarm"]
     assert 0 <= row["n_drifted_dims"] <= 64
+
+
+def test_croston_state_within_observed_range(spark, sf_dir):
+    row = (
+        REGISTRY["ts_croston_intermittent"].fn(spark, sf_dir).collect()[0]
+    )
+    assert 0 < row["n_nonzero"] <= row["n_hours"]
+    # smoothed size is a convex combination of observed sizes (>= 1);
+    # smoothed interval of observed intervals (>= 1)
+    assert row["size_hat_q6"] >= 1.0 - 1e-6
+    assert row["interval_hat_q6"] >= 1.0 - 1e-6
+    # rate = size/interval is bounded by the max hourly demand
+    assert 0 < row["demand_rate_q6"] <= row["size_hat_q6"] + 1e-6
