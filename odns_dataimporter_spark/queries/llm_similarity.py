@@ -2251,23 +2251,24 @@ def embed_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
         ).alias("qv"),
     )
-    sq = q.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_c"),
-        F.sum(
-            F.aggregate(
-                F.transform("qv", lambda v: v * v),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            )
-        )
-        .cast("long")
-        .alias("ssq"),
-    )
-    ds = (
+    # ONE posexplode pass yields both the per-(label, dim) sums and,
+    # summed over dims, the per-label moment aggregates (keeps the
+    # embeddings scan count at 3: moments + the two pair-join branches)
+    ds_full = (
         q.select("label", F.posexplode("qv").alias("dim0", "x"))
         .groupBy("label", "dim0")
-        .agg(F.sum("x").cast("long").alias("s"))
+        .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+            F.count("*").cast("long").alias("nc"),
+        )
     )
+    ds_full = ds_full.localCheckpoint(eager=False)
+    sq = ds_full.groupBy("label").agg(
+        F.max("nc").cast("long").alias("n_c"),
+        F.sum("s2").cast("long").alias("ssq"),
+    )
+    ds = ds_full.select("label", "dim0", "s")
     ss = (
         ds.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim0", "s"))).alias("p"))

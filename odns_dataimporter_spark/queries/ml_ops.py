@@ -2757,7 +2757,10 @@ def ml_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
         ).alias("qv"),
     )
-    tot = q.agg(F.count("*").cast("long").alias("n"))
+    # ONE double-posexplode aggregation carries the full Gram matrix
+    # AND (on the j=0 slice, where every row of the corpus contributes
+    # exactly once per i) the X^T y vector and the row count — so the
+    # moments cost exactly one embeddings scan
     a = q.select(F.posexplode("qv").alias("i", "xi"), "qv", "y")
     gb = a.select(
         F.col("i").cast("long").alias("i"),
@@ -2765,14 +2768,18 @@ def ml_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.posexplode("qv").alias("j", "xj"),
     )
-    g = gb.groupBy("i", F.col("j").cast("long").alias("j")).agg(
-        F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sxy")
+    g_all = gb.groupBy("i", F.col("j").cast("long").alias("j")).agg(
+        F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sxy"),
+        F.sum(F.col("xi") * F.col("y")).cast("long").alias("sy"),
+        F.count("*").cast("long").alias("cnt"),
     )
-    bv0 = (
-        q.select("y", F.posexplode("qv").alias("i", "xi"))
-        .groupBy(F.col("i").cast("long").alias("i"))
-        .agg(F.sum(F.col("xi") * F.col("y")).cast("long").alias("sy"))
+    g_all = g_all.localCheckpoint(eager=False)
+    g = g_all.select("i", "j", "sxy")
+    tot = (
+        g_all.filter((F.col("i") == 0) & (F.col("j") == 0))
+        .select(F.col("cnt").alias("n"))
     )
+    bv0 = g_all.filter(F.col("j") == 0).select("i", "sy")
     mat = (
         g.crossJoin(F.broadcast(tot))
         .groupBy("i")
@@ -2851,6 +2858,8 @@ def ml_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             gstep,
         ).alias("w")
     )
+    # two consumers (scoring scan + final norm): pin the 1-row weights
+    fin = fin.localCheckpoint(eager=False)
     ev = q.crossJoin(F.broadcast(fin)).select(
         "y",
         dot(

@@ -1882,6 +1882,9 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").over(wall).cast("long").alias("s"),
         F.count("*").over(wall).cast("long").alias("dd"),
     )
+    # four consumers (root argmax, side candidates, totals) — pin the
+    # tiny |days| prefix table once so events is scanned exactly once
+    pp = pp.localCheckpoint(eager=False)
     g_root = F.col("cy").cast("double") * F.col("cy") / F.col("t") + (
         F.col("s") - F.col("cy")
     ).cast("double") * (F.col("s") - F.col("cy")) / (
