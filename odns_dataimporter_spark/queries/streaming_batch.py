@@ -330,3 +330,93 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("v_ts").alias("view_ts"),
         ts_str("p_ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "stream_alert_hysteresis",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, hour,
+         CASE WHEN y > 3 THEN 1 WHEN y < 2 THEN 0 ELSE NULL END
+           AS crossing
+  FROM h
+),
+st AS (
+  SELECT event_type, hour,
+         COALESCE(CAST(last_value(crossing IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT), 0) AS alert
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(alert) AS BIGINT) AS hours_in_alert,
+       CAST(SUM(CASE WHEN alert = 1 AND COALESCE(lag_alert, 0) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+FROM (SELECT *, lag(alert) OVER (PARTITION BY event_type ORDER BY hour)
+               AS lag_alert FROM st)
+GROUP BY event_type
+""",
+    tags=("streaming", "analytics"),
+)
+def stream_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of jobs.stream_hysteresis_alerts: Schmitt-trigger
+    alert accounting with FIXED absolute thresholds (open when an
+    hourly count > 3, close when < 2 — the streaming monitor can't
+    know the full-series mean, unlike `ts_alert_hysteresis`'s
+    relative thresholds) expressed with the LOCF last-non-NULL window
+    idiom. The batch↔stream equivalence test
+    (tests/test_streaming.py) pins that the applyInPandasWithState
+    sequential state machine and this declarative form agree row for
+    row. Shape: one (type, hour) map-side-combined shuffle + per-type
+    ordered windows over the tiny hourly table."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("y"))
+    crossing = (
+        F.when(F.col("y") > 3, 1)
+        .when(F.col("y") < 2, 0)
+        .otherwise(F.lit(None))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    st = h.select(
+        "event_type",
+        "hour",
+        F.coalesce(
+            F.last(crossing, ignorenulls=True).over(wcum).cast("long"),
+            F.lit(0),
+        ).alias("alert"),
+    )
+    lagged = st.select(
+        "event_type",
+        "alert",
+        F.lag("alert")
+        .over(W.partitionBy("event_type").orderBy("hour"))
+        .alias("lag_alert"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("alert").cast("long").alias("hours_in_alert"),
+        F.sum(
+            F.when(
+                (F.col("alert") == 1)
+                & (F.coalesce(F.col("lag_alert"), F.lit(0)) == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alerts"),
+    )

@@ -482,3 +482,92 @@ def stream_jdbc_upsert(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+# Fixed absolute hysteresis thresholds (a streaming monitor can't know
+# the full-series mean upfront — production would load these from a
+# reference window). Alert opens when an hourly count EXCEEDS HI and
+# closes when it drops BELOW LO.
+HYST_HI = 3
+HYST_LO = 2
+
+_HYST_STATE = T.StructType(
+    [
+        T.StructField("alert", T.LongType()),
+        T.StructField("episodes", T.LongType()),
+        T.StructField("hours_alert", T.LongType()),
+        T.StructField("hours_seen", T.LongType()),
+    ]
+)
+_HYST_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_hours", T.LongType()),
+        T.StructField("hours_in_alert", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+    ]
+)
+
+
+def _hysteresis_per_type(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState worker: Schmitt-trigger alert state over
+    the key's hourly counts, processed in hour order. State carries
+    (alert flag, episode count, alert-hours, hours seen) across
+    micro-batches; within a batch the rows are bucketed to hours in
+    pandas. Single-trigger availableNow delivers each hour exactly
+    once; a multi-trigger deployment would hold the open hour's
+    partial count in state via transformWithState timers (see
+    stream_transform_with_state)."""
+    alert, episodes, hours_alert, hours_seen = (
+        tuple(state.get) if state.exists else (0, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        hours = (
+            pdf.assign(hour=pdf["ts"].dt.floor("h"))
+            .groupby("hour")
+            .size()
+            .sort_index()
+        )
+        for _, y in hours.items():
+            if y > HYST_HI and not alert:
+                alert = 1
+                episodes += 1
+            elif y < HYST_LO and alert:
+                alert = 0
+            hours_alert += alert
+            hours_seen += 1
+    state.update((alert, episodes, hours_alert, hours_seen))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_hours": [hours_seen],
+            "hours_in_alert": [hours_alert],
+            "n_alerts": [episodes],
+        }
+    )
+
+
+def stream_hysteresis_alerts(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming Schmitt-trigger alerting: per event type, hysteresis
+    alert state (open > {HI}, close < {LO}) maintained across
+    micro-batches via applyInPandasWithState — the streaming twin of
+    the batch `stream_alert_hysteresis` query, demonstrating stateful
+    sequential logic that tumbling windows can't express (the alert
+    flag depends on the entire history, not a window)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, src_dir)
+    out = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hysteresis_per_type,
+            outputStructType=_HYST_OUT,
+            stateStructType=_HYST_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")

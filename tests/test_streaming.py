@@ -10,8 +10,11 @@ from odns_dataimporter_spark.queries.streaming_batch import (
     stream_dedup,
     stream_tumbling,
 )
+from odns_dataimporter_spark.registry import REGISTRY, all_queries
 from odns_dataimporter_spark.streaming import jobs
 from odns_dataimporter_spark.tables import load_table
+
+all_queries()
 
 
 @pytest.fixture(scope="module")
@@ -262,3 +265,19 @@ def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
     batch = stream_join_interval_outer(spark, sf_dir)
     cols = ["view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_hysteresis_stream_equals_batch(spark, sf_dir, src_dir):
+    """The applyInPandasWithState Schmitt-trigger state machine agrees
+    with the declarative LOCF batch twin on every per-type count."""
+    streamed = jobs.stream_hysteresis_alerts(spark, src_dir)
+    got = {
+        r["event_type"]: (r["n_hours"], r["hours_in_alert"], r["n_alerts"])
+        for r in streamed.collect()
+    }
+    batch = REGISTRY["stream_alert_hysteresis"].fn(spark, sf_dir)
+    want = {
+        r["event_type"]: (r["n_hours"], r["hours_in_alert"], r["n_alerts"])
+        for r in batch.collect()
+    }
+    assert got == want
