@@ -570,3 +570,103 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_tcp_raw", F.lit(0)).alias("n_tcp"),
         F.coalesce("n_udp_raw", F.lit(0)).alias("n_udp"),
     )
+
+
+_LATENCY_ORACLE = f"""
+WITH t AS (
+  SELECT country_request,
+         epoch_us(CAST(timestamp_response AS TIMESTAMP))
+           - epoch_us(CAST(timestamp_request AS TIMESTAMP)) AS lat_us
+  FROM ({_duck_typed_select("tcp", _TCP_FILE, "2026-01-15")})
+  WHERE timestamp_request IS NOT NULL
+    AND timestamp_response IS NOT NULL
+    AND epoch_us(CAST(timestamp_response AS TIMESTAMP))
+        >= epoch_us(CAST(timestamp_request AS TIMESTAMP))
+),
+r AS (
+  SELECT country_request, lat_us,
+         CAST(row_number() OVER (PARTITION BY country_request
+                                 ORDER BY lat_us) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY country_request) AS BIGINT) AS n,
+         CAST(SUM(lat_us) OVER (PARTITION BY country_request) AS BIGINT)
+           AS s
+  FROM t
+)
+SELECT country_request,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(MAX(s) AS BIGINT) / CAST(MAX(n) AS DOUBLE) / 1000.0
+         AS mean_ms,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_us END) AS BIGINT)
+         / 1000.0 AS median_ms,
+       CAST(MAX(CASE WHEN rn = greatest(1, (n * 9) // 10) THEN lat_us END)
+            AS BIGINT) / 1000.0 AS p90_ms
+FROM r GROUP BY country_request
+"""
+
+
+@register("odns_resolver_latency", oracle=_LATENCY_ORACLE, tags=("odns",))
+def odns_resolver_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCP resolver response latency per country —
+    timestamp_response − timestamp_request (the pair of columns the
+    reference types strictly at dataimporter.py:23-42 but never
+    analyzes): count, mean, exact median and p90 in milliseconds,
+    negative/NULL pairs excluded. This is the first performance
+    question an ODNS measurement study asks of the snapshot table.
+    Shape: one typed scan, per-country rank windows over the country
+    partitions (exact order statistics via row_number = (n+1)//2 and
+    (9n)//10 — no approx-percentile sketch, so the oracle hash-matches
+    exactly). Determinism: latencies are exact int64 microsecond
+    diffs; mean is one late division."""
+    from pyspark.sql.window import Window as W
+
+    t = (
+        ingest_file(spark, _TCP_FILE, "tcp", "2026-01-15")
+        .filter(
+            F.col("timestamp_request").isNotNull()
+            & F.col("timestamp_response").isNotNull()
+        )
+        .select(
+            "country_request",
+            (
+                F.unix_micros("timestamp_response")
+                - F.unix_micros("timestamp_request")
+            ).alias("lat_us"),
+        )
+        .filter(F.col("lat_us") >= 0)
+    )
+    wr = W.partitionBy("country_request").orderBy("lat_us")
+    wa = W.partitionBy("country_request")
+    r = t.select(
+        "country_request",
+        "lat_us",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wa).cast("long").alias("n"),
+        F.sum("lat_us").over(wa).cast("long").alias("s"),
+    )
+    return r.groupBy("country_request").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (F.max("s").cast("long") / F.max("n").cast("double") / 1000.0).alias(
+            "mean_ms"
+        ),
+        (
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                    F.col("lat_us"),
+                )
+            ).cast("long")
+            / 1000.0
+        ).alias("median_ms"),
+        (
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1), F.floor(F.col("n") * 9 / 10)
+                    ),
+                    F.col("lat_us"),
+                )
+            ).cast("long")
+            / 1000.0
+        ).alias("p90_ms"),
+    )
