@@ -599,6 +599,8 @@ _BNLJ_ALLOWED = {
     "profile_shuffle_skew",
     # 1-row fitted (A, B) + NLL broadcasts into the bins histogram
     "ml_platt_calibration",
+    # 1-row hour-count total broadcast into the 1-row folded state
+    "ts_croston_intermittent",
 }
 
 
