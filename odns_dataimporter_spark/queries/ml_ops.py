@@ -3146,3 +3146,203 @@ def ml_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("nll_saturated_q6"),
     )
+
+
+_KM_K = 8
+_KM_ROUNDS = 3
+
+# DuckDB macros for one Lloyd round: given centroid CTE c{r} (cluster,
+# cvec DOUBLE[]), assign each vector to its nearest centroid and emit
+# the next centroids. Distances fold dimension-wise in list order —
+# the same sequential IEEE tree as the Spark F.aggregate.
+_KM_DIST = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> "
+    "(qv[i] / 1000000.0 - c.cvec[i]) * (qv[i] / 1000000.0 - c.cvec[i])"
+    ")), (x, y) -> x + y)"
+)
+
+
+def _km_round_sql(r: int) -> str:
+    """CTE pair: a{r} assigns against c{r-1}; c{r} are the new means.
+    Distances are materialized per (vector, centroid) BEFORE the
+    aggregate (DuckDB 1.0 cannot bind lambda variables inside
+    aggregate arguments); the argmin is the proven min([d, cluster])
+    pair idiom — equal distances break to the lowest cluster, matching
+    the Spark fold's strict-< first-wins rule over the
+    cluster-ascending array."""
+    return f"""a{r} AS (
+  SELECT vec_id, any_value(qv) AS qv,
+         CAST(min(dl)[2] AS BIGINT) AS cluster,
+         min(dl)[1] AS d2
+  FROM (SELECT vec_id, qv,
+               [{_KM_DIST}, CAST(c.cluster AS DOUBLE)] AS dl
+        FROM q, c{r - 1} c)
+  GROUP BY vec_id
+),
+c{r} AS (
+  SELECT cluster,
+         list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY i) AS cvec
+  FROM (
+    SELECT cluster, gs.i AS i,
+           CAST(SUM(qv[gs.i]) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM a{r}, generate_series(1, 64) gs(i) GROUP BY 1, 2)
+  GROUP BY cluster
+)"""
+
+
+@register(
+    "ml_kmeans_lloyd3",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster,
+         list_transform(qv, v -> CAST(v AS DOUBLE) / 1000000.0) AS cvec
+  FROM q ORDER BY vec_id LIMIT {_KM_K}
+),
+{_km_round_sql(1)},
+{_km_round_sql(2)},
+{_km_round_sql(3)}
+SELECT a3.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(floor(a3.d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS inertia_q6,
+       floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(c3.cvec, v -> v * v)), (x, y) -> x + y))
+             * 1000000.0) / 1000000.0 AS centroid_norm_q6
+FROM a3 JOIN c3 ON a3.cluster = c3.cluster
+GROUP BY a3.cluster, c3.cvec
+""",
+    tags=("ml", "embedding", "iterative"),
+)
+def ml_kmeans_lloyd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations of k-means (k={_KM_K}) over the
+    embedding corpus — the multi-pass completion of the single-step
+    `ml_kmeans_step`, showing the corpus-scale iteration discipline:
+    per round, assignment is MAP-ONLY (the k×d centroid table rides in
+    as a broadcast single-row array; each vector folds its distances
+    in-row and argmins with an ascending-cluster tie rule) and the new
+    centroids are ONE map-side-combined groupBy over k cells; the
+    k-row state is checkpointed between rounds so the plan never
+    re-derives earlier iterations. 100 TB cost: exactly one corpus
+    pass per round — the optimal shape for Lloyd on a cluster.
+    Deterministic init: the first k vectors by vec_id (k-means++ would
+    add randomness for quality; init choice is orthogonal to the
+    iteration mechanics under test). Exactness: coordinates quantized
+    to int micros; centroid sums exact int64 with ONE division to the
+    mean; distance folds run dimension-ascending with identical IEEE
+    trees; assignment ties break to the lowest cluster on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv"),
+    )
+    from pyspark.sql.window import Window as W2
+
+    c0 = (
+        q.select(
+            "vec_id",
+            F.transform(
+                "qv", lambda v: v.cast("double") / 1_000_000.0
+            ).alias("cvec"),
+            F.row_number().over(W2.orderBy("vec_id")).alias("rn"),
+        )
+        .filter(F.col("rn") <= _KM_K)
+        .select((F.col("rn") - 1).cast("long").alias("cluster"), "cvec")
+    )
+    cents = c0.localCheckpoint(eager=False)
+
+    def dist(qv, cvec):
+        return F.aggregate(
+            F.zip_with(
+                qv,
+                cvec,
+                lambda x, c: (x / 1_000_000.0 - c) * (x / 1_000_000.0 - c),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    last_assign = None
+    for _ in range(_KM_ROUNDS):
+        carr = cents.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "cvec"))
+            ).alias("cs")
+        )
+        assigned = q.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "qv",
+            F.aggregate(
+                F.col("cs"),
+                F.struct(
+                    F.lit(float("inf")).alias("bd"),
+                    F.lit(-1).cast("long").alias("bc"),
+                ),
+                lambda acc, c: F.when(
+                    dist(F.col("qv"), c["cvec"]) < acc["bd"],
+                    F.struct(
+                        dist(F.col("qv"), c["cvec"]).alias("bd"),
+                        c["cluster"].alias("bc"),
+                    ),
+                ).otherwise(acc),
+            ).alias("best"),
+        )
+        last_assign = assigned.select(
+            "vec_id",
+            "qv",
+            F.col("best.bc").alias("cluster"),
+            F.col("best.bd").alias("d2"),
+        )
+        sums = last_assign.groupBy("cluster").agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(F.element_at("qv", i + 1)).cast("long").alias(f"s{i}")
+                for i in range(64)
+            ],
+        )
+        cents = sums.select(
+            "cluster",
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double")
+                    / F.col("n")
+                    / 1_000_000.0
+                    for i in range(64)
+                ]
+            ).alias("cvec"),
+        ).localCheckpoint(eager=False)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("cvec", lambda v: v * v),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    stats = last_assign.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (
+            F.sum(F.floor(F.col("d2") * 1_000_000.0).cast("long"))
+            .cast("long")
+            / 1_000_000.0
+        ).alias("inertia_q6"),
+    )
+    return stats.join(F.broadcast(cents), "cluster").select(
+        "cluster",
+        "n_members",
+        "inertia_q6",
+        (F.floor(norm * 1_000_000.0) / 1_000_000.0).alias(
+            "centroid_norm_q6"
+        ),
+    )

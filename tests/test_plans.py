@@ -601,6 +601,9 @@ _BNLJ_ALLOWED = {
     "ml_platt_calibration",
     # 1-row hour-count total broadcast into the 1-row folded state
     "ts_croston_intermittent",
+    # 1-row broadcast centroid-array into the assignment map (per Lloyd
+    # round) — the k x d state is tiny by construction
+    "ml_kmeans_lloyd3",
 }
 
 

@@ -418,3 +418,19 @@ def test_croston_state_within_observed_range(spark, sf_dir):
     assert row["interval_hat_q6"] >= 1.0 - 1e-6
     # rate = size/interval is bounded by the max hourly demand
     assert 0 < row["demand_rate_q6"] <= row["size_hat_q6"] + 1e-6
+
+
+def test_kmeans_lloyd3_partitions_and_unit_sphere(spark, sf_dir):
+    rows = REGISTRY["ml_kmeans_lloyd3"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+    total = sum(r["n_members"] for r in rows)
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert r["inertia_q6"] >= 0.0
+        # unit-norm inputs: centroid means live inside the unit ball
+        assert 0.0 <= r["centroid_norm_q6"] <= 1.0 + 1e-6
+    # every vector is assigned exactly once
+    from odns_dataimporter_spark.tables import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n_vecs
