@@ -3346,3 +3346,210 @@ def ml_kmeans_lloyd3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm_q6"
         ),
     )
+
+
+_GMM_STEPS = 10
+_GMM_VMIN = 0.01  # variance floor (binary-exact-ish; same both engines)
+
+
+def _gmm_sum(expr: str) -> str:
+    """DuckDB sequential fold over the sorted bins list (t.x value
+    units, t.n count) given scalar state (w1, mu1, v1, mu2, v2)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(bins, t -> " + expr + ")), (p, q) -> p + q)"
+    )
+
+
+# responsibility of component 1 for bin t — written ONCE and reused
+# verbatim so both engines evaluate the identical IEEE tree
+_GMM_R = (
+    "(w1 * exp(-(t.x - mu1) * (t.x - mu1) / (2.0 * v1)) / sqrt(v1))"
+    " / ((w1 * exp(-(t.x - mu1) * (t.x - mu1) / (2.0 * v1)) / sqrt(v1))"
+    " + ((1.0 - w1) * exp(-(t.x - mu2) * (t.x - mu2) / (2.0 * v2))"
+    " / sqrt(v2)))"
+)
+_GMM_N1 = _gmm_sum(f"t.n * {_GMM_R}")
+_GMM_S1 = _gmm_sum(f"t.n * {_GMM_R} * t.x")
+_GMM_Q1 = _gmm_sum(f"t.n * {_GMM_R} * t.x * t.x")
+_GMM_N2 = _gmm_sum(f"t.n * (1.0 - {_GMM_R})")
+_GMM_S2 = _gmm_sum(f"t.n * (1.0 - {_GMM_R}) * t.x")
+_GMM_Q2 = _gmm_sum(f"t.n * (1.0 - {_GMM_R}) * t.x * t.x")
+
+
+@register(
+    "ml_gmm_em_1d",
+    oracle=f"""
+WITH RECURSIVE
+h AS (
+  SELECT CAST(floor(value * 10.0) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+bl AS (
+  SELECT list(struct_pack(x := b / 10.0, n := n) ORDER BY b) AS bins,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n * b) AS BIGINT) AS sb,
+         CAST(SUM(n * b * b) AS BIGINT) AS sbb
+  FROM h
+),
+init AS (
+  SELECT bins, nn,
+         CAST(sb AS DOUBLE) / nn / 10.0 AS mean,
+         (CAST(sbb AS DOUBLE) / nn
+          - (CAST(sb AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nn))
+           / 100.0 AS var
+  FROM bl
+),
+it(k, w1, mu1, v1, mu2, v2) AS (
+  SELECT 0, CAST(0.5 AS DOUBLE),
+         mean - sqrt(var) / 2.0, var,
+         mean + sqrt(var) / 2.0, var
+  FROM init
+  UNION ALL
+  SELECT k + 1,
+         {_GMM_N1} / ({_GMM_N1} + {_GMM_N2}),
+         {_GMM_S1} / {_GMM_N1},
+         greatest({_GMM_Q1} / {_GMM_N1}
+                  - ({_GMM_S1} / {_GMM_N1}) * ({_GMM_S1} / {_GMM_N1}),
+                  {_GMM_VMIN}),
+         {_GMM_S2} / {_GMM_N2},
+         greatest({_GMM_Q2} / {_GMM_N2}
+                  - ({_GMM_S2} / {_GMM_N2}) * ({_GMM_S2} / {_GMM_N2}),
+                  {_GMM_VMIN})
+  FROM it, bl WHERE k < {_GMM_STEPS}
+),
+fin AS (SELECT * FROM it WHERE k = {_GMM_STEPS})
+SELECT CAST(1 AS BIGINT) AS component,
+       floor(w1 * 1000000.0) / 1000000.0 AS weight_q6,
+       floor(mu1 * 1000000.0) / 1000000.0 AS mu_q6,
+       floor(sqrt(v1) * 1000000.0) / 1000000.0 AS sigma_q6
+FROM fin
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       floor((1.0 - w1) * 1000000.0) / 1000000.0,
+       floor(mu2 * 1000000.0) / 1000000.0,
+       floor(sqrt(v2) * 1000000.0) / 1000000.0
+FROM fin
+""",
+    tags=("ml", "stats", "iterative"),
+)
+def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian-mixture EM on the event-value
+    distribution — the classic unsupervised density split (bimodal
+    latency/revenue populations) and the engine's EM-family entry
+    beside k-means (hard assignment) and the Kalman filter (linear-
+    Gaussian state): {_GMM_STEPS} expectation–maximization rounds where
+    responsibilities r(x) = w₁φ₁/(w₁φ₁+w₂φ₂) reweight the per-bin
+    moment sums. The scale mechanism: values collapse ONCE to a
+    bounded deci-unit histogram (the corpus is never rescanned), and
+    every EM round is a handful of sequential folds over that sorted
+    bins array on one row — identical IEEE trees on both engines, with
+    the responsibility expression written once and reused verbatim.
+    Init is moment-matched (means ±σ/2 around the sample mean, sample
+    variance, equal weights) from exact int64 sums; a variance floor
+    ({_GMM_VMIN}) guards collapse on degenerate inputs; floor-q6
+    outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.col("value") * 10.0).cast("long").alias("b")
+    ).agg(F.count("*").cast("long").alias("n"))
+    h = h.localCheckpoint(eager=False)
+    bl = h.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((F.col("b") / 10.0).alias("x"), F.col("n").alias("n"))
+            )
+        ).alias("bins"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("b")).cast("long").alias("sb"),
+        F.sum(F.col("n") * F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    mean = F.col("sb").cast("double") / F.col("nn") / 10.0
+    var = (
+        F.col("sbb").cast("double") / F.col("nn")
+        - (F.col("sb").cast("double") / F.col("nn"))
+        * (F.col("sb").cast("double") / F.col("nn"))
+    ) / 100.0
+    bins = F.col("bins")
+
+    def fsum(fn):
+        return F.aggregate(bins, F.lit(0.0), lambda p, t: p + fn(t))
+
+    def resp(st, t):
+        w1, mu1, v1, mu2, v2 = (st[i] for i in range(5))
+        num = (
+            w1
+            * F.exp(-(t["x"] - mu1) * (t["x"] - mu1) / (2.0 * v1))
+            / F.sqrt(v1)
+        )
+        den = num + (
+            (1.0 - w1)
+            * F.exp(-(t["x"] - mu2) * (t["x"] - mu2) / (2.0 * v2))
+            / F.sqrt(v2)
+        )
+        return num / den
+
+    def step(st, _):
+        n1 = fsum(lambda t: t["n"] * resp(st, t))
+        s1 = fsum(lambda t: t["n"] * resp(st, t) * t["x"])
+        q1 = fsum(lambda t: t["n"] * resp(st, t) * t["x"] * t["x"])
+        n2 = fsum(lambda t: t["n"] * (1.0 - resp(st, t)))
+        s2 = fsum(lambda t: t["n"] * (1.0 - resp(st, t)) * t["x"])
+        q2 = fsum(
+            lambda t: t["n"] * (1.0 - resp(st, t)) * t["x"] * t["x"]
+        )
+        return F.array(
+            n1 / (n1 + n2),
+            s1 / n1,
+            F.greatest(
+                q1 / n1 - (s1 / n1) * (s1 / n1), F.lit(_GMM_VMIN)
+            ),
+            s2 / n2,
+            F.greatest(
+                q2 / n2 - (s2 / n2) * (s2 / n2), F.lit(_GMM_VMIN)
+            ),
+        )
+
+    init = F.array(
+        F.lit(0.5),
+        mean - F.sqrt(var) / 2.0,
+        var,
+        mean + F.sqrt(var) / 2.0,
+        var,
+    )
+    fin = bl.select(
+        F.aggregate(
+            F.array_repeat(F.lit(0), _GMM_STEPS), init, step
+        ).alias("st")
+    )
+    out = fin.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("component"),
+                    F.col("st")[0].alias("w"),
+                    F.col("st")[1].alias("mu"),
+                    F.col("st")[2].alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("component"),
+                    (1.0 - F.col("st")[0]).alias("w"),
+                    F.col("st")[3].alias("mu"),
+                    F.col("st")[4].alias("v"),
+                ),
+            )
+        ).alias("c")
+    )
+    return out.select(
+        F.col("c.component").alias("component"),
+        (F.floor(F.col("c.w") * 1_000_000.0) / 1_000_000.0).alias(
+            "weight_q6"
+        ),
+        (F.floor(F.col("c.mu") * 1_000_000.0) / 1_000_000.0).alias(
+            "mu_q6"
+        ),
+        (F.floor(F.sqrt(F.col("c.v")) * 1_000_000.0) / 1_000_000.0).alias(
+            "sigma_q6"
+        ),
+    )

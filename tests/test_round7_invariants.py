@@ -434,3 +434,19 @@ def test_kmeans_lloyd3_partitions_and_unit_sphere(spark, sf_dir):
 
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     assert total == n_vecs
+
+
+def test_gmm_em_is_a_valid_mixture(spark, sf_dir):
+    rows = {
+        r["component"]: r
+        for r in REGISTRY["ml_gmm_em_1d"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    w = rows[1]["weight_q6"] + rows[2]["weight_q6"]
+    assert abs(w - 1.0) < 1e-4
+    for r in rows.values():
+        assert 0.0 < r["weight_q6"] < 1.0
+        assert r["sigma_q6"] >= 0.09  # sqrt of the variance floor
+        assert r["mu_q6"] > 0  # values are nonnegative (exp draws)
+    # EM preserves the init ordering mu1 <= mu2 on a well-separated run
+    assert rows[1]["mu_q6"] <= rows[2]["mu_q6"] + 1e-6
