@@ -2563,3 +2563,86 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
         (z > _WM_Z).alias("watermarked"),
     )
+
+
+@register(
+    "text_bigram_entropy_rate",
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+),
+m AS (
+  SELECT w1, w2, n,
+         CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS n1,
+         CAST(SUM(n) OVER () AS BIGINT) AS nn
+  FROM c2
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nn)
+                * ln(CAST(n AS DOUBLE) / n1) * 1000000000.0) AS BIGINT))
+            AS BIGINT) / 1000000000.0 AS cond_entropy_nats_q9,
+       CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nn)
+                * ln(CAST(n AS DOUBLE) / nn) * 1000000000.0) AS BIGINT))
+            AS BIGINT) / 1000000000.0 AS joint_entropy_nats_q9
+FROM m
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate under the bigram model: conditional entropy
+    H(W₂|W₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁) and joint bigram entropy — the
+    information-theoretic summary of corpus predictability that the
+    per-document `text_bigram_logprob`/Kneser-Ney ops score documents
+    WITH (low entropy rate ⇒ templated/boilerplate-heavy corpus; the
+    gap H(W₂) − H(W₂|W₁) is the mutual information the bigram model
+    exploits). Scale shape: one explode into ONE (w₁, w₂) count
+    shuffle; the conditional marginal rides a window partitioned by w₁
+    over the bigram-vocabulary table (bounded by vocabulary², not the
+    corpus); one 1-row reduce. Determinism: all probabilities are
+    ratios of exact int64 counts; each bigram's entropy term
+    floor-quantizes to int64 nanos before the cross-bigram sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split("text", " ").alias("toks"))
+    bg = t.select(
+        F.posexplode(
+            F.expr("transform(slice(toks, 1, size(toks) - 1), (w, i) -> "
+                   "struct(w as w1, toks[i + 1] as w2))")
+        ).alias("pos", "p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+    m = c2.select(
+        "n",
+        F.sum("n").over(W.partitionBy("w1")).cast("long").alias("n1"),
+        F.sum("n")
+        .over(W.partitionBy())
+        .cast("long")
+        .alias("nn"),
+    )
+    cond_term = F.floor(
+        -(F.col("n").cast("double") / F.col("nn"))
+        * F.log(F.col("n").cast("double") / F.col("n1"))
+        * 1_000_000_000.0
+    ).cast("long")
+    joint_term = F.floor(
+        -(F.col("n").cast("double") / F.col("nn"))
+        * F.log(F.col("n").cast("double") / F.col("nn"))
+        * 1_000_000_000.0
+    ).cast("long")
+    return m.agg(
+        F.max("nn").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        (F.sum(cond_term).cast("long") / 1_000_000_000.0).alias(
+            "cond_entropy_nats_q9"
+        ),
+        (F.sum(joint_term).cast("long") / 1_000_000_000.0).alias(
+            "joint_entropy_nats_q9"
+        ),
+    )

@@ -1970,3 +1970,137 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(diff) / se > _TUKEY_QCRIT).alias("significant_05"),
     )
+
+
+@register(
+    "stats_levene_variance",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+           AS med_cents
+  FROM r GROUP BY event_type
+),
+z AS (
+  SELECT v.event_type, abs(v.cents - m.med_cents) AS zd
+  FROM v JOIN med m USING (event_type)
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(zd) AS BIGINT) AS s,
+         CAST(SUM(zd * zd) AS BIGINT) AS ss
+  FROM z GROUP BY event_type
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(CAST(floor((CAST(s AS DOUBLE) * s / n) * 1000.0)
+                  AS BIGINT)) AS BIGINT) / 1000.0 AS sb_part,
+         CAST(SUM(CAST(floor((CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * s / n) * 1000.0) AS BIGINT))
+           AS BIGINT) / 1000.0 AS ssw
+  FROM g
+)
+SELECT nn AS n_total, k AS n_groups,
+       floor(((sb_part - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+             / (ssw / (nn - k)) * 1000000.0) / 1000000.0 AS w_stat_q6,
+       ((sb_part - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+         / (ssw / (nn - k)) > CAST(2.37 AS DOUBLE) AS reject_05
+FROM t
+""",
+    tags=("analytics", "stats"),
+)
+def stats_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe/Levene test for homogeneity of variances across
+    event types — the PRECONDITION check for `stats_anova_oneway` and
+    `stats_tukey_hsd` (both assume equal group variances; this is the
+    robust median-centered deviation ANOVA that validates it):
+    W = [(N−k)/(k−1)]·Σnᵢ(z̄ᵢ−z̄)²/ΣΣ(z−z̄ᵢ)² over z = |x − median_g|,
+    rejected at F(0.05, 4, ∞) ≈ 2.37. Scale shape: one per-type rank
+    window for the exact median (cents domain), one join-back, one
+    moment aggregate — the deviations' moments are exact int64 so the
+    between/within sums quantize per group before pooling.
+    Determinism: medians are exact order statistics (rn = (n+1)//2);
+    per-group quadratic forms floor-quantize to int millis before the
+    cross-group sums."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wr = W.partitionBy("event_type").orderBy("cents")
+    wa = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wa).cast("long").alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("cents"),
+            )
+        )
+        .cast("long")
+        .alias("med_cents")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("zd"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("zd").cast("long").alias("s"),
+        F.sum(F.col("zd") * F.col("zd")).cast("long").alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s").cast("long").alias("st"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("s").cast("double") * F.col("s") / F.col("n"))
+                    * 1000.0
+                ).cast("long")
+            ).cast("long")
+            / 1000.0
+        ).alias("sb_part"),
+        (
+            F.sum(
+                F.floor(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    * 1000.0
+                ).cast("long")
+            ).cast("long")
+            / 1000.0
+        ).alias("ssw"),
+    )
+    wstat = (
+        (
+            F.col("sb_part")
+            - F.col("st").cast("double") * F.col("st") / F.col("nn")
+        )
+        / (F.col("k") - 1)
+    ) / (F.col("ssw") / (F.col("nn") - F.col("k")))
+    return t.select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        (F.floor(wstat * 1_000_000.0) / 1_000_000.0).alias("w_stat_q6"),
+        (wstat > 2.37).alias("reject_05"),
+    )

@@ -450,3 +450,29 @@ def test_gmm_em_is_a_valid_mixture(spark, sf_dir):
         assert r["mu_q6"] > 0  # values are nonnegative (exp draws)
     # EM preserves the init ordering mu1 <= mu2 on a well-separated run
     assert rows[1]["mu_q6"] <= rows[2]["mu_q6"] + 1e-6
+
+
+def test_levene_statistic_nonnegative(spark, sf_dir):
+    row = REGISTRY["stats_levene_variance"].fn(spark, sf_dir).collect()[0]
+    assert row["n_groups"] >= 2
+    assert row["w_stat_q6"] >= -1e-6
+    assert row["reject_05"] == (row["w_stat_q6"] > 2.37) or abs(
+        row["w_stat_q6"] - 2.37
+    ) < 1e-4
+
+
+def test_entropy_rate_information_inequalities(spark, sf_dir):
+    import math
+
+    row = (
+        REGISTRY["text_bigram_entropy_rate"].fn(spark, sf_dir).collect()[0]
+    )
+    # conditioning never increases entropy; joint >= conditional; both
+    # bounded by ln of the distinct-bigram count
+    assert 0.0 <= row["cond_entropy_nats_q9"] <= row[
+        "joint_entropy_nats_q9"
+    ] + 1e-6
+    assert row["joint_entropy_nats_q9"] <= math.log(
+        row["n_distinct_bigrams"]
+    ) + 1e-6
+    assert row["n_distinct_bigrams"] <= row["n_bigrams"]
