@@ -135,26 +135,39 @@ HEADLINE = [
 ]
 
 # Order for the BOUNDED driver-facing stdout line (full per-query data
-# always lands in BENCH_FULL.json): the r5-era common core first so the
-# cross-round trend keeps its data points, then the newest round's ops
-# (their only driver-visible numbers), then the rest — whatever spills
-# past STDOUT_BUDGET is counted in queries_omitted.
-_R7_OPS = [
-    "tokenizer_wordpiece_encode",
-    "dedup_paragraph_ccnet",
-    "text_readability_smog",
-    "events_msprt_sequential",
-    "ts_kalman_1d",
-    "events_gini_concentration",
-    "ml_gbm_residual_step",
-    "embed_pca_topk",
-]
-_COMMON_CORE = [n for n in HEADLINE[:45] if n not in _R7_OPS]
-PRINT_ORDER = (
-    _COMMON_CORE
-    + _R7_OPS
-    + [n for n in HEADLINE if n not in _COMMON_CORE and n not in _R7_OPS]
-)
+# always lands in BENCH_FULL.json): a fixed 30-query common core first
+# so the cross-round trend keeps its data points, then the REMAINING
+# headliners ROTATED by round number — ~27 of ~60 non-core entries
+# spill past STDOUT_BUDGET each round, so a third-of-the-list rotation
+# guarantees every headliner a driver-recorded timing at least every 3
+# rounds (round-7 VERDICT item 6). The round is inferred from the
+# BENCH_r{N}.json files the driver commits after each round.
+_CORE_N = 30
+
+
+def _current_round() -> int:
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _print_order(round_no: int | None = None) -> list[str]:
+    rnd = _current_round() if round_no is None else round_no
+    core = HEADLINE[:_CORE_N]
+    rest = [n for n in HEADLINE if n not in core]
+    step = (len(rest) + 2) // 3  # a third: full visibility every 3 rounds
+    k = (rnd * step) % len(rest) if rest else 0
+    return list(core) + rest[k:] + rest[:k]
+
+
+PRINT_ORDER = _print_order()
 assert sorted(PRINT_ORDER) == sorted(HEADLINE)
 
 

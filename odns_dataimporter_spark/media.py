@@ -329,6 +329,11 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int, int]:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in chunk {ctype!r}")
         if ctype == b"IHDR":
+            # An IHDR whose declared length isn't 13 (but has a valid
+            # CRC) must surface as the module's documented ValueError,
+            # not struct.error (round-7 ADVICE item 2).
+            if len(data) != 13:
+                raise ValueError(f"IHDR chunk length {len(data)} != 13")
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

@@ -2222,7 +2222,16 @@ _WP_VOCAB = (
     + [(p, len(p), 0) for p in _WP_START]
     + [(p, len(p), 1) for p in _WP_CONT]
 )
-_WP_STEPS = 20  # >= max token length; surplus steps are no-ops
+# Fold budget is sized FROM THE CORPUS: every step advances the cursor
+# by >= 1 char, so max(len(token)) steps always suffice — no unchecked
+# "max token length <= N" assumption (round-7 ADVICE item 4). Surplus
+# steps (cursor past end) are no-ops on both engines. Spark sizes the
+# sequence per token (len(token)); DuckDB must NOT — its 1.0.0
+# list_reduce cross-contaminates rows when the dummy list's length
+# varies within one vector (repro: tokens ['ab','query'] give 'query'
+# np=3, alone np=2), so the oracle uses a constant scalar-subquery
+# budget (max token length) instead, which is equivalent because
+# surplus steps are no-ops.
 
 _WP_VOCAB_SQL = "[" + ", ".join(
     f"{{'p': '{p}', 'l': {l}, 'c': {c}}}" for p, l, c in _WP_VOCAB
@@ -2250,7 +2259,8 @@ seg AS (
   SELECT token,
     list_reduce(
       list_prepend(struct_pack(pos := 1, np := 0, unk := 0),
-        list_transform(range(1, {_WP_STEPS + 1}),
+        list_transform(range(1,
+            (SELECT greatest(max(len(token)), 1) FROM vterms) + 1),
           x -> struct_pack(pos := 0, np := 0, unk := 0))),
       (acc, x) -> CASE WHEN acc.pos > len(token) THEN acc ELSE
         list_transform([{_WP_BEST_SQL}], b ->
@@ -2337,7 +2347,11 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             F.aggregate(
-                F.sequence(F.lit(1), F.lit(_WP_STEPS)), init, step
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("token"), F.lit(1))
+                ),
+                init,
+                step,
             ).alias("st"),
         )
     )

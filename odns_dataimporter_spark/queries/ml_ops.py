@@ -3250,16 +3250,29 @@ def ml_kmeans_lloyd3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W2
 
+    # Init = first k vectors by vec_id. orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — a parallel per-partition top-k + driver
+    # merge (round-7 VERDICT item 3). The previous global row_number()
+    # + filter(rn <= k) produced the same physical plan ONLY because
+    # Catalyst's LimitPushDownThroughWindow rule fired; the explicit
+    # limit is correct by construction and survives optimizer-rule
+    # regressions (pinned registry-wide by tests/test_window_audit.py).
+    # The residual row_number window runs over the k-row result.
     c0 = (
-        q.select(
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
             "vec_id",
             F.transform(
                 "qv", lambda v: v.cast("double") / 1_000_000.0
             ).alias("cvec"),
-            F.row_number().over(W2.orderBy("vec_id")).alias("rn"),
         )
-        .filter(F.col("rn") <= _KM_K)
-        .select((F.col("rn") - 1).cast("long").alias("cluster"), "cvec")
+        .select(
+            (F.row_number().over(W2.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            "cvec",
+        )
     )
     cents = c0.localCheckpoint(eager=False)
 
@@ -3396,9 +3409,9 @@ bl AS (
 init AS (
   SELECT bins, nn,
          CAST(sb AS DOUBLE) / nn / 10.0 AS mean,
-         (CAST(sbb AS DOUBLE) / nn
+         greatest((CAST(sbb AS DOUBLE) / nn
           - (CAST(sb AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nn))
-           / 100.0 AS var
+           / 100.0, {_GMM_VMIN}) AS var
   FROM bl
 ),
 it(k, w1, mu1, v1, mu2, v2) AS (
@@ -3511,12 +3524,17 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    # Floor the INIT variance too (round-7 ADVICE item 3): a corpus
+    # whose values all land in one deci-unit bin gives sample var=0, so
+    # step-1 responsibilities would compute exp(-x/0)/sqrt(0) → NaN on
+    # both engines identically (the oracle can't see it).
+    varf = F.greatest(var, F.lit(_GMM_VMIN))
     init = F.array(
         F.lit(0.5),
-        mean - F.sqrt(var) / 2.0,
-        var,
-        mean + F.sqrt(var) / 2.0,
-        var,
+        mean - F.sqrt(varf) / 2.0,
+        varf,
+        mean + F.sqrt(varf) / 2.0,
+        varf,
     )
     fin = bl.select(
         F.aggregate(

@@ -453,14 +453,23 @@ def stream_jdbc_upsert(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         n_batches["n"] += 1
         jvm = batch_df.sparkSession._jvm
+        # Spark's JDBC writer creates columns QUOTED (case-exact
+        # batch_id); an unquoted batch_id would fold to BATCH_ID on
+        # Derby/PostgreSQL and fail 42X04 on every batch — the old
+        # swallow-all guard silently hid exactly that, leaving the
+        # idempotency DELETE a permanent no-op. Quote through Spark's
+        # OWN dialect registry so the DELETE matches whatever the
+        # writer emitted per backend (`"batch_id"` on Derby/Postgres,
+        # backticks on MySQL — round-7 ADVICE item 5: a hardcoded
+        # double quote was a syntax error on default MySQL).
+        quoted_col = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+            url
+        ).quoteIdentifier("batch_id")
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            # Spark's JDBC writer creates columns QUOTED (case-exact
-            # "batch_id"); an unquoted batch_id would fold to BATCH_ID
-            # on Derby/PostgreSQL and fail 42X04 on every batch — the
-            # old swallow-all guard silently hid exactly that, leaving
-            # the idempotency DELETE a permanent no-op.
-            st = conn.prepareStatement(f'DELETE FROM {table} WHERE "batch_id" = ?')
+            st = conn.prepareStatement(
+                f"DELETE FROM {table} WHERE {quoted_col} = ?"
+            )
             st.setLong(1, batch_id)
             st.execute()
             st.close()
@@ -523,9 +532,16 @@ def _hysteresis_per_type(
     alert, episodes, hours_alert, hours_seen = (
         tuple(state.get) if state.exists else (0, 0, 0, 0)
     )
-    for pdf in pdfs:
+    # applyInPandasWithState delivers one group's rows as MULTIPLE
+    # Arrow chunks (~10k rows each); an hour straddling two chunks
+    # would be counted twice in hours_seen and the Schmitt trigger
+    # would fire on partial per-chunk counts. Concatenate the whole
+    # micro-batch before bucketing (round-7 ADVICE item 1).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         hours = (
-            pdf.assign(hour=pdf["ts"].dt.floor("h"))
+            batch.assign(hour=batch["ts"].dt.floor("h"))
             .groupby("hour")
             .size()
             .sort_index()

@@ -69,3 +69,25 @@ def test_delete_sql_quotes_hostile_identifier():
     sql, params = delete_by_protocol_sql('sc"ans', "tcp")
     assert sql == 'DELETE FROM "sc""ans" WHERE "protocol" = %s'
     assert params == ("tcp",)
+
+
+def test_upsert_delete_quotes_via_spark_dialect_registry(spark):
+    """stream_jdbc_upsert's idempotency DELETE must quote batch_id with
+    the SAME dialect Spark's JDBC writer used to create the column —
+    backticks on MySQL (where a hardcoded '"batch_id"' is a syntax
+    error without ANSI_QUOTES), double quotes on Derby/PostgreSQL
+    (round-7 ADVICE item 5)."""
+    jvm = spark._jvm
+    get = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get
+    assert (
+        get("jdbc:mysql://h/db").quoteIdentifier("batch_id") == "`batch_id`"
+    )
+    assert (
+        get("jdbc:postgresql://h/db").quoteIdentifier("batch_id")
+        == '"batch_id"'
+    )
+    # Derby falls through to NoopDialect → ANSI double quotes
+    assert (
+        get("jdbc:derby:memory:x").quoteIdentifier("batch_id")
+        == '"batch_id"'
+    )

@@ -358,3 +358,21 @@ def test_png_truncation_raises_valueerror_at_every_prefix():
             pytest.fail(f"struct.error leaked at cut={cut}: {e}")
         else:
             pytest.fail(f"prefix of len {cut} decoded successfully")
+
+
+def test_png_wrong_length_ihdr_raises_valueerror():
+    """An IHDR whose declared length != 13 but whose CRC is VALID must
+    raise the documented ValueError, not struct.error (round-7 ADVICE:
+    the bare struct.unpack bypassed the length-checked _unpack)."""
+    from odns_dataimporter_spark.media import _PNG_SIG, _png_chunk, decode_png
+
+    # 12-byte IHDR (one byte short) with a correct CRC
+    short_ihdr = struct.pack(">IIBBBB", 16, 1, 8, 0, 0, 0)
+    blob = _PNG_SIG + _png_chunk(b"IHDR", short_ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(blob)
+    # 14-byte IHDR (one byte long), also CRC-valid
+    long_ihdr = struct.pack(">IIBBBBBB", 16, 1, 8, 0, 0, 0, 0, 0)
+    blob = _PNG_SIG + _png_chunk(b"IHDR", long_ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(blob)

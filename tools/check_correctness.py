@@ -6,10 +6,15 @@ count, column names AND types, order-insensitive value hash), so
 regressions surface before the round boundary.
 
 Usage: python tools/check_correctness.py [query ...]   (default: all)
+       JSON_OUT=path python tools/check_correctness.py
+           — additionally write a per-query artifact (the round's
+           CORRECTNESS_LOCAL_FULL_r{N}.json): {name: {status, rows,
+           detail}} with status ok | rows_only | fail.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -32,6 +37,7 @@ def main() -> None:
 
     n = 0
     fails: list[str] = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -42,16 +48,34 @@ def main() -> None:
                 res = compare(name, df, con, oracles[name])
                 if not res.ok:
                     fails.append(name)
+                    report[name] = {"status": "fail", "detail": res.detail[:300]}
                     print(f"FAIL      {name}  {res.detail}", flush=True)
                 else:
+                    report[name] = {"status": "ok"}
                     print(f"ok        {name}", flush=True)
             else:
-                print(f"rows-only {name}  rows={df.count()}", flush=True)
+                rows = df.count()
+                report[name] = {"status": "rows_only", "rows": rows}
+                print(f"rows-only {name}  rows={rows}", flush=True)
         except Exception:
             fails.append(name)
             err = traceback.format_exc(limit=3).splitlines()[-1][:300]
+            report[name] = {"status": "fail", "detail": err}
             print(f"FAIL      {name}  {err}", flush=True)
+        # drop py4j handles so ContextCleaner can evict lazy
+        # localCheckpoint blocks between queries (round-6 heap rule)
+        del df
+        gc.collect()
 
+    out = os.environ.get("JSON_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "n": n, "fails": fails, "queries": report},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     print(json.dumps({"n": n, "fails": fails}))
     spark.stop()
     sys.exit(1 if fails else 0)
