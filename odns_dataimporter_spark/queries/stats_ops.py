@@ -2104,3 +2104,464 @@ def stats_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(wstat * 1_000_000.0) / 1_000_000.0).alias("w_stat_q6"),
         (wstat > 2.37).alias("reject_05"),
     )
+
+
+# --- Ljung–Box white-noise test ---------------------------------------------
+
+_LB_LAGS = 6
+_LB_CHI2_95_6DF = 12.592  # chi-square 0.95 quantile, 6 df
+
+
+def _lb_oracle() -> str:
+    """Build the Ljung–Box oracle: 6 lag columns in ONE window pass,
+    exact int64 sufficient statistics per lag (CASE WHEN inside SUM —
+    FILTER would still evaluate the argument on excluded rows), then
+    the Q statistic as a single fixed-order double expression."""
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS l{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    sums = []
+    for k in range(1, _LB_LAGS + 1):
+        sums.append(
+            f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x * l{k} ELSE 0 END) AS BIGINT) AS sxy{k},\n"
+            f"         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x ELSE 0 END) AS BIGINT) AS sxk{k},\n"
+            f"         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN l{k} ELSE 0 END) AS BIGINT) AS syk{k},\n"
+            f"         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        )
+    rho_terms = " + ".join(
+        f"((sxy{k} - xb * sxk{k} - xb * syk{k} + c{k} * xb * xb) / css)"
+        f" * ((sxy{k} - xb * sxk{k} - xb * syk{k} + c{k} * xb * xb) / css)"
+        f" / (n - {k})"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+WITH {_DENSE_HOURLY_SQL},
+lagged AS (
+  SELECT event_type, x,
+         {lag_cols}
+  FROM series
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {",".join(sums)}
+  FROM lagged GROUP BY event_type
+),
+d AS (
+  SELECT *, CAST(sx AS DOUBLE) / n AS xb,
+         sxx - CAST(sx AS DOUBLE) * sx / n AS css
+  FROM s WHERE n * sxx - sx * sx > 0 AND n > {_LB_LAGS}
+)
+SELECT event_type, n,
+       floor(n * (n + 2.0) * ({rho_terms}) * 1000000.0) / 1000000.0
+         AS q_stat_q6,
+       n * (n + 2.0) * ({rho_terms}) > CAST({_LB_CHI2_95_6DF} AS DOUBLE)
+         AS reject_whitenoise_05
+FROM d
+"""
+
+
+@register(
+    "stats_ljung_box",
+    oracle=_lb_oracle(),
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test for white noise on the dense hourly
+    event-count series per event type — "is this series autocorrelated
+    at ALL in the first {_LB_LAGS} lags?", the standard residual
+    diagnostic after any of the engine's forecasters (Holt-Winters,
+    Croston, STL): Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) ~ χ²(6), rejected above
+    {_LB_CHI2_95_6DF}. Scale shape: ONE events-scale shuffle builds the
+    hourly counts; all 6 lag columns come from a single per-type window
+    pass (one sort, 6 lag reads — not 6 windows); per-type sufficient
+    statistics (Σxyₖ, Σx|ₖ, Σy|ₖ, cₖ per lag + n, Σx, Σx²) are exact
+    int64, so Q is one identical fixed-order double expression on both
+    engines, floored at 1e-6. Constant/short series excluded by exact
+    integer predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    w = W.partitionBy("event_type").orderBy("hour")
+    lagged = series.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        lk = F.col(f"l{k}")
+        has = lk.isNotNull()
+        aggs += [
+            F.sum(F.when(has, F.col("x") * lk).otherwise(0)).cast("long").alias(f"sxy{k}"),
+            F.sum(F.when(has, F.col("x")).otherwise(0)).cast("long").alias(f"sxk{k}"),
+            F.sum(F.when(has, lk).otherwise(0)).cast("long").alias(f"syk{k}"),
+            F.sum(F.when(has, 1).otherwise(0)).cast("long").alias(f"c{k}"),
+        ]
+    s = lagged.groupBy("event_type").agg(*aggs)
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    d = s.filter((n * sxx - sx * sx > 0) & (n > _LB_LAGS)).withColumns(
+        {
+            "xb": sx.cast("double") / n,
+            "css": sxx - sx.cast("double") * sx / n,
+        }
+    )
+    xb, css = F.col("xb"), F.col("css")
+    q = F.lit(None).cast("double")
+    terms = None
+    for k in range(1, _LB_LAGS + 1):
+        num = (
+            F.col(f"sxy{k}")
+            - xb * F.col(f"sxk{k}")
+            - xb * F.col(f"syk{k}")
+            + F.col(f"c{k}") * xb * xb
+        )
+        t = (num / css) * (num / css) / (n - k)
+        terms = t if terms is None else terms + t
+    q = n * (n + F.lit(2.0)) * terms
+    return d.select(
+        "event_type",
+        "n",
+        (F.floor(q * 1_000_000.0) / 1_000_000.0).alias("q_stat_q6"),
+        (q > F.lit(_LB_CHI2_95_6DF).cast("double")).alias(
+            "reject_whitenoise_05"
+        ),
+    )
+
+
+# --- Wald–Wolfowitz runs test ------------------------------------------------
+
+_DENSE_DAILY_SQL = """base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+grid AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds) d
+),
+daily AS (
+  SELECT g.event_type, g.day, CAST(COALESCE(b.n, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN base b
+    ON g.event_type = b.event_type AND g.day = b.day)"""
+
+
+def _dense_daily_counts(ev: DataFrame) -> DataFrame:
+    """Zero-filled (event_type, day, x) grid — daily twin of
+    `_dense_hourly_counts`, same broadcast-spine shape."""
+    agg = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return grid.join(agg, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+
+
+@register(
+    "stats_runs_test",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
+diffs AS (
+  SELECT event_type, day,
+         x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+  FROM daily
+),
+signs AS (
+  SELECT event_type, day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE d IS NOT NULL AND d <> 0
+),
+seq AS (
+  SELECT event_type, s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY day) AS sp
+  FROM signs
+),
+agg AS (
+  SELECT event_type,
+         CAST(1 + SUM(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END)
+           AS BIGINT) AS runs,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM seq GROUP BY event_type
+)
+SELECT event_type, runs, n_up, n_down,
+       floor((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((CAST(n_up + n_down AS DOUBLE))
+                       * (n_up + n_down) * (n_up + n_down - 1)))
+             * 1000000.0) / 1000000.0 AS z_q6
+FROM agg
+WHERE n_up > 0 AND n_down > 0 AND 2 * n_up * n_down > n_up + n_down
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily count
+    series' up/down moves per event type — too FEW runs means trending,
+    too MANY means oscillation; |z| < 2 is consistent with random order
+    (the nonparametric companion to `stats_mann_kendall`'s trend
+    direction). Mechanics: day-over-day sign sequence (zeros dropped,
+    the standard convention), runs counted as 1 + sign changes via one
+    lag window, then z = (R − μ)/σ with μ = 2n₊n₋/n + 1 and the exact
+    Wald–Wolfowitz variance. Scale: one events-scale daily aggregate;
+    everything after runs on the bounded (type × day) grid. R, n₊, n₋
+    are exact int64; z is one identical double expression, floored at
+    1e-6; degenerate sign mixes excluded by exact integer predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(ev)
+    w = W.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type", "day", (F.col("x") - F.lag("x").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    signs = diffs.select(
+        "event_type",
+        "day",
+        F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"),
+    )
+    seq = signs.select(
+        "event_type", "s", F.lag("s").over(w).alias("sp")
+    )
+    agg = seq.groupBy("event_type").agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("sp").isNotNull() & (F.col("s") != F.col("sp")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    nu, nd, r = F.col("n_up"), F.col("n_down"), F.col("runs")
+    n = nu + nd
+    mu = 2.0 * nu * nd / n + 1.0
+    var = (
+        2.0
+        * nu
+        * nd
+        * (2.0 * nu * nd - nu - nd)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return agg.filter((nu > 0) & (nd > 0) & (2 * nu * nd > n)).select(
+        "event_type",
+        "runs",
+        "n_up",
+        "n_down",
+        (F.floor((r - mu) / F.sqrt(var) * 1_000_000.0) / 1_000_000.0).alias(
+            "z_q6"
+        ),
+    )
+
+
+# --- Grubbs outlier test ------------------------------------------------------
+
+
+@register(
+    "stats_grubbs_test",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM v GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, v.event_id, abs(s.n * v.cents - s.sx) AS nd
+  FROM v JOIN s USING (event_type)
+),
+arg AS (
+  SELECT event_type,
+         CAST(MAX(nd) AS BIGINT) AS max_nd,
+         CAST(min([-nd, event_id])[2] AS BIGINT) AS outlier_event_id
+  FROM dev GROUP BY event_type
+)
+SELECT s.event_type, s.n, a.outlier_event_id,
+       floor(CAST(a.max_nd AS DOUBLE)
+             / (s.n * sqrt((CAST(s.n AS DOUBLE) * s.ss - CAST(s.sx AS DOUBLE) * s.sx)
+                           / (CAST(s.n AS DOUBLE) * (s.n - 1))))
+             * 1000000.0) / 1000000.0 AS g_stat_q6
+FROM s JOIN arg a USING (event_type)
+WHERE s.n * s.ss - s.sx * s.sx > 0 AND s.n > 2
+""",
+    tags=("analytics", "stats"),
+)
+def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs (extreme studentized deviate) test per event type:
+    G = max|x − x̄|/s plus WHICH event is the extreme point — the
+    single-outlier companion to `stats_mad_outliers`' robust sweep.
+    Exactness trick: the argmax runs entirely in integers — comparing
+    |x − x̄| across rows is equivalent to comparing |n·x − Σx| (both
+    sides scaled by the same n), so the max deviation and its event id
+    (min id on ties) come from an exact int64 min-struct argmax with NO
+    float ordering anywhere; G is then one identical double expression
+    from (max|n·x−Σx|, n, Σx, Σx²), floored at 1e-6. Scale: two
+    map-side-combined aggregates over events + one broadcast join of
+    the 5-row moment table; zero-variance groups excluded exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    dev = v.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("n") * F.col("cents") - F.col("sx")).alias("nd"),
+    )
+    arg = dev.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("max_nd"),
+        F.min(F.struct((-F.col("nd")).alias("k"), F.col("event_id").alias("i")))[
+            "i"
+        ]
+        .cast("long")
+        .alias("outlier_event_id"),
+    )
+    n, sx, ss = F.col("n"), F.col("sx"), F.col("ss")
+    sdev = F.sqrt(
+        (n.cast("double") * ss - sx.cast("double") * sx)
+        / (n.cast("double") * (n - 1))
+    )
+    return (
+        s.join(arg, "event_type")
+        .filter((n * ss - sx * sx > 0) & (n > 2))
+        .select(
+            "event_type",
+            "n",
+            "outlier_event_id",
+            (
+                F.floor(F.col("max_nd").cast("double") / (n * sdev) * 1_000_000.0)
+                / 1_000_000.0
+            ).alias("g_stat_q6"),
+        )
+    )
+
+
+# --- Page–Hinkley mean-shift detector ----------------------------------------
+
+_PH_DELTA_MICROS = 500_000  # tolerance delta = 0.5 counts, in int micros
+_PH_LAMBDA_MICROS = 5_000_000  # alarm threshold lambda = 5.0
+
+
+@register(
+    "stats_page_hinkley",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
+r AS (
+  SELECT event_type, day, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS t,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS cs
+  FROM daily
+),
+d AS (
+  SELECT event_type, day,
+         CAST(floor(x * 1000000.0 - CAST(cs AS DOUBLE) * 1000000.0 / t)
+           AS BIGINT) - {_PH_DELTA_MICROS} AS dq
+  FROM r
+),
+m AS (
+  SELECT event_type, day,
+         CAST(SUM(dq) OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS mt
+  FROM d
+),
+ph AS (
+  SELECT event_type, day,
+         mt - CAST(MIN(mt) OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS ph_t
+  FROM m
+)
+SELECT event_type,
+       CAST(MAX(ph_t) AS BIGINT) / 1000000.0 AS ph_max_q6,
+       MAX(ph_t) > {_PH_LAMBDA_MICROS} AS alarmed,
+       CAST(MIN(CASE WHEN ph_t > {_PH_LAMBDA_MICROS} THEN day END) AS VARCHAR)
+         AS first_alarm_day
+FROM ph GROUP BY event_type
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-shift detector over each event type's daily
+    count series — the sequential drift monitor that fires when the
+    cumulative deviation from the RUNNING mean exceeds λ (the online
+    sibling of `ts_cusum_changepoint`, which tests against the fixed
+    global mean): mₜ = Σᵢ≤ₜ(xᵢ − x̄ᵢ − δ), PHₜ = mₜ − minᵢ≤ₜ mᵢ, alarm
+    when PHₜ > λ (δ=0.5, λ=5 counts). Exactness: the deviation is
+    floor-quantized to int micros per row (x̄ᵢ = running int sum / int
+    rank — one identical double division), so the running sum, running
+    min, and alarm scan are EXACT integer windows with no float-order
+    sensitivity. Scale: one events-scale daily aggregate; all four
+    windows ride the same per-type partitioning over the bounded
+    (type × day) grid."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(ev)
+    w = W.partitionBy("event_type").orderBy("day")
+    r = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w).cast("long").alias("cs"),
+    )
+    d = r.select(
+        "event_type",
+        "day",
+        (
+            F.floor(
+                F.col("x") * 1_000_000.0
+                - F.col("cs").cast("double") * 1_000_000.0 / F.col("t")
+            ).cast("long")
+            - _PH_DELTA_MICROS
+        ).alias("dq"),
+    )
+    m = d.select(
+        "event_type", "day", F.sum("dq").over(w).cast("long").alias("mt")
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        (F.col("mt") - F.min("mt").over(w).cast("long")).alias("ph_t"),
+    )
+    return ph.groupBy("event_type").agg(
+        (F.max("ph_t").cast("long") / 1_000_000.0).alias("ph_max_q6"),
+        (F.max("ph_t") > _PH_LAMBDA_MICROS).alias("alarmed"),
+        F.min(
+            F.when(F.col("ph_t") > _PH_LAMBDA_MICROS, F.col("day"))
+        )
+        .cast("string")
+        .alias("first_alarm_day"),
+    )

@@ -38,6 +38,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="")
+    # round-8 generalization (VERDICT item 2): measure ANY pair of
+    # scale tiers, e.g. --base .sfdata/sf1 --target .sfdata/sf10
+    # --base-label sf1 --target-label sf10 --out SCALING_SF10.json
+    ap.add_argument("--base", default=SF01)
+    ap.add_argument("--target", default=SF1)
+    ap.add_argument("--base-label", default="sf0.1")
+    ap.add_argument("--target-label", default="sf1")
+    ap.add_argument("--out", default="SCALING.json")
     a = ap.parse_args()
 
     spark = get_spark(app_name="scale_rehearsal", cpus="32")
@@ -69,25 +77,27 @@ def main() -> None:
         import gc
 
         gc.collect()
-        r01 = measure(name, SF01)
-        r1 = measure(name, SF1)
+        r01 = measure(name, a.base)
+        r1 = measure(name, a.target)
         ratio = round(r1["min"] / r01["min"], 2) if r01["min"] > 0 else None
-        out[name] = {"sf0.1": r01, "sf1": r1, "ratio": ratio}
+        out[name] = {a.base_label: r01, a.target_label: r1, "ratio": ratio}
         print(
-            f"[{i + 1}/{len(names)}] {name}: sf0.1 {r01['min']}s -> "
-            f"sf1 {r1['min']}s ({ratio}x)",
+            f"[{i + 1}/{len(names)}] {name}: {a.base_label} {r01['min']}s -> "
+            f"{a.target_label} {r1['min']}s ({ratio}x)",
             flush=True,
         )
 
     # --only reruns merge into the existing file instead of clobbering
     # the full table
-    path = os.path.join(REPO, "SCALING.json")
+    path = os.path.join(REPO, a.out)
     merged = out
     if a.only and os.path.exists(path):
         with open(path) as f:
             merged = {**json.load(f).get("queries", {}), **out}
     payload = {
         "data_growth": 10.0,
+        "base": a.base_label,
+        "target": a.target_label,
         "runs_per_point": a.runs,
         "queries": merged,
         "worst": sorted(
@@ -95,9 +105,9 @@ def main() -> None:
             key=lambda t: -t[1],
         )[:10],
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(payload, f, indent=1)
-    print("WROTE SCALING.json", flush=True)
+    print(f"WROTE {a.out}", flush=True)
     spark.stop()
 
 
