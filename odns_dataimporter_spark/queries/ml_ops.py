@@ -3571,3 +3571,244 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sigma_q6"
         ),
     )
+
+
+# --- Isotonic calibration (closed-form minimax over a bounded bin grid) ------
+
+_ISO_BINS = 64  # 8-unit-wide value bins, capped — grid bounded by design
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+WITH pts AS (
+  SELECT LEAST(CAST(floor(value / 8.0) AS BIGINT), {_ISO_BINS - 1}) AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM pts GROUP BY b
+),
+cum AS (
+  SELECT b, n, p,
+         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+         CAST(SUM(p) OVER (ORDER BY b) AS BIGINT) AS cp
+  FROM bins
+),
+triples AS (
+  SELECT i.b AS bi, j.b AS bj, k.b AS bk,
+         (k.cp - j.cp + j.p) * 1.0 / (k.cn - j.cn + j.n) AS slope
+  FROM cum i JOIN cum j ON j.b <= i.b JOIN cum k ON k.b >= i.b
+),
+inner_min AS (
+  SELECT bi, bj, MIN(slope) AS ms FROM triples GROUP BY bi, bj
+),
+iso AS (
+  SELECT bi AS b, MAX(ms) AS yhat FROM inner_min GROUP BY bi
+)
+SELECT c.b AS score_bin, c.n, c.p AS n_pos,
+       floor(CAST(c.p AS DOUBLE) / c.n * 1000000.0) / 1000000.0
+         AS raw_rate_q6,
+       floor(i.yhat * 1000000.0) / 1000000.0 AS iso_rate_q6
+FROM cum c JOIN iso i ON c.b = i.b
+""",
+    tags=("ml", "analytics"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of the purchase rate against the event-value
+    score — the nonparametric calibrator beside `ml_platt_calibration`
+    (sigmoid fit) and `ml_calibration_ece` (the diagnostic): fit the
+    best MONOTONE rate curve by the minimax closed form of
+    pool-adjacent-violators, ŷᵢ = max_{j≤i} min_{k≥i} mean(y over bins
+    j..k) (Ayer et al. 1955 — identical output to the sequential PAVA
+    stack without the sequential stack). The scale mechanism: the
+    corpus collapses to a {_ISO_BINS}-bin histogram in ONE shuffle
+    (exact int64 n/p per bin + prefix sums), and the minimax runs over
+    the bounded (j ≤ i ≤ k) triple grid (≤ {_ISO_BINS}³/2 tiny rows) —
+    corpus-size-independent, like the tokenizer's vocab-table rounds.
+    Range means are single divisions of exact ints, so min/max over
+    them is order-insensitive; outputs floored at 1e-6. The fitted
+    curve is non-decreasing by construction (pinned by an invariant
+    test)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.least(
+            F.floor(F.col("value") / 8.0).cast("long"), F.lit(_ISO_BINS - 1)
+        ).alias("b"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = pts.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "b",
+        "n",
+        "p",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("p").over(wc).cast("long").alias("cp"),
+    ).localCheckpoint(eager=False)
+    i, j, k = cum.alias("i"), cum.alias("j"), cum.alias("k")
+    triples = (
+        i.join(j, F.col("j.b") <= F.col("i.b"))
+        .join(k, F.col("k.b") >= F.col("i.b"))
+        .select(
+            F.col("i.b").alias("bi"),
+            F.col("j.b").alias("bj"),
+            (
+                (F.col("k.cp") - F.col("j.cp") + F.col("j.p"))
+                * 1.0
+                / (F.col("k.cn") - F.col("j.cn") + F.col("j.n"))
+            ).alias("slope"),
+        )
+    )
+    inner_min = triples.groupBy("bi", "bj").agg(F.min("slope").alias("ms"))
+    iso = inner_min.groupBy("bi").agg(F.max("ms").alias("yhat"))
+    return cum.join(iso, cum.b == iso.bi).select(
+        F.col("b").alias("score_bin"),
+        "n",
+        F.col("p").alias("n_pos"),
+        (
+            F.floor(F.col("p").cast("double") / F.col("n") * 1_000_000.0)
+            / 1_000_000.0
+        ).alias("raw_rate_q6"),
+        (F.floor(F.col("yhat") * 1_000_000.0) / 1_000_000.0).alias(
+            "iso_rate_q6"
+        ),
+    )
+
+
+# --- Split-conformal prediction interval --------------------------------------
+
+_CONF_ALPHA_PCT = 10  # 90% target coverage
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % 2 = 0 AS is_train
+  FROM events
+),
+fit AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(cents) AS BIGINT) AS sxt
+  FROM v WHERE is_train GROUP BY event_type
+),
+cal AS (
+  SELECT v.event_type, abs(v.cents * f.nt - f.sxt) AS nd,
+         f.nt
+  FROM v JOIN fit f USING (event_type) WHERE NOT v.is_train
+),
+rk AS (
+  SELECT event_type, nd, nt,
+         CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY nd, nt) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nc
+  FROM cal
+),
+q AS (
+  SELECT event_type, nc,
+         CAST(MAX(CASE WHEN r = CAST(ceil((nc + 1) * 0.9) AS BIGINT)
+                       THEN nd END) AS BIGINT) AS q_nd,
+         CAST(MAX(nt) AS BIGINT) AS nt
+  FROM rk GROUP BY event_type, nc
+)
+SELECT q.event_type, q.nc AS n_calibration,
+       floor(CAST(q.q_nd AS DOUBLE) / q.nt / 100.0 * 1000000.0)
+         / 1000000.0 AS qhat_q6,
+       CAST((SELECT COUNT(*) FROM cal c
+             WHERE c.event_type = q.event_type AND c.nd <= q.q_nd)
+         AS BIGINT) AS n_covered
+FROM q
+WHERE ceil((q.nc + 1) * 0.9) <= q.nc
+""",
+    tags=("ml", "analytics", "stats"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for event values — the
+    distribution-free uncertainty wrapper every production model needs:
+    fit a point predictor on the train split (per-type mean over even
+    event ids), take the ⌈(n+1)(1−α)⌉-th order statistic of absolute
+    calibration residuals (odd ids), and μ ± q̂ then covers ≥ 90% of
+    future draws with NO distributional assumption (Vovk; Lei et al.).
+    Exactness: residual COMPARISON runs entirely in integers —
+    |x − Σ/n| ranks identically to |n·x − Σ| — so the order statistic
+    is an exact int64 rank window (the Grubbs trick applied to
+    quantiles); q̂ converts to value units with one double division.
+    Scale: one pass fits the 5-row moment table (broadcast back), one
+    per-type rank window over the calibration half, coverage is an
+    exact integer count. Groups too small for the ceil rank excluded
+    exactly on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 2 == 0).alias("is_train"),
+    )
+    fit = (
+        v.filter("is_train")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("nt"),
+            F.sum("cents").cast("long").alias("sxt"),
+        )
+    )
+    cal = (
+        v.filter(~F.col("is_train"))
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") * F.col("nt") - F.col("sxt")).alias("nd"),
+            "nt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = W.partitionBy("event_type").orderBy("nd", "nt")
+    wa = W.partitionBy("event_type")
+    rk = cal.select(
+        "event_type",
+        "nd",
+        "nt",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count("*").over(wa).cast("long").alias("nc"),
+    )
+    q = rk.groupBy("event_type", "nc").agg(
+        F.max(
+            F.when(
+                F.col("r") == F.ceil((F.col("nc") + 1) * 0.9).cast("long"),
+                F.col("nd"),
+            )
+        )
+        .cast("long")
+        .alias("q_nd"),
+        F.max("nt").cast("long").alias("nt"),
+    )
+    cov = (
+        cal.join(F.broadcast(q.select("event_type", "q_nd")), "event_type")
+        .filter(F.col("nd") <= F.col("q_nd"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_covered"))
+    )
+    return (
+        q.filter(F.ceil((F.col("nc") + 1) * 0.9) <= F.col("nc"))
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            F.col("nc").alias("n_calibration"),
+            (
+                F.floor(
+                    F.col("q_nd").cast("double")
+                    / F.col("nt")
+                    / 100.0
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("qhat_q6"),
+            "n_covered",
+        )
+    )

@@ -2565,3 +2565,174 @@ def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("first_alarm_day"),
     )
+
+
+# --- Kendall tau-b ------------------------------------------------------------
+
+_KT_XBINS = 250  # value bins (4-unit wide, capped) — grid is bounded by design
+
+
+@register(
+    "stats_kendall_tau",
+    oracle=f"""
+WITH cells0 AS (
+  SELECT event_type,
+         LEAST(CAST(floor(value / 4.0) AS BIGINT), {_KT_XBINS - 1}) AS xb,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS yb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.event_type, g.xb, g.yb, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT t.event_type, x.xb, y.yb
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(range(0, {_KT_XBINS})) AS xb) x,
+             (SELECT unnest(range(0, 24)) AS yb) y) g
+  LEFT JOIN cells0 c
+    ON c.event_type = g.event_type AND c.xb = g.xb AND c.yb = g.yb
+),
+s1 AS (
+  SELECT *,
+    CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type, xb ORDER BY yb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above,
+    CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type, xb ORDER BY yb ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM grid
+),
+s2 AS (
+  SELECT *,
+    CAST(COALESCE(SUM(above) OVER (PARTITION BY event_type, yb ORDER BY xb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gt,
+    CAST(COALESCE(SUM(below) OVER (PARTITION BY event_type, yb ORDER BY xb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gl
+  FROM s1
+),
+cd AS (
+  SELECT event_type,
+         CAST(SUM(n * gt) AS BIGINT) AS conc,
+         CAST(SUM(n * gl) AS BIGINT) AS disc,
+         CAST(SUM(n) AS BIGINT) AS nn
+  FROM s2 GROUP BY event_type
+),
+tx AS (
+  SELECT event_type, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT event_type, xb, CAST(SUM(n) AS BIGINT) AS r
+        FROM grid GROUP BY 1, 2) m GROUP BY event_type
+),
+ty AS (
+  SELECT event_type, CAST(SUM(r * (r - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT event_type, yb, CAST(SUM(n) AS BIGINT) AS r
+        FROM grid GROUP BY 1, 2) m GROUP BY event_type
+)
+SELECT c.event_type, c.nn AS n, c.conc AS concordant, c.disc AS discordant,
+       floor((c.conc - c.disc)
+             / sqrt(CAST(c.nn * (c.nn - 1) / 2 - t1.n1 AS DOUBLE)
+                    * CAST(c.nn * (c.nn - 1) / 2 - t2.n2 AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS tau_b_q6
+FROM cd c JOIN tx t1 USING (event_type) JOIN ty t2 USING (event_type)
+WHERE c.nn * (c.nn - 1) / 2 > t1.n1 AND c.nn * (c.nn - 1) / 2 > t2.n2
+""",
+    tags=("analytics", "stats"),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) between event
+    value and hour-of-day per event type — the third rank-correlation
+    after Pearson (`stats_corr_matrix`) and Spearman
+    (`stats_spearman_corr`), and the one whose naive definition is
+    O(n²) pair counting. The scale mechanism makes it O(cells): values
+    quantize onto a BOUNDED ({_KT_XBINS}×24 per type) dense grid in one
+    corpus shuffle, then concordant/discordant pair counts come from
+    exact 2D suffix sums — two window passes (per-column suffix over
+    hours, then per-row suffix over value bins of those partials), so
+    C = Σ n·GT and D = Σ n·GL with every count an exact int64.
+    Tie terms n₁/n₂ from the grid marginals; τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    with the product taken in doubles (n₀ ~ n²/2 would overflow int64
+    multiplied), floored at 1e-6. Degenerate all-tied axes excluded by
+    exact integer predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    cells0 = ev.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 4.0).cast("long"), F.lit(_KT_XBINS - 1)
+        ).alias("xb"),
+        F.hour("ts").cast("long").alias("yb"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    types = ev.select("event_type").distinct()
+    spine = spark.range(_KT_XBINS).select(F.col("id").alias("xb")).crossJoin(
+        spark.range(24).select(F.col("id").alias("yb"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(cells0, ["event_type", "xb", "yb"], "left")
+        .select(
+            "event_type",
+            "xb",
+            "yb",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w_up = (
+        W.partitionBy("event_type", "xb")
+        .orderBy(F.desc("yb"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_dn = (
+        W.partitionBy("event_type", "xb")
+        .orderBy(F.asc("yb"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s1 = grid.select(
+        "event_type",
+        "xb",
+        "yb",
+        "n",
+        F.coalesce(F.sum("n").over(w_up), F.lit(0)).cast("long").alias("above"),
+        F.coalesce(F.sum("n").over(w_dn), F.lit(0)).cast("long").alias("below"),
+    )
+    w_gt = (
+        W.partitionBy("event_type", "yb")
+        .orderBy(F.desc("xb"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s2 = s1.select(
+        "event_type",
+        "n",
+        "xb",
+        "yb",
+        F.coalesce(F.sum("above").over(w_gt), F.lit(0)).cast("long").alias("gt"),
+        F.coalesce(F.sum("below").over(w_gt), F.lit(0)).cast("long").alias("gl"),
+    )
+    cd = s2.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("gt")).cast("long").alias("conc"),
+        F.sum(F.col("n") * F.col("gl")).cast("long").alias("disc"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    tx = (
+        grid.groupBy("event_type", "xb")
+        .agg(F.sum("n").cast("long").alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("n1")
+        )
+    )
+    ty = (
+        grid.groupBy("event_type", "yb")
+        .agg(F.sum("n").cast("long").alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("r") * (F.col("r") - 1) / 2).cast("long").alias("n2")
+        )
+    )
+    j = cd.join(tx, "event_type").join(ty, "event_type")
+    nn = F.col("nn")
+    n0 = (nn * (nn - 1) / 2).cast("long")
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(
+        (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+    )
+    return j.filter((n0 > F.col("n1")) & (n0 > F.col("n2"))).select(
+        "event_type",
+        nn.alias("n"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        (F.floor(tau * 1_000_000.0) / 1_000_000.0).alias("tau_b_q6"),
+    )

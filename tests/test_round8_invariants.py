@@ -122,3 +122,52 @@ def test_min_label_components_multi_component(spark):
     labels, _ = _min_label_components(edges)
     got = {r["node"]: r["lbl"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_isotonic_is_monotone_and_matches_sequential_pava(spark, sf_dir):
+    """The minimax closed form must (a) be non-decreasing and (b) equal
+    the classic sequential pool-adjacent-violators stack run in pure
+    Python on the same bin histogram."""
+    rows = sorted(
+        REGISTRY["ml_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["score_bin"],
+    )
+    assert rows
+    iso = [r["iso_rate_q6"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:])), "not monotone"
+    # sequential PAVA on the same (n, p) histogram
+    blocks = []  # (weight, sum)
+    for r in rows:
+        blocks.append([r["n"], r["n_pos"]])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):  # mean(prev) > mean(last), exact integer cross-multiply
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    # expand block means back onto bins (block weights are whole bins
+    # by construction)
+    expanded = []
+    bi = 0
+    for w, s in blocks:
+        cnt = 0
+        while cnt < w:
+            cnt += rows[bi]["n"]
+            expanded.append(s / w)
+            bi += 1
+    import math
+
+    want = [math.floor(v * 1e6) / 1e6 for v in expanded]
+    assert iso == want, list(zip(iso, want))[:5]
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split conformal guarantees >= ceil((n+1)*0.9)/n coverage on the
+    calibration split by construction — check the exact counts."""
+    import math
+
+    for r in REGISTRY["ml_conformal_interval"].fn(spark, sf_dir).collect():
+        nc, cov = r["n_calibration"], r["n_covered"]
+        assert cov >= math.ceil((nc + 1) * 0.9) - 1  # rank-th value included
+        assert cov / nc >= 0.9 - 1.0 / nc
+        assert r["qhat_q6"] >= 0
