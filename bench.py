@@ -127,6 +127,15 @@ HEADLINE = [
     "events_gini_concentration",
     "ml_gbm_residual_step",
     "embed_pca_topk",
+    # round-8 additions
+    "stats_kendall_tau",
+    "ml_isotonic_calibration",
+    "ml_conformal_interval",
+    "events_bass_diffusion",
+    "dedup_lsh_bucket_stats",
+    "stream_heavy_hitters",
+    "stats_ljung_box",
+    "stats_page_hinkley",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

@@ -1838,3 +1838,200 @@ def events_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mu_c * 1000.0) / 1_000_000.0).alias("mu_c_q6"),
         (F.floor((mu_t - mu_c) * 1000.0) / 1_000_000.0).alias("ate_q6"),
     )
+
+
+# --- Two-period Poisson rate test ---------------------------------------------
+
+_PRT_SPLIT_DAYS = 15  # exposure split: first 15 days vs the rest
+
+
+@register(
+    "events_poisson_rate_test",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+c AS (
+  SELECT e.event_type,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) < b.lo + {_PRT_SPLIT_DAYS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) >= b.lo + {_PRT_SPLIT_DAYS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(MAX(date_diff('day', b.lo, b.hi)) + 1 AS BIGINT) AS total_days
+  FROM events e, b GROUP BY e.event_type
+)
+SELECT event_type, n1, n2,
+       floor((CAST(n2 AS DOUBLE) / (total_days - {_PRT_SPLIT_DAYS}))
+             / (CAST(n1 AS DOUBLE) / {_PRT_SPLIT_DAYS}) * 1000000.0)
+         / 1000000.0 AS rate_ratio_q6,
+       floor((n1 - (n1 + n2) * (CAST({_PRT_SPLIT_DAYS} AS DOUBLE) / total_days))
+             / sqrt((n1 + n2) * (CAST({_PRT_SPLIT_DAYS} AS DOUBLE) / total_days)
+                    * (1.0 - CAST({_PRT_SPLIT_DAYS} AS DOUBLE) / total_days))
+             * 1000000.0) / 1000000.0 AS z_q6
+FROM c
+WHERE n1 > 0 AND n2 > 0 AND total_days > {_PRT_SPLIT_DAYS}
+""",
+    tags=("analytics", "events", "stats"),
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period Poisson rate comparison per event type — "did the
+    event rate CHANGE between the first {_PRT_SPLIT_DAYS} days and the
+    rest?", the count-data companion to `stats_welch_ttest` (means) and
+    `events_ab_assignment_srm` (allocation): under H₀ the period-1
+    count is Binomial(n₁+n₂, t₁/T) conditional on the total (the exact
+    conditional test), scored by its normal approximation
+    z = (n₁ − n·p₀)/√(n·p₀(1−p₀)). Scale: ONE pass over events (both
+    period counts as conditional sums in the same aggregate, exposure
+    from a broadcast 1-row bounds aggregate); counts and day spans are
+    exact int64, z and the rate ratio are single identical double
+    expressions floored at 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    e = ev.crossJoin(F.broadcast(b))
+    c = e.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("ts").cast("date")
+                < F.date_add(F.col("lo"), _PRT_SPLIT_DAYS),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("ts").cast("date")
+                >= F.date_add(F.col("lo"), _PRT_SPLIT_DAYS),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n2"),
+        (F.max(F.datediff(F.col("hi"), F.col("lo"))) + 1)
+        .cast("long")
+        .alias("total_days"),
+    )
+    n1, n2, td = F.col("n1"), F.col("n2"), F.col("total_days")
+    p0 = F.lit(float(_PRT_SPLIT_DAYS)).cast("double") / td
+    rr = (n2.cast("double") / (td - _PRT_SPLIT_DAYS)) / (
+        n1.cast("double") / _PRT_SPLIT_DAYS
+    )
+    z = (n1 - (n1 + n2) * p0) / F.sqrt((n1 + n2) * p0 * (1.0 - p0))
+    return c.filter((n1 > 0) & (n2 > 0) & (td > _PRT_SPLIT_DAYS)).select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.floor(rr * 1_000_000.0) / 1_000_000.0).alias("rate_ratio_q6"),
+        (F.floor(z * 1_000_000.0) / 1_000_000.0).alias("z_q6"),
+    )
+
+
+# --- Bass diffusion grid fit ----------------------------------------------------
+
+_BASS_P_GRID = 10  # p = i/500, i in 1..10  (0.002 .. 0.020)
+_BASS_Q_GRID = 10  # q = j/20,  j in 1..10  (0.05  .. 0.50)
+
+
+@register(
+    "events_bass_diffusion",
+    oracle=f"""
+WITH fe AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day0 FROM events GROUP BY user_id
+),
+b AS (SELECT MIN(CAST(ts AS DATE)) AS lo FROM events),
+adopt AS (
+  SELECT CAST(date_diff('day', b.lo, fe.day0) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM fe, b GROUP BY 1
+),
+m AS (SELECT CAST(SUM(d) AS BIGINT) AS mm FROM adopt),
+curve AS (
+  SELECT t, d,
+         CAST(COALESCE(SUM(d) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS a_prev
+  FROM adopt
+),
+gridp AS (SELECT unnest(range(1, {_BASS_P_GRID + 1})) AS pi),
+gridq AS (SELECT unnest(range(1, {_BASS_Q_GRID + 1})) AS qi),
+sse AS (
+  SELECT g.pi, g.qi,
+         CAST(SUM(CAST(floor(
+           (c.d - (g.pi / 500.0 + g.qi / 20.0 * c.a_prev / m.mm)
+                  * (m.mm - c.a_prev))
+           * (c.d - (g.pi / 500.0 + g.qi / 20.0 * c.a_prev / m.mm)
+                  * (m.mm - c.a_prev))) AS BIGINT)) AS BIGINT) AS e
+  FROM (SELECT p.pi, q.qi FROM gridp p, gridq q) g, curve c, m
+  GROUP BY g.pi, g.qi
+),
+best AS (SELECT min([e, pi, qi]) AS w FROM sse)
+SELECT w[2] / 500.0 AS p_fit, w[3] / 20.0 AS q_fit,
+       CAST(w[1] AS BIGINT) AS sse_floor,
+       (SELECT mm FROM m) AS m_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM curve) AS n_days
+FROM best
+""",
+    tags=("analytics", "events", "iterative"),
+)
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion-model fit to the user-adoption curve — the
+    classic innovation/imitation growth decomposition (Bass 1969):
+    daily new adopters d̂ₜ = (p + q·Aₜ₋₁/M)(M − Aₜ₋₁), fit by exact grid
+    search over {_BASS_P_GRID}×{_BASS_Q_GRID} (p, q) combinations
+    against the observed first-event curve. Scale mechanics: the corpus
+    collapses to per-user first days (one shuffle) then to the bounded
+    daily adoption curve; the grid×days cross join is ~3000 tiny rows.
+    Exactness: adopters/cumulative counts are exact int64 (the
+    cumulative uses an explicit ROWS frame); each day's squared error
+    floor-quantizes to int64 BEFORE the per-combo sum, so the argmin
+    (min-struct with (pi, qi) integer tiebreak) is exact; p/q emit as
+    single divisions of grid integers."""
+    ev = load_table(spark, sf_dir, "events")
+    fe = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day0")
+    )
+    b = ev.agg(F.min(F.col("ts").cast("date")).alias("lo"))
+    adopt = (
+        fe.crossJoin(F.broadcast(b))
+        .select(F.datediff("day0", "lo").cast("long").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # divergence point: m, the grid cross, and the n_days count all
+    # consume the (bounded, ~30-row) curve — checkpoint so the
+    # events-scale adoption aggregate runs once, not per consumer
+    curve = adopt.select(
+        "t",
+        "d",
+        F.coalesce(F.sum("d").over(wc), F.lit(0)).cast("long").alias("a_prev"),
+    ).localCheckpoint(eager=False)
+    m = curve.agg(F.sum("d").cast("long").alias("mm"))
+    grid = (
+        spark.range(1, _BASS_P_GRID + 1)
+        .select(F.col("id").alias("pi"))
+        .crossJoin(
+            spark.range(1, _BASS_Q_GRID + 1).select(F.col("id").alias("qi"))
+        )
+    )
+    full = grid.crossJoin(F.broadcast(curve)).crossJoin(F.broadcast(m))
+    pred = (
+        F.col("pi") / 500.0
+        + F.col("qi") / 20.0 * F.col("a_prev") / F.col("mm")
+    ) * (F.col("mm") - F.col("a_prev"))
+    err = F.floor((F.col("d") - pred) * (F.col("d") - pred)).cast("long")
+    sse = full.groupBy("pi", "qi").agg(F.sum(err).cast("long").alias("e"))
+    best = sse.agg(
+        F.min(F.struct(F.col("e"), F.col("pi"), F.col("qi"))).alias("w")
+    )
+    counts = curve.agg(F.count("*").cast("long").alias("n_days")).crossJoin(m)
+    return best.crossJoin(F.broadcast(counts)).select(
+        (F.col("w.pi") / 500.0).alias("p_fit"),
+        (F.col("w.qi") / 20.0).alias("q_fit"),
+        F.col("w.e").cast("long").alias("sse_floor"),
+        F.col("mm").alias("m_users"),
+        "n_days",
+    )

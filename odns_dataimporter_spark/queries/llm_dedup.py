@@ -1601,3 +1601,80 @@ def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kept_digest"),
     )
+
+
+# --- LSH bucket-health profile --------------------------------------------------
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=_minhash_sql_core(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    + "\n, exploded AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band FROM sigs"
+        for b in range(_PROD_N_HASHES // _PROD_BAND_SIZE)
+    )
+    + """
+), buckets AS (
+  SELECT band_idx, band, CAST(COUNT(*) AS BIGINT) AS s
+  FROM exploded GROUP BY band_idx, band
+)
+SELECT band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(s) AS BIGINT) AS n_entries,
+       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS pairs_generated,
+       floor(CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1000000.0) / 1000000.0 AS singleton_frac_q6
+FROM buckets GROUP BY band_idx
+""",
+    tags=("llm", "dedup", "profiling"),
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-health profile for the production 128-hash/8-band
+    MinHash preset — the capacity-planning view of the near-dup
+    pipeline: per band, how many buckets, the largest bucket, and the
+    TOTAL candidate-pair work Σ s(s−1)/2 the verify stage will face
+    (the exact cost `_candidate_pairs` is bounded by — this op IS the
+    monitor for the O(Σ bucket²)-not-O(n²) claim, and the number to
+    watch before launching a 100 TB dedup: a skewed band shows up here
+    as max_bucket blowing past the mean long before the join runs).
+    One corpus pass computes signatures, one shuffle buckets them;
+    everything after is band-cardinality-sized. All counts exact
+    int64; the singleton fraction is one floored division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _with_minhash_bands(docs, _PROD_N_HASHES, _PROD_BAND_SIZE)
+    n_bands = _PROD_N_HASHES // _PROD_BAND_SIZE
+    exploded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("e.band_idx", "e.band")
+    buckets = exploded.groupBy("band_idx", "band").agg(
+        F.count("*").cast("long").alias("s")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("s").cast("long").alias("n_entries"),
+        F.max("s").cast("long").alias("max_bucket"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2)
+        .cast("long")
+        .alias("pairs_generated"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("singleton_frac_q6"),
+    )

@@ -2670,6 +2670,9 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yb",
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
+        # divergence point: the suffix-sum chain, tx, and ty all consume
+        # the grid — checkpoint so events isn't re-scanned per consumer
+        .localCheckpoint(eager=False)
     )
     w_up = (
         W.partitionBy("event_type", "xb")

@@ -420,3 +420,77 @@ def stream_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alerts"),
     )
+
+
+# --- Heavy hitters (exact batch twin of the SpaceSaving stream) ---------------
+
+_HH_TOPK = 8
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_total FROM c
+  GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(row_number() OVER (PARTITION BY c.event_type
+         ORDER BY c.n_events DESC, c.user_id) AS BIGINT) AS rank,
+       c.user_id, c.n_events,
+       floor(CAST(c.n_events AS DOUBLE) / t.n_total * 1000000.0)
+         / 1000000.0 AS share_q6
+FROM c JOIN t USING (event_type)
+QUALIFY row_number() OVER (PARTITION BY c.event_type
+  ORDER BY c.n_events DESC, c.user_id) <= {_HH_TOPK}
+""",
+    tags=("streaming", "analytics"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type heavy hitters (top-{_HH_TOPK} users by event
+    count, lowest-id tiebreak, with traffic share) — the BATCH ground
+    truth for the streaming SpaceSaving sketch
+    (streaming/jobs.py::stream_heavy_hitters_spacesaving): the
+    streaming side keeps only a bounded counter table per key and
+    guarantees every user with count > N/capacity appears with an
+    estimate ≥ its true count; the equivalence test checks exactly
+    those guarantees against this query. Shape: one map-side-combined
+    (type, user) count, a broadcast per-type total, and a rank-k
+    window per type (WindowGroupLimit prunes to k per partition before
+    the sort). At 100 TB the batch twin is the nightly audit; the
+    sketch is the live monitor."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_total")
+    )
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HH_TOPK)
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "n_events",
+            (
+                F.floor(
+                    F.col("n_events").cast("double")
+                    / F.col("n_total")
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("share_q6"),
+        )
+    )

@@ -587,3 +587,104 @@ def stream_hysteresis_alerts(spark: SparkSession, src_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+# --- SpaceSaving heavy hitters -------------------------------------------------
+
+SS_CAPACITY = 8  # bounded counter table per key (Metwally et al. 2005)
+
+_SS_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("overs", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_SS_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_overcount", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _spacesaving_per_type(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState worker: the SpaceSaving stream-summary
+    over the key's user_ids with a BOUNDED counter table of
+    {SS_CAPACITY} entries. Guarantees (Metwally et al.): every item
+    with true count > n_seen/capacity is tracked, and every tracked
+    estimate is >= the true count with overestimate <= its recorded
+    `over` bound. Rows are processed in (ts, event_id) order within
+    the micro-batch (concatenated across Arrow chunks first — the
+    round-7 hysteresis lesson) so replays are deterministic."""
+    if state.exists:
+        ids, counts, overs, n_seen = (list(state.get[0]), list(state.get[1]),
+                                      list(state.get[2]), state.get[3])
+    else:
+        ids, counts, overs, n_seen = [], [], [], 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values(["ts", "event_id"])
+        pos = {u: i for i, u in enumerate(ids)}
+        for u in batch["user_id"].astype("int64"):
+            u = int(u)
+            n_seen += 1
+            i = pos.get(u)
+            if i is not None:
+                counts[i] += 1
+            elif len(ids) < SS_CAPACITY:
+                pos[u] = len(ids)
+                ids.append(u)
+                counts.append(1)
+                overs.append(0)
+            else:
+                # evict the minimum counter (lowest id on ties for
+                # determinism); inherit its count as the overestimate
+                j = min(range(len(ids)), key=lambda x: (counts[x], ids[x]))
+                del pos[ids[j]]
+                pos[u] = j
+                overs[j] = counts[j]
+                ids[j] = u
+                counts[j] += 1
+    state.update((ids, counts, overs, n_seen))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(ids),
+            "user_id": ids,
+            "est_count": counts,
+            "max_overcount": overs,
+            "n_seen": [n_seen] * len(ids),
+        }
+    )
+
+
+def stream_heavy_hitters_spacesaving(
+    spark: SparkSession, src_dir: str
+) -> DataFrame:
+    """Streaming heavy hitters per event type via the SpaceSaving
+    sketch in applyInPandasWithState — O(capacity) state per key no
+    matter how many distinct users flow past, the memory-bounded
+    counterpart to the exact batch audit
+    (queries/streaming_batch.py::stream_heavy_hitters). The
+    equivalence test asserts the sketch's two guarantees against the
+    exact twin on a skewed corpus."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, src_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        _spacesaving_per_type,
+        outputStructType=_SS_OUT,
+        stateStructType=_SS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

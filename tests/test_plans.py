@@ -604,6 +604,22 @@ _BNLJ_ALLOWED = {
     # 1-row broadcast centroid-array into the assignment map (per Lloyd
     # round) — the k x d state is tiny by construction
     "ml_kmeans_lloyd3",
+    # round 8: 1-row bounds broadcast crossJoined into the events scan
+    # (the ts_gapfill_locf shape) for the two-period split
+    "events_poisson_rate_test",
+    # round 8: broadcast spine bounds via _dense_hourly_counts (same
+    # shape as ts_autocorr_lag)
+    "stats_ljung_box",
+    # round 8: broadcast daily-spine bounds (_dense_daily_counts, the
+    # ts_gapfill_locf shape)
+    "stats_runs_test",
+    "stats_page_hinkley",
+    # round 8: broadcast ~30-row adoption curve + 1-row market-size
+    # aggregate crossed into the bounded 100-combo parameter grid
+    "events_bass_diffusion",
+    # round 8: inequality self-joins over the bounded 64-row cumulative
+    # bin table (the stats_mann_kendall |days|^2 shape)
+    "ml_isotonic_calibration",
 }
 
 

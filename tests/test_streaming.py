@@ -329,3 +329,62 @@ def test_hysteresis_worker_hour_straddles_arrow_chunks():
     assert out["n_hours"].iloc[0] == 1  # one hour, not two
     assert out["n_alerts"].iloc[0] == 1  # 4 > HI: alert opened
     assert out["hours_in_alert"].iloc[0] == 1
+
+
+def test_spacesaving_heavy_hitters_guarantees(spark, tmp_path):
+    """SpaceSaving on a SKEWED stream must satisfy the Metwally
+    guarantees vs the exact batch twin: (a) every user whose true count
+    exceeds n/capacity is tracked, (b) every tracked estimate >= the
+    true count, overestimated by at most its recorded bound, (c) state
+    stays bounded at the capacity."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from odns_dataimporter_spark.queries.streaming_batch import (
+        stream_heavy_hitters,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # hot users 1 and 2 dominate; 60 cold users appear 1-2x each
+    for i in range(300):
+        rows.append((eid, base + dt.timedelta(minutes=eid), 1, "click", 1.0, "{}")); eid += 1
+        if i % 2 == 0:
+            rows.append((eid, base + dt.timedelta(minutes=eid), 2, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=eid), 100 + (i % 60), "click", 1.0, "{}")); eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    src = str(tmp_path / "events_src")
+    fix = str(tmp_path)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    jobs.prepare_stream_source(spark, fix, src)
+
+    streamed = jobs.stream_heavy_hitters_spacesaving(spark, src)
+    got = {
+        r["user_id"]: (r["est_count"], r["max_overcount"], r["n_seen"])
+        for r in streamed.collect()
+        if r["event_type"] == "click"
+    }
+    assert 0 < len(got) <= jobs.SS_CAPACITY  # (c) bounded state
+
+    true_counts = df.groupby("user_id").size().to_dict()
+    n = len(df)
+    for uid, cnt in true_counts.items():
+        if cnt > n / jobs.SS_CAPACITY:
+            assert uid in got, f"true heavy hitter {uid} (count {cnt}) missing"
+    for uid, (est, over, n_seen) in got.items():
+        true = true_counts.get(uid, 0)
+        assert est >= true, (uid, est, true)  # (b) never undercounts
+        assert est - over <= true  # overestimate bounded by recorded err
+        assert n_seen == n
+
+    # the batch twin agrees the hot users rank on top
+    batch = {
+        r["rank"]: r["user_id"]
+        for r in stream_heavy_hitters(spark, fix).collect()
+    }
+    assert batch[1] == 1 and batch[2] == 2
