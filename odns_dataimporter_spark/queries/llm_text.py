@@ -2660,3 +2660,245 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "joint_entropy_nats_q9"
         ),
     )
+
+
+# --- Unigram-LM tokenizer (SentencePiece-style Viterbi segmentation) ---------
+
+# Fixed candidate piece inventory (max length 5): the 26 single letters
+# plus corpus-plausible multigrams. PROBABILITIES are learned from the
+# corpus (substring counts), so the segmentation itself is data-driven.
+_UNI_PIECES = tuple(
+    list("abcdefghijklmnopqrstuvwxyz")
+    + [
+        "sc", "an", "ba", "jo", "in", "qu", "st", "re", "am", "ta",
+        "co", "lu", "va", "ue", "er", "or", "ro", "ow", "do",
+        "tch", "ery", "ble", "umn",
+        "wind", "atch",
+        "spark", "scan", "batch", "join",
+    ]
+)
+_UNI_MAXP = 5  # max piece length => DP needs the last 5 best scores
+_UNI_INF = 10**14  # unreachable sentinel (never survives: 1-char fallback)
+
+
+def _uni_pieces_sql() -> str:
+    return "[" + ", ".join(f"'{p}'" for p in _UNI_PIECES) + "]"
+
+
+def _uni_cost_lookup_sql(length: int) -> str:
+    """Combined cost of the length-l piece ending at position p
+    (= a.pos + 1), from the map; UNK fallback for single chars,
+    unreachable for missing multigrams."""
+    piece = f"substr(token, a.pos + 2 - {length}, {length})"
+    fallback = "cm.unk_cost" if length == 1 else str(_UNI_INF)
+    return f"COALESCE(map_extract(cm.cost, {piece})[1], {fallback})"
+
+
+_UNI_STEP_SQL = (
+    "list_transform([acc], a -> CASE WHEN a.pos >= len(token) THEN "
+    "struct_pack(pos := a.pos + 1, b0 := a.b0, b1 := a.b1, b2 := a.b2, "
+    "b3 := a.b3, b4 := a.b4) ELSE struct_pack("
+    "pos := a.pos + 1, "
+    "b0 := least("
+    + ", ".join(
+        f"a.b{l - 1} + {_uni_cost_lookup_sql(l)}" for l in range(1, _UNI_MAXP + 1)
+    )
+    + "), b1 := a.b0, b2 := a.b1, b3 := a.b2, b4 := a.b3) END)[1]"
+)
+
+
+@register(
+    "tokenizer_unigram_encode",
+    oracle=f"""
+WITH vterms AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+cand AS (SELECT unnest({_uni_pieces_sql()}) AS piece),
+cnt AS (
+  SELECT c.piece,
+         CAST(SUM(v.f * (len(v.token) - len(replace(v.token, c.piece, '')))
+                  / len(c.piece)) AS BIGINT) AS occ
+  FROM cand c, vterms v
+  GROUP BY c.piece
+),
+tot AS (SELECT CAST(SUM(occ) AS BIGINT) AS total FROM cnt),
+costs AS (
+  SELECT piece,
+         (CAST(floor(-ln(CAST(occ AS DOUBLE) / t.total) * 1000000.0)
+            AS BIGINT) + 1) * 128 + 1 AS cost
+  FROM cnt, tot t WHERE occ > 0
+),
+cm AS (
+  SELECT map(list(piece ORDER BY piece), list(cost ORDER BY piece)) AS cost,
+         (CAST(floor(ln(2.0 * (SELECT total FROM tot)) * 1000000.0)
+            AS BIGINT) + 1) * 128 + 1 AS unk_cost
+  FROM costs
+),
+seg AS (
+  SELECT v.token, v.f,
+    list_reduce(
+      list_prepend(
+        struct_pack(pos := CAST(0 AS BIGINT), b0 := CAST(0 AS BIGINT),
+                    b1 := CAST({_UNI_INF} AS BIGINT),
+                    b2 := CAST({_UNI_INF} AS BIGINT),
+                    b3 := CAST({_UNI_INF} AS BIGINT),
+                    b4 := CAST({_UNI_INF} AS BIGINT)),
+        list_transform(
+          range(1, (SELECT greatest(max(len(token)), 1) FROM vterms) + 1),
+          x -> struct_pack(pos := CAST(0 AS BIGINT), b0 := CAST(0 AS BIGINT),
+                           b1 := CAST(0 AS BIGINT), b2 := CAST(0 AS BIGINT),
+                           b3 := CAST(0 AS BIGINT), b4 := CAST(0 AS BIGINT)))),
+      (acc, e) -> {_UNI_STEP_SQL}) AS st
+  FROM vterms v, cm
+),
+enc AS (
+  SELECT token, CAST(st.b0 % 128 AS BIGINT) AS n_pieces,
+         CAST(st.b0 // 128 AS BIGINT) AS nll_micros,
+         CAST(len(token) AS BIGINT) AS n_chars
+  FROM seg
+)
+SELECT d.doc_id,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.nll_micros) AS BIGINT) / 1000000.0 AS nll_q6,
+       CAST(SUM(e.n_chars) AS BIGINT) AS n_chars
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) d
+JOIN enc e USING (token)
+GROUP BY d.doc_id
+""",
+    tags=("llm", "text", "iterative"),
+)
+def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (the SentencePiece segmentation model,
+    Kudo 2018) — the third tokenizer family beside BPE (merge rules)
+    and WordPiece (greedy longest match): piece probabilities are
+    LEARNED from the corpus (frequency-weighted substring counts over
+    the distinct-word table), then each word takes its Viterbi-optimal
+    segmentation, minimizing total -log p. Per doc: piece count, total
+    NLL, chars. The exactness trick: piece costs quantize to int
+    micros and pack (nll, n_pieces) into ONE additive integer
+    (cost·128 + 1), so the whole DP is exact int64 minimization — no
+    float ordering anywhere. The DP itself is a bounded-state fold
+    (the last {_UNI_MAXP} best scores as scalar struct fields, shifted
+    each step), so there is NO list accumulator (DuckDB list_reduce
+    can't carry one) and no per-position recursion: one fold per
+    DISTINCT word, vocabulary-sized like all tokenizer ops — the
+    corpus contributes one token-count shuffle and one broadcast join
+    back. DuckDB side: the step let-binds `acc` through
+    list_transform([acc], a -> ...) because struct_pack fields read
+    ALREADY-UPDATED earlier fields of the same step (the round-7
+    list_reduce bug), and the dummy step list uses a CONSTANT
+    corpus-max budget (variable-length dummy lists cross-contaminate
+    rows — the round-8 wordpiece finding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vterms = toks.groupBy("token").agg(F.count("*").cast("long").alias("f"))
+    vterms = vterms.localCheckpoint(eager=False)
+    cand = spark.createDataFrame(
+        [(p,) for p in _UNI_PIECES], "piece string"
+    )
+    cnt = (
+        cand.crossJoin(vterms)
+        .select(
+            "piece",
+            (
+                F.col("f")
+                * (
+                    F.length("token")
+                    - F.length(F.replace(F.col("token"), F.col("piece")))
+                )
+                / F.length("piece")
+            ).alias("occ"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("occ").cast("long").alias("occ"))
+    )
+    tot = cnt.agg(F.sum("occ").cast("long").alias("total"))
+    costs = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("occ") > 0)
+        .select(
+            "piece",
+            (
+                (
+                    F.floor(
+                        -F.log(F.col("occ").cast("double") / F.col("total"))
+                        * 1_000_000.0
+                    ).cast("long")
+                    + 1
+                )
+                * 128
+                + 1
+            ).alias("cost"),
+        )
+    )
+    cm = costs.crossJoin(F.broadcast(tot)).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("piece", "cost")))
+        ).alias("cost_map"),
+        (
+            (
+                F.floor(F.log(2.0 * F.max("total")) * 1_000_000.0).cast("long")
+                + 1
+            )
+            * 128
+            + 1
+        ).alias("unk_cost"),
+    )
+
+    def lookup(pos, length):
+        piece = F.substring(
+            F.col("token"), (pos + 1 - length).cast("int"), length
+        )
+        hit = F.element_at(F.col("cost_map"), piece)
+        fb = F.col("unk_cost") if length == 1 else F.lit(_UNI_INF)
+        return F.coalesce(hit, fb)
+
+    def step(acc, x):
+        prevs = [acc[f"b{i}"] for i in range(_UNI_MAXP)]
+        best = None
+        for length in range(1, _UNI_MAXP + 1):
+            c = prevs[length - 1] + lookup(x, length)
+            best = c if best is None else F.least(best, c)
+        new = F.struct(
+            best.alias("b0"),
+            prevs[0].alias("b1"),
+            prevs[1].alias("b2"),
+            prevs[2].alias("b3"),
+            prevs[3].alias("b4"),
+        )
+        return F.when(x > F.length("token"), acc).otherwise(new)
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("b0"),
+        *[
+            F.lit(_UNI_INF).cast("long").alias(f"b{i}")
+            for i in range(1, _UNI_MAXP)
+        ],
+    )
+    seg = vterms.crossJoin(F.broadcast(cm)).select(
+        "token",
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(F.length("token"), F.lit(1))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    enc = seg.select(
+        "token",
+        (F.col("st.b0") % 128).cast("long").alias("n_pieces"),
+        F.floor(F.col("st.b0") / 128).cast("long").alias("nll_micros"),
+        F.length("token").cast("long").alias("n_chars"),
+    )
+    return (
+        toks.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            (F.sum("nll_micros").cast("long") / 1_000_000.0).alias("nll_q6"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -171,3 +171,64 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
         assert cov >= math.ceil((nc + 1) * 0.9) - 1  # rank-th value included
         assert cov / nc >= 0.9 - 1.0 / nc
         assert r["qhat_q6"] >= 0
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    """The bounded-state integer DP must equal a straightforward
+    Python Viterbi with the same learned costs — guards against a
+    shared off-by-one in BOTH engines' substr/shift logic (the oracle
+    alone cannot see that class of bug)."""
+    import math
+    from collections import defaultdict
+
+    from odns_dataimporter_spark.queries.llm_text import (
+        _UNI_INF,
+        _UNI_MAXP,
+        _UNI_PIECES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    freq = defaultdict(int)
+    for t in texts.values():
+        for w in t.split(" "):
+            freq[w] += 1
+    occ = defaultdict(int)
+    for w, f in freq.items():
+        for p in _UNI_PIECES:
+            occ[p] += f * (len(w) - len(w.replace(p, ""))) // len(p)
+    total = sum(occ.values())
+    cost = {
+        p: (math.floor(-math.log(c / total) * 1e6) + 1) * 128 + 1
+        for p, c in occ.items()
+        if c > 0
+    }
+    unk = (math.floor(math.log(2.0 * total) * 1e6) + 1) * 128 + 1
+
+    def viterbi(w):
+        best = [0] + [_UNI_INF] * len(w)
+        for pos in range(1, len(w) + 1):
+            for l in range(1, min(_UNI_MAXP, pos) + 1):
+                c = cost.get(w[pos - l : pos], unk if l == 1 else _UNI_INF)
+                best[pos] = min(best[pos], best[pos - l] + c)
+        return best[len(w)]
+
+    want = {}
+    for did, t in texts.items():
+        np_ = nll = nch = 0
+        for w in t.split(" "):
+            b = viterbi(w)
+            np_ += b % 128
+            nll += b // 128
+            nch += len(w)
+        want[did] = (np_, nll / 1e6, nch)
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["nll_q6"], r["n_chars"])
+        for r in REGISTRY["tokenizer_unigram_encode"].fn(spark, sf).collect()
+    }
+    assert got == want
