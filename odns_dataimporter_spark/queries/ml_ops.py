@@ -3812,3 +3812,97 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_covered",
         )
     )
+
+
+# --- Quantile regression (exact integer pinball grid) --------------------------
+
+_QR_TAU10 = 9  # tau = 0.9, scaled by 10 so pinball loss is integer
+_QR_SLOPES = 21  # b = (i - 10) * 10 cents/hour, i in 0..20
+_QR_ICEPTS = 20  # a = j * 1000 cents (0..190 value units), j in 0..19
+
+
+@register(
+    "ml_quantile_regression_grid",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(floor(value) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT (i.i - 10) * 10 AS b, j.j * 1000 AS a
+  FROM (SELECT unnest(range(0, {_QR_SLOPES})) AS i) i,
+       (SELECT unnest(range(0, {_QR_ICEPTS})) AS j) j
+),
+loss AS (
+  SELECT g.a, g.b,
+         CAST(SUM(c.n * CASE
+           WHEN (c.cb * 100 + 50) - (g.a + g.b * c.h) > 0
+           THEN {_QR_TAU10} * ((c.cb * 100 + 50) - (g.a + g.b * c.h))
+           ELSE (g.a + g.b * c.h) - (c.cb * 100 + 50) END) AS BIGINT)
+           AS l10,
+         CAST(SUM(c.n) AS BIGINT) AS nn
+  FROM grid g, cells c GROUP BY g.a, g.b
+),
+best AS (SELECT min([l10, a, b]) AS w, MAX(nn) AS nn FROM loss)
+SELECT {_QR_TAU10} / 10.0 AS tau,
+       w[3] / 100.0 AS slope_per_hour,
+       w[2] / 100.0 AS intercept,
+       floor(CAST(w[1] AS DOUBLE) / (10.0 * 100.0 * nn) * 1000000.0)
+         / 1000000.0 AS pinball_mean_q6,
+       nn AS n
+FROM best
+""",
+    tags=("ml", "analytics", "stats"),
+)
+def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (τ=0.9) of event value on hour-of-day by
+    exact grid search over a bounded (slope, intercept) lattice — the
+    tail-behavior companion to `ml_ols_normal_eq` (mean) and
+    `ml_isotonic_calibration` (monotone rate): minimize the pinball
+    loss Σ ρ_τ(y − a − b·h). The entire computation is INTEGER
+    arithmetic: the corpus collapses to a bounded (hour × value-bin)
+    histogram in one shuffle; with τ=0.9 the loss scales by 10 into
+    ints (9·r⁺ + r⁻), residuals are exact cents, and the per-combo
+    sums + argmin (min-struct with (a, b) tiebreak) never touch a
+    float until the final display divisions. Grid×cells is
+    corpus-size-independent (~{_QR_SLOPES * _QR_ICEPTS} combos × bin
+    cells); at 100 TB only the histogram pass sees data."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value")).cast("long").alias("cb"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        spark.range(_QR_SLOPES)
+        .select(((F.col("id") - 10) * 10).alias("b"))
+        .crossJoin(spark.range(_QR_ICEPTS).select((F.col("id") * 1000).alias("a")))
+    )
+    full = grid.crossJoin(F.broadcast(cells))
+    y = F.col("cb") * 100 + 50
+    pred = F.col("a") + F.col("b") * F.col("h")
+    r = y - pred
+    loss10 = F.when(r > 0, _QR_TAU10 * r).otherwise(pred - y)
+    per = full.groupBy("a", "b").agg(
+        F.sum(F.col("n") * loss10).cast("long").alias("l10"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    best = per.agg(
+        F.min(F.struct("l10", "a", "b")).alias("w"),
+        F.max("nn").cast("long").alias("nn"),
+    )
+    return best.select(
+        F.lit(_QR_TAU10 / 10.0).alias("tau"),
+        (F.col("w.b") / 100.0).alias("slope_per_hour"),
+        (F.col("w.a") / 100.0).alias("intercept"),
+        (
+            F.floor(
+                F.col("w.l10").cast("double")
+                / (10.0 * 100.0 * F.col("nn"))
+                * 1_000_000.0
+            )
+            / 1_000_000.0
+        ).alias("pinball_mean_q6"),
+        F.col("nn").alias("n"),
+    )

@@ -232,3 +232,24 @@ def test_unigram_viterbi_matches_bruteforce(spark):
         for r in REGISTRY["tokenizer_unigram_encode"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_quantile_regression_line_sits_near_the_tau_quantile(spark, sf_dir):
+    """The pinball-optimal line should leave roughly tau=0.9 of the
+    mass below it (grid-coarseness slack allowed)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        REGISTRY["ml_quantile_regression_grid"].fn(spark, sf_dir).collect()[0]
+    )
+    assert row["tau"] == 0.9
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a, b = row["intercept"], row["slope_per_hour"]
+    frac = (
+        ev.select(
+            (F.col("value") <= a + b * F.hour("ts")).cast("int").alias("u")
+        )
+        .agg(F.avg("u"))
+        .collect()[0][0]
+    )
+    assert 0.80 <= frac <= 0.97, frac
