@@ -2035,3 +2035,181 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mm").alias("m_users"),
         "n_days",
     )
+
+
+# --- Shapley channel attribution ------------------------------------------------
+
+# factorial as a CASE expression (shared text on both engines; k <= 6
+# channels by design => arguments bounded by 5)
+def _fact_sql(arg: str) -> str:
+    return (
+        f"CASE CAST({arg} AS BIGINT) WHEN 0 THEN 1 WHEN 1 THEN 1 "
+        "WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 "
+        "WHEN 6 THEN 720 END"
+    )
+
+
+_SHAP_CONV = "purchase"  # the conversion event; all other types are channels
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=f"""
+WITH chan AS (
+  SELECT event_type AS ch,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type <> '{_SHAP_CONV}')
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts FROM events
+  WHERE event_type = '{_SHAP_CONV}' GROUP BY 1
+),
+masks AS (
+  SELECT c.user_id,
+         CAST(COALESCE(bit_or(CASE WHEN e.ts < c.conv_ts
+                              THEN (1::BIGINT << ch.bit) END), 0) AS BIGINT)
+           AS mask
+  FROM conv c
+  LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type <> '{_SHAP_CONV}'
+  LEFT JOIN chan ch ON ch.ch = e.event_type
+  GROUP BY 1
+),
+cmask AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM masks GROUP BY 1),
+spine AS (
+  SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS s
+),
+spine_k AS (SELECT s FROM spine, kk WHERE s < (1::BIGINT << kk.k)),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(cm.c), 0) AS BIGINT) AS v
+  FROM spine_k s LEFT JOIN cmask cm ON (cm.mask & s.s) = cm.mask
+  GROUP BY 1
+),
+terms AS (
+  SELECT ch.ch, ch.bit, CAST(bit_count(v1.s) AS BIGINT) AS sz,
+         v2.v - v1.v AS marg
+  FROM chan ch
+  JOIN v v1 ON (v1.s & (1::BIGINT << ch.bit)) = 0
+  JOIN v v2 ON v2.s = (v1.s | (1::BIGINT << ch.bit))
+)
+SELECT t.ch AS channel, CAST(t.bit AS BIGINT) AS bit,
+       CAST(SUM(({_fact_sql('t.sz')}) * ({_fact_sql('kk.k - 1 - t.sz')})
+                * t.marg) AS BIGINT) AS shapley_num,
+       floor(CAST(SUM(({_fact_sql('t.sz')}) * ({_fact_sql('kk.k - 1 - t.sz')})
+                      * t.marg) AS DOUBLE)
+             / ({_fact_sql('kk.k')}) * 1000000.0) / 1000000.0 AS shapley_q6
+FROM terms t CROSS JOIN kk
+GROUP BY 1, 2, kk.k ORDER BY 1
+""",
+    tags=("analytics", "growth"),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over the channel-set
+    coalition game (Shapley 1953 applied to conversion credit — the
+    principled alternative to `events_attribution_touch`'s first/last
+    heuristics): v(S) = number of conversions whose pre-conversion
+    channel set ⊆ S, and each channel's credit is its exact Shapley
+    value Σ_{{S∌i}} |S|!(k−1−|S|)!/k! · (v(S∪i)−v(S)). The scale
+    mechanism: the corpus collapses in TWO keyed shuffles (first-
+    purchase per user, then one bit_or per converted user) to a ≤2^k-row
+    mask-count table; the whole subset lattice (2^k ≤ 64 rows, k ≤ 6
+    channels by design) and the marginal-contribution sum live on
+    broadcast-sized tables. Every quantity through shapley_num is an
+    exact int64 — factorial weights are CASE literals ×k! (the common
+    denominator), so the only float is the final display division.
+    Efficiency axiom (Σ credits = v(full) − v(∅)) is pinned by a pytest
+    invariant. Non-converting users contribute nothing; channels never
+    seen pre-conversion get exactly 0."""
+    ev = load_table(spark, sf_dir, "events")
+    chan = (
+        ev.filter(F.col("event_type") != _SHAP_CONV)
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch",
+            (
+                F.row_number().over(Window.orderBy("ch")) - 1
+            )
+            .cast("long")
+            .alias("bit"),
+        )
+    ).localCheckpoint(eager=False)  # tiny; feeds mask build AND terms
+    kk = chan.agg(F.count("*").cast("long").alias("k"))
+    conv = (
+        ev.filter(F.col("event_type") == _SHAP_CONV)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    evch = (
+        ev.filter(F.col("event_type") != _SHAP_CONV)
+        .join(F.broadcast(chan), ev.event_type == chan.ch)
+        .select("user_id", "ts", "bit")
+    )
+    masks = (
+        conv.join(evch, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.bit_or(
+                    F.when(
+                        F.col("ts") < F.col("conv_ts"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("mask")
+        )
+    )
+    cmask = masks.groupBy("mask").agg(F.count("*").cast("long").alias("c"))
+    spine = spark.range(64).select(F.col("id").cast("long").alias("s"))
+    spine_k = spine.crossJoin(F.broadcast(kk)).filter(
+        F.col("s") < F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+    )
+    v = (
+        spine_k.join(
+            F.broadcast(cmask),
+            cmask.mask.bitwiseAND(F.col("s")) == cmask.mask,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    ).localCheckpoint(eager=False)  # feeds both sides of the marginal join
+    bitmask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("va"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("vb"))
+    terms = (
+        chan.crossJoin(v1)
+        .filter(F.col("s1").bitwiseAND(bitmask) == 0)
+        .join(v2, F.col("s2") == F.col("s1").bitwiseOR(bitmask))
+        .select(
+            "ch",
+            "bit",
+            F.bit_count("s1").cast("long").alias("sz"),
+            (F.col("vb") - F.col("va")).alias("marg"),
+        )
+    )
+    t = terms.crossJoin(F.broadcast(kk))
+    wnum = (
+        F.expr(_fact_sql("sz")) * F.expr(_fact_sql("k - 1 - sz")) * F.col("marg")
+    )
+    return (
+        t.groupBy(F.col("ch").alias("channel"), F.col("bit"), F.col("k"))
+        .agg(F.sum(wnum).cast("long").alias("shapley_num"))
+        .select(
+            "channel",
+            "bit",
+            "shapley_num",
+            (
+                F.floor(
+                    F.col("shapley_num").cast("double")
+                    / F.expr(_fact_sql("k"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("shapley_q6"),
+        )
+    )

@@ -3906,3 +3906,257 @@ def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pinball_mean_q6"),
         F.col("nn").alias("n"),
     )
+
+
+# --- Cohen's kappa + Matthews correlation ---------------------------------------
+
+_KM_THRESH = _ECE_SMAX // 2  # decision threshold on the shared hash score
+
+
+@register(
+    "ml_kappa_mcc",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST('0x' || substr(md5('{_AUC_SALT}'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {_AUC_NOISE}
+                 + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN {_AUC_LIFT} ELSE 0 END >= {_KM_THRESH}
+              THEN 1 ELSE 0 END AS yh
+  FROM orders
+),
+c AS (
+  SELECT CAST(SUM(y * yh) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * yh) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - yh)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - yh)) AS BIGINT) AS tn
+  FROM b
+)
+SELECT tp, fp, fn, tn,
+       floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000.0)
+         / 1000000.0 AS accuracy_q6,
+       floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000.0)
+         / 1000000.0 AS f1_q6,
+       floor(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
+             / CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS kappa_q6,
+       floor(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS mcc_q6
+FROM c
+""",
+    tags=("ml", "stats"),
+)
+def ml_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-classifier agreement scorecard — Cohen's kappa
+    (chance-corrected accuracy) and the Matthews correlation
+    coefficient (the binary-confusion Pearson phi), plus accuracy and
+    F1, at the fixed decision threshold smax/2 on the deterministic
+    hash-score model shared with `ml_auc_roc`/`ml_calibration_ece`.
+    AUC ranks threshold-free; kappa/MCC grade the DEPLOYED cutoff, and
+    MCC is the one of the four that stays honest under class
+    imbalance. The entire query is ONE map-side-combined reduce to a
+    single confusion row of exact int64 counts; kappa's numerator
+    2(tp·tn − fp·fn) and denominator are exact int64 (counts ≤ ~1.5e4
+    at sf0.01; the products stay under 9.2e18 up to ~3e9 rows — past
+    that, keep counts exact and form the products in doubles exactly
+    as written), and each metric is one late float division, floor-q6.
+    Scale shape: no join, no window, one partial+final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    s = (
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+            "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_AUC_NOISE}"
+        )
+        + F.when(is_pos, _AUC_LIFT).otherwise(0)
+    )
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        F.when(s >= _KM_THRESH, 1).otherwise(0).alias("yh"),
+    )
+    c = b.agg(
+        F.sum(F.col("y") * F.col("yh")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yh")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yh"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yh"))).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    kap_num = (2 * (tp * tn - fp * fn)).cast("double")
+    kap_den = ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)).cast("double")
+    mcc_den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            F.floor((tp + tn).cast("double") / (tp + fp + fn + tn) * 1e6) / 1e6
+        ).alias("accuracy_q6"),
+        (F.floor((2 * tp).cast("double") / (2 * tp + fp + fn) * 1e6) / 1e6).alias(
+            "f1_q6"
+        ),
+        (F.floor(kap_num / kap_den * 1e6) / 1e6).alias("kappa_q6"),
+        (
+            F.floor((tp * tn - fp * fn).cast("double") / mcc_den * 1e6) / 1e6
+        ).alias("mcc_q6"),
+    )
+
+
+# --- Brier score + Murphy decomposition ------------------------------------------
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST('0x' || substr(md5('{_AUC_SALT}' || CAST(o_orderkey AS VARCHAR)),
+              1, 8) AS BIGINT) % {_AUC_NOISE}
+           + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN {_AUC_LIFT} ELSE 0 END AS s
+  FROM orders
+),
+g AS (SELECT CAST(s * {_ECE_BINS} // {_ECE_SMAX} AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ss2,
+             CAST(SUM(CAST(s AS BIGINT) * y) AS BIGINT) AS ssy
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sy) AS BIGINT) AS syt,
+             CAST(SUM(ss2) AS BIGINT) AS ss2t, CAST(SUM(ss) AS BIGINT) AS sst,
+             CAST(SUM(ssy) AS BIGINT) AS ssyt
+      FROM g),
+pb AS (
+  SELECT CAST(SUM(CAST(floor(
+           (CAST(t.nn AS DOUBLE) * sy - CAST(n AS DOUBLE) * t.syt)
+           * (CAST(t.nn AS DOUBLE) * sy - CAST(n AS DOUBLE) * t.syt)
+           / (CAST(n AS DOUBLE) * CAST(t.nn AS DOUBLE) * t.nn)
+           * 1000000.0) AS BIGINT)) AS BIGINT) AS res_micro,
+         CAST(SUM(CAST(floor(
+           (CAST({_ECE_SMAX} AS DOUBLE) * sy - CAST(ss AS DOUBLE))
+           * (CAST({_ECE_SMAX} AS DOUBLE) * sy - CAST(ss AS DOUBLE))
+           / (CAST(n AS DOUBLE) * {_ECE_SMAX} * {_ECE_SMAX})
+           * 1000000.0) AS BIGINT)) AS BIGINT) AS rel_micro
+  FROM g CROSS JOIN t
+)
+SELECT t.nn AS n,
+       floor((CAST(t.ss2t AS DOUBLE)
+              - 2.0 * {_ECE_SMAX} * t.ssyt
+              + CAST({_ECE_SMAX} AS DOUBLE) * {_ECE_SMAX} * t.syt)
+             / (CAST(t.nn AS DOUBLE) * {_ECE_SMAX} * {_ECE_SMAX})
+             * 1000000.0) / 1000000.0 AS brier_q6,
+       floor(CAST(t.syt AS DOUBLE) * (t.nn - t.syt)
+             / (CAST(t.nn AS DOUBLE) * t.nn) * 1000000.0) / 1000000.0
+         AS uncertainty_q6,
+       floor(CAST(pb.rel_micro AS DOUBLE)) / 1000000.0 AS reliability_q6,
+       floor(CAST(pb.res_micro AS DOUBLE)) / 1000000.0 AS resolution_q6
+FROM t CROSS JOIN pb
+""",
+    tags=("ml", "stats"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (uncertainty −
+    resolution + reliability, computed over the same 10 probability
+    bins as `ml_calibration_ece`) for the shared hash-score model read
+    as p = s/smax. The exactness ladder: the Brier numerator
+    Σ(s − smax·y)² expands to Σs² − 2·smax·Σsy + smax²·Σy — THREE exact
+    int64 power sums, one late division; uncertainty ȳ(1−ȳ) is exact
+    ints; reliability Σ n_b(p̄_b−ȳ_b)²/N and resolution Σ n_b(ȳ_b−ȳ)²/N
+    have per-bin rational terms with bin-local denominators, so each
+    bin's term is evaluated in doubles (deterministic per bin — no
+    cross-bin accumulation order exists yet), floored to integer
+    micro-units, and summed as int64 — order-free on both engines, bias
+    < bins·1e-6, the same per-cell-quantize discipline as
+    `stats_cramers_v`. With forecasts binned (not constant per bin),
+    BS = UNC − RES + REL + within-bin forecast variance; the residual
+    is the generalized (Stephenson) within-bin term, not an error.
+    Shape: one 10-bin map-side-combined histogram; nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = o.select(
+        F.when(is_pos, 1).otherwise(0).alias("y"),
+        (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('{_AUC_SALT}', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_AUC_NOISE}"
+            )
+            + F.when(is_pos, _AUC_LIFT).otherwise(0)
+        ).alias("s"),
+    )
+    g = b.groupBy(
+        (F.col("s") * _ECE_BINS / F.lit(_ECE_SMAX)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2"),
+        F.sum(F.col("s") * F.col("y")).cast("long").alias("ssy"),
+    ).localCheckpoint(eager=False)  # feeds totals AND the per-bin terms
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sy").cast("long").alias("syt"),
+        F.sum("ss2").cast("long").alias("ss2t"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum("ssy").cast("long").alias("ssyt"),
+    )
+    smax = float(_ECE_SMAX)
+    nn_d = F.col("nn").cast("double")
+    res_term = (
+        (nn_d * F.col("sy") - F.col("n").cast("double") * F.col("syt"))
+        * (nn_d * F.col("sy") - F.col("n").cast("double") * F.col("syt"))
+        / (F.col("n").cast("double") * nn_d * F.col("nn"))
+        * 1e6
+    )
+    rel_term = (
+        (F.lit(smax) * F.col("sy") - F.col("ss").cast("double"))
+        * (F.lit(smax) * F.col("sy") - F.col("ss").cast("double"))
+        / (F.col("n").cast("double") * smax * smax)
+        * 1e6
+    )
+    pb = g.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.floor(res_term).cast("long")).cast("long").alias("res_micro"),
+        F.sum(F.floor(rel_term).cast("long")).cast("long").alias("rel_micro"),
+    )
+    return t.crossJoin(F.broadcast(pb)).select(
+        F.col("nn").alias("n"),
+        (
+            F.floor(
+                (
+                    F.col("ss2t").cast("double")
+                    - 2.0 * smax * F.col("ssyt")
+                    + F.lit(smax) * smax * F.col("syt")
+                )
+                / (F.col("nn").cast("double") * smax * smax)
+                * 1e6
+            )
+            / 1e6
+        ).alias("brier_q6"),
+        (
+            F.floor(
+                F.col("syt").cast("double")
+                * (F.col("nn") - F.col("syt"))
+                / (F.col("nn").cast("double") * F.col("nn"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("uncertainty_q6"),
+        (F.floor(F.col("rel_micro").cast("double")) / 1e6).alias(
+            "reliability_q6"
+        ),
+        (F.floor(F.col("res_micro").cast("double")) / 1e6).alias(
+            "resolution_q6"
+        ),
+    )

@@ -2739,3 +2739,416 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc").alias("discordant"),
         (F.floor(tau * 1_000_000.0) / 1_000_000.0).alias("tau_b_q6"),
     )
+
+
+# --- Cramér's V ---------------------------------------------------------------
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hb,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cm AS (SELECT hb, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT hb) AS BIGINT) AS nc
+        FROM cells),
+terms AS (
+  SELECT CAST(SUM(CAST(floor(CAST(x.o AS DOUBLE) * CAST(x.o AS DOUBLE)
+                             * CAST(t.n AS DOUBLE)
+                             / (CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM cells x JOIN rm USING (event_type) JOIN cm USING (hb) CROSS JOIN tot t
+)
+SELECT t.n, t.nr AS n_rows_dim, t.nc AS n_cols_dim,
+       (t.nr - 1) * (t.nc - 1) AS dof,
+       floor(CAST(terms.s_micro - t.n * 1000000 AS DOUBLE)) / 1000000.0 AS chi2_q6,
+       floor(sqrt(CAST(terms.s_micro - t.n * 1000000 AS DOUBLE) / 1000000.0
+                  / (CAST(t.n AS DOUBLE)
+                     * CAST(LEAST(t.nr, t.nc) - 1 AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS cramers_v_q6
+FROM tot t CROSS JOIN terms
+""",
+    tags=("analytics", "stats"),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × hour-of-day
+    contingency table — the "is this association real AND big"
+    companion to `stats_chi_square` (significance says nothing about
+    magnitude at 100 TB, where every test is significant). χ² uses the
+    Σ o²/e − N identity so only OBSERVED cells are scanned (empty
+    cells contribute nothing to Σ o²/e), and the per-cell rational
+    term o²·N/(r·c) is floored to integer micro-units BEFORE the sum —
+    int64 addition is associative, so the result is order-independent
+    across partial-aggregation trees on both engines (the house
+    per-cell-quantize discipline; bias < |cells|·1e-6). Shape: one
+    corpus shuffle to ≤ |types|×24 cells, margin aggs over that tiny
+    table, broadcast joins, 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hb"))
+        .agg(F.count("*").cast("long").alias("o"))
+        # feeds both margins, the totals, and the term sum
+        .localCheckpoint(eager=False)
+    )
+    rm = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("hb").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("hb").cast("long").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "hb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o").cast("double")
+                    * F.col("o").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("r").cast("double") * F.col("c").cast("double"))
+                    * 1_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_micro")
+        )
+    )
+    chi2_micro = (F.col("s_micro") - F.col("n") * 1_000_000).cast("double")
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            F.col("nr").alias("n_rows_dim"),
+            F.col("nc").alias("n_cols_dim"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            (F.floor(chi2_micro) / 1_000_000.0).alias("chi2_q6"),
+            (
+                F.floor(
+                    F.sqrt(
+                        chi2_micro
+                        / 1_000_000.0
+                        / (
+                            F.col("n").cast("double")
+                            * (F.least("nr", "nc") - 1).cast("double")
+                        )
+                    )
+                    * 1_000_000.0
+                )
+                / 1_000_000.0
+            ).alias("cramers_v_q6"),
+        )
+    )
+
+
+# --- Jarque-Bera normality test -------------------------------------------------
+
+# Both engines evaluate the SAME moment-expression text on doubles built
+# from exact int64 power sums, so the floats are bit-identical.
+_JB_EXPRS = {
+    "m": "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)",
+    "m2": "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - m * m",
+    "m3": (
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - 3.0 * m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " + 2.0 * m * m * m"
+    ),
+    "m4": (
+        "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - 4.0 * m * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " + 6.0 * m * m * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " - 3.0 * m * m * m * m"
+    ),
+    "skew": "m3 / sqrt(m2 * m2 * m2)",
+    "exkurt": "m4 / (m2 * m2) - 3.0",
+    "jb": "CAST(n AS DOUBLE) / 6.0 * (skew * skew + exkurt * exkurt / 4.0)",
+}
+
+
+@register(
+    "stats_jarque_bera",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(SUM(x * x * x) AS BIGINT) AS s3,
+         CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+  FROM q GROUP BY 1
+),
+d AS (SELECT *, {_JB_EXPRS['m']} AS m FROM s),
+d2 AS (SELECT *, {_JB_EXPRS['m2']} AS m2 FROM d),
+d3 AS (SELECT *, {_JB_EXPRS['m3']} AS m3, {_JB_EXPRS['m4']} AS m4 FROM d2),
+d4 AS (SELECT *, {_JB_EXPRS['skew']} AS skew, {_JB_EXPRS['exkurt']} AS exkurt
+       FROM d3 WHERE m2 > 0)
+SELECT event_type, n,
+       floor(skew * 1000000.0) / 1000000.0 AS skew_q6,
+       floor(exkurt * 1000000.0) / 1000000.0 AS exkurt_q6,
+       floor(({_JB_EXPRS['jb']}) * 1000000.0) / 1000000.0 AS jb_q6
+FROM d4 ORDER BY event_type
+""",
+    tags=("analytics", "stats"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type — skewness, excess
+    kurtosis, and the JB statistic n/6·(S² + K²/4), the distribution-
+    shape monitor a feature pipeline runs next to `stats_ks_drift`
+    (which needs a reference sample; JB needs none). Values quantize to
+    unit bins (floor(value) — part of the statistic's definition here)
+    so the four power sums Σx..Σx⁴ are exact int64 (x ≤ ~500 ⇒ x⁴ ≤
+    6e10; 10⁸ rows/type stays under 9.2e18 — at 100 TB shard the s4 sum
+    by a salt and re-sum). Central moments come from the power sums via
+    the SAME expression text on both engines (module-level _JB_EXPRS),
+    so every derived double is bit-identical. Shape: one map-side-
+    combined groupBy to |types| rows; everything after is free."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor("value").cast("long").alias("x")
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+    d = (
+        s.withColumn("m", F.expr(_JB_EXPRS["m"]))
+        .withColumn("m2", F.expr(_JB_EXPRS["m2"]))
+        .withColumn("m3", F.expr(_JB_EXPRS["m3"]))
+        .withColumn("m4", F.expr(_JB_EXPRS["m4"]))
+        .filter(F.col("m2") > 0)
+        .withColumn("skew", F.expr(_JB_EXPRS["skew"]))
+        .withColumn("exkurt", F.expr(_JB_EXPRS["exkurt"]))
+    )
+    return d.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("skew") * 1_000_000.0) / 1_000_000.0).alias("skew_q6"),
+        (F.floor(F.col("exkurt") * 1_000_000.0) / 1_000_000.0).alias(
+            "exkurt_q6"
+        ),
+        (F.floor(F.expr(_JB_EXPRS["jb"]) * 1_000_000.0) / 1_000_000.0).alias(
+            "jb_q6"
+        ),
+    )
+
+
+# --- AR(2) Yule-Walker fit ------------------------------------------------------
+
+# One expression text, both engines => bit-identical doubles from exact
+# int64 sufficient statistics (the _JB_EXPRS discipline).
+_AR2_EXPRS = {
+    "m": "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c0": "CAST(sxy0 AS DOUBLE) / CAST(n0 AS DOUBLE) - m * m",
+    "c1": "CAST(sxy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - m * m",
+    "c2": "CAST(sxy2 AS DOUBLE) / CAST(n2 AS DOUBLE) - m * m",
+    "r1": "c1 / c0",
+    "r2": "c2 / c0",
+    "phi2": "(r2 - r1 * r1) / (1.0 - r1 * r1)",
+    "phi1": "r1 * (1.0 - phi2)",
+    "sigma2": "c0 * (1.0 - phi1 * r1 - phi2 * r2)",
+}
+
+
+@register(
+    "ts_ar2_yule_walker",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY hour) AS x1,
+         lag(x, 2) OVER (PARTITION BY event_type ORDER BY hour) AS x2
+  FROM series
+),
+suff AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(x * x) AS BIGINT) AS sxy0,
+         CAST(COUNT(x1) AS BIGINT) AS n1, CAST(SUM(x * x1) AS BIGINT) AS sxy1,
+         CAST(COUNT(x2) AS BIGINT) AS n2, CAST(SUM(x * x2) AS BIGINT) AS sxy2
+  FROM lagged GROUP BY 1
+),
+d AS (SELECT *, {_AR2_EXPRS['m']} AS m FROM suff WHERE n2 > 0),
+d2 AS (SELECT *, {_AR2_EXPRS['c0']} AS c0, {_AR2_EXPRS['c1']} AS c1,
+              {_AR2_EXPRS['c2']} AS c2 FROM d),
+d3 AS (SELECT *, {_AR2_EXPRS['r1']} AS r1, {_AR2_EXPRS['r2']} AS r2
+       FROM d2 WHERE c0 > 0),
+d4 AS (SELECT *, {_AR2_EXPRS['phi2']} AS phi2 FROM d3
+       WHERE r1 * r1 <> 1.0),
+d5 AS (SELECT *, {_AR2_EXPRS['phi1']} AS phi1 FROM d4)
+SELECT event_type, n,
+       floor(phi1 * 1000000.0) / 1000000.0 AS phi1_q6,
+       floor(phi2 * 1000000.0) / 1000000.0 AS phi2_q6,
+       floor(({_AR2_EXPRS['sigma2']}) * 1000000.0) / 1000000.0 AS sigma2_q6
+FROM d5 ORDER BY event_type
+""",
+    tags=("analytics", "timeseries"),
+)
+def ts_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) autoregression fit per event type via Yule-Walker on the
+    dense hourly count series — the parametric step past
+    `ts_autocorr_lag` (which stops at the correlogram): solve the 2×2
+    Toeplitz system for (φ₁, φ₂) by Cramer's rule (the order-2
+    Durbin-Levinson closed form φ₂ = (r₂−r₁²)/(1−r₁²),
+    φ₁ = r₁(1−φ₂)) and report the innovation variance
+    σ² = c₀(1−φ₁r₁−φ₂r₂). Sufficient statistics are exact int64 lag
+    products over the zero-filled grid (Σx·x₋₁, Σx·x₋₂ of integer
+    counts); autocovariances use the full-series mean with per-lag pair
+    counts (c_k = Σxx₋ₖ/n_k − m², the estimator definition here),
+    derived through one shared expression text (_AR2_EXPRS) so every
+    double matches bit-for-bit. Shape: one corpus shuffle to the
+    bounded hourly grid, one lag window per type, |types|-row output.
+    Degenerate guards are exact predicates (n₂>0, c₀>0, r₁²≠1)."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    w = W.partitionBy("event_type").orderBy("hour")
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    suff = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxy0"),
+        F.count("x1").cast("long").alias("n1"),
+        F.sum(F.col("x") * F.col("x1")).cast("long").alias("sxy1"),
+        F.count("x2").cast("long").alias("n2"),
+        F.sum(F.col("x") * F.col("x2")).cast("long").alias("sxy2"),
+    )
+    d = (
+        suff.filter(F.col("n2") > 0)
+        .withColumn("m", F.expr(_AR2_EXPRS["m"]))
+        .withColumn("c0", F.expr(_AR2_EXPRS["c0"]))
+        .withColumn("c1", F.expr(_AR2_EXPRS["c1"]))
+        .withColumn("c2", F.expr(_AR2_EXPRS["c2"]))
+        .filter(F.col("c0") > 0)
+        .withColumn("r1", F.expr(_AR2_EXPRS["r1"]))
+        .withColumn("r2", F.expr(_AR2_EXPRS["r2"]))
+        .filter(F.col("r1") * F.col("r1") != 1.0)
+        .withColumn("phi2", F.expr(_AR2_EXPRS["phi2"]))
+        .withColumn("phi1", F.expr(_AR2_EXPRS["phi1"]))
+    )
+    return d.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("phi1") * 1e6) / 1e6).alias("phi1_q6"),
+        (F.floor(F.col("phi2") * 1e6) / 1e6).alias("phi2_q6"),
+        (F.floor(F.expr(_AR2_EXPRS["sigma2"]) * 1e6) / 1e6).alias(
+            "sigma2_q6"
+        ),
+    )
+
+
+# --- Bollinger bands ------------------------------------------------------------
+
+_BB_WIN = 24  # trailing window (hours)
+_BB_K2 = 4  # band width factor squared (k = 2 sigma)
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+roll AS (
+  SELECT event_type, hour, x,
+         CAST(SUM(x) OVER tw AS BIGINT) AS s,
+         CAST(SUM(x * x) OVER tw AS BIGINT) AS q,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS cnt
+  FROM series
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN {_BB_WIN - 1} PRECEDING AND CURRENT ROW)
+),
+full_w AS (
+  SELECT *,
+         {_BB_WIN} * x - s AS dev_n,
+         {_BB_K2} * ({_BB_WIN} * q - s * s) AS band_n2
+  FROM roll WHERE cnt = {_BB_WIN}
+),
+flags AS (
+  SELECT event_type, hour,
+         CASE WHEN dev_n > 0 AND dev_n * dev_n > band_n2 THEN 1 ELSE 0 END AS up,
+         CASE WHEN dev_n < 0 AND dev_n * dev_n > band_n2 THEN 1 ELSE 0 END AS dn
+  FROM full_w
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(up) AS BIGINT) AS n_upper_breach,
+       CAST(SUM(dn) AS BIGINT) AS n_lower_breach,
+       CAST(MAX(CASE WHEN up = 1 THEN hour END) AS VARCHAR) AS last_upper_hour,
+       CAST(MAX(CASE WHEN dn = 1 THEN hour END) AS VARCHAR) AS last_lower_hour
+FROM flags GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "timeseries"),
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection on the hourly count series — a
+    trailing {_BB_WIN}-hour mean ± 2σ envelope, the volatility-aware
+    cousin of `ts_rolling_zscore`'s fixed-window z-score. The entire
+    breach predicate is EXACT integer arithmetic via cross-
+    multiplication: |x − S/n| > 2·√((nQ−S²)/n²)  ⇔  (n·x−S)² >
+    4·(n·Q−S²), so no float ever enters the decision — both engines
+    agree on every edge case including var = 0 (band collapses to the
+    mean; any deviation breaches). int64 bounds: hourly counts up to
+    ~1.2e8 keep (n·x−S)² under 2⁶³; past that switch the two products
+    to DECIMAL(38). Shape: one corpus shuffle to the bounded hourly
+    grid, one trailing window per type, |types|-row summary with last
+    breach timestamps (rendered as strings, house rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_BB_WIN - 1), W.currentRow)
+    )
+    roll = series.select(
+        "event_type",
+        "hour",
+        "x",
+        F.sum("x").over(tw).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(tw).cast("long").alias("q"),
+        F.count("*").over(tw).cast("long").alias("cnt"),
+    ).filter(F.col("cnt") == _BB_WIN)
+    dev_n = F.lit(_BB_WIN) * F.col("x") - F.col("s")
+    band_n2 = F.lit(_BB_K2) * (
+        F.lit(_BB_WIN) * F.col("q") - F.col("s") * F.col("s")
+    )
+    flags = roll.select(
+        "event_type",
+        "hour",
+        F.when((dev_n > 0) & (dev_n * dev_n > band_n2), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.when((dev_n < 0) & (dev_n * dev_n > band_n2), 1)
+        .otherwise(0)
+        .alias("dn"),
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("up").cast("long").alias("n_upper_breach"),
+            F.sum("dn").cast("long").alias("n_lower_breach"),
+            F.max(F.when(F.col("up") == 1, F.col("hour")))
+            .cast("string")
+            .alias("last_upper_hour"),
+            F.max(F.when(F.col("dn") == 1, F.col("hour")))
+            .cast("string")
+            .alias("last_lower_hour"),
+        )
+    )
