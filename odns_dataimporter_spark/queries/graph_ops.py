@@ -676,3 +676,126 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
     ).select(F.col("lbl").cast("long").alias("community"), "n_members", "min_node")
+
+
+_CC_TOPN = 20  # report the local coefficient for the top-N hubs
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (
+  SELECT u AS c, v AS x FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (SELECT c AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+tri AS (
+  SELECT a1.c AS node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM adj a1 JOIN adj a2
+    ON a2.c = a1.c AND a1.x < a2.x
+  JOIN edges e ON e.u = a1.x AND e.v = a2.x
+  GROUP BY 1
+),
+top AS (
+  SELECT deg.node, deg.d, CAST(COALESCE(tri.t, 0) AS BIGINT) AS t
+  FROM deg LEFT JOIN tri USING (node)
+  ORDER BY deg.d DESC, deg.node ASC LIMIT {_CC_TOPN}
+)
+SELECT node, d AS degree, t AS triangles,
+       floor(CAST(2 * t AS DOUBLE) / (CAST(d AS DOUBLE) * (d - 1))
+             * 1000000.0) / 1000000.0 AS local_cc_q6
+FROM top WHERE d >= 2 ORDER BY degree DESC, node ASC
+""",
+    tags=("graph", "stats"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (2·t_v / d_v(d_v−1)) for the
+    top-{_CC_TOPN} hubs of the parts-co-ordered graph — the
+    per-node refinement of `graph_triangle_count`'s global tally, and
+    the standard "is this hub a community or a star" diagnostic. Scale
+    mechanism: per-node triangle counts come from the SAME degree-
+    oriented adjacency-intersection closing as the global count
+    (wedges fan out from the low-degree endpoint, Σ min-deg² not
+    Σ deg²), with CORNER ATTRIBUTION — a triangle found on oriented
+    edge (s,t) via u ∈ N⁺(s)∩N⁺(t) credits all three corners through
+    one explode of the (≤√E-bounded) intersection array plus two
+    constant columns, then one keyed re-aggregation; token-free,
+    cartesian-free. The oracle is the orientation-free id-ordered
+    wedge join (a1.x < a2.x), proving orientation + attribution
+    preserves per-node semantics exactly. Hub selection is a
+    deterministic global top-{_CC_TOPN} by (degree, node) —
+    TakeOrderedAndProject, no global window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    edges = (
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees, rank joins, closing
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)  # feeds the rank map AND the output join
+    )
+    rk = deg.select("x", F.row_number().over(W.orderBy("d", "x")).alias("r"))
+    e = (
+        edges.join(rk.withColumnRenamed("x", "u").withColumnRenamed("r", "ru"), "u")
+        .join(rk.withColumnRenamed("x", "v").withColumnRenamed("r", "rv"), "v")
+        .select(F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    closed = (
+        e.join(adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns")), "s")
+        .join(adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")), "t")
+        .select("s", "t", F.array_intersect("ns", "nt").alias("inter"))
+        .filter(F.size("inter") > 0)
+        .localCheckpoint(eager=False)  # feeds all three corner projections
+    )
+    corners = (
+        closed.select(F.col("s").alias("r"), F.size("inter").cast("long").alias("c"))
+        .unionAll(
+            closed.select(
+                F.col("t").alias("r"), F.size("inter").cast("long").alias("c")
+            )
+        )
+        .unionAll(
+            closed.select(
+                F.explode("inter").alias("r"), F.lit(1).cast("long").alias("c")
+            )
+        )
+    )
+    tri_r = corners.groupBy("r").agg(F.sum("c").cast("long").alias("t"))
+    # rank -> original node id, then deterministic top-N hubs
+    tri_node = rk.join(tri_r, "r", "left").select(
+        F.col("x").alias("node"), F.coalesce("t", F.lit(0)).cast("long").alias("t")
+    )
+    top = (
+        deg.select(F.col("x").alias("node"), "d")
+        .join(tri_node, "node")
+        .orderBy(F.desc("d"), F.asc("node"))
+        .limit(_CC_TOPN)
+    )
+    return top.filter(F.col("d") >= 2).select(
+        "node",
+        F.col("d").alias("degree"),
+        F.col("t").alias("triangles"),
+        (
+            F.floor(
+                (2 * F.col("t")).cast("double")
+                / (F.col("d").cast("double") * (F.col("d") - 1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("local_cc_q6"),
+    )

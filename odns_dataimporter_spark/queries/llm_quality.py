@@ -1165,3 +1165,84 @@ def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("token_budget"),
     )
+
+
+# --- code-vs-prose detection ------------------------------------------------------
+
+# character classes counted by replace-diff (exact, engine-agnostic)
+_CODE_SYMS = "{};()=<>[]#_"
+_CODE_KWS = ("def ", "return ", "import ", "void ", "class ", "function ")
+_CODE_THRESH_MICRO = 40_000  # score >= 4% symbol+keyword density => code
+
+
+def _char_count_sql(src: str, ch: str) -> str:
+    esc = ch.replace("'", "''")
+    return f"(length({src}) - length(replace({src}, '{esc}', '')))"
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         CAST({' + '.join(_char_count_sql('text', ch) for ch in _CODE_SYMS)}
+              AS BIGINT) AS n_sym,
+         CAST({' + '.join(f"({_char_count_sql('text', kw)} / {len(kw)})" for kw in _CODE_KWS)}
+              AS BIGINT) AS n_kw
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_sym, n_kw,
+       CAST(floor(CAST(n_sym + 10 * n_kw AS DOUBLE) * 1000000.0 / n)
+            AS BIGINT) AS code_score_micro,
+       CAST(floor(CAST(n_sym + 10 * n_kw AS DOUBLE) * 1000000.0 / n)
+            >= {_CODE_THRESH_MICRO} AS BOOLEAN) AS is_code
+FROM c ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic detector — the curation-pipeline router
+    that decides whether a crawled document flows to the code or the
+    natural-language branch (code must NOT be scored by prose quality
+    rules: `text_gopher_rules` would reject every real source file).
+    Signal = density of code punctuation ({_CODE_SYMS!r}) plus 10×
+    weighted language keywords, per character. Every count is an exact
+    replace-diff integer (no regex engine in the hot path — replace()
+    is SIMD-friendly and semantically identical on both engines), the
+    score is one late scale-before-divide to integer micro-units, and
+    the verdict is an integer threshold compare, so the oracle is a
+    full value-hash. Shape: pure per-row expression work — zero
+    shuffles, runs inside whole-stage codegen at scan speed; at 100 TB
+    this is a free rider on any existing corpus pass."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sym = None
+    for ch in _CODE_SYMS:
+        t = F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+        n_sym = t if n_sym is None else n_sym + t
+    n_kw = None
+    for kw in _CODE_KWS:
+        t = (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(kw)))
+        ) / len(kw)
+        n_kw = t if n_kw is None else n_kw + t
+    score = F.floor(
+        (F.col("n_sym") + 10 * F.col("n_kw")).cast("double")
+        * 1_000_000.0
+        / F.col("n_chars")
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            n_sym.cast("long").alias("n_sym"),
+            n_kw.cast("long").alias("n_kw"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_sym",
+            "n_kw",
+            score.alias("code_score_micro"),
+            (score >= _CODE_THRESH_MICRO).alias("is_code"),
+        )
+    )

@@ -2504,3 +2504,97 @@ def embed_drift_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 88.0
         ).alias("drift_alarm"),
     )
+
+
+# --- binary (sign) Hamming top-k -------------------------------------------------
+
+
+def _signword(arr: Column) -> Column:
+    """Fold a float slice into an integer sign word: acc·2 + (x>0).
+    Horner form makes the word an exact int64 with identical
+    left-to-right association on both engines (DuckDB's seedless
+    list_reduce starts from the first element, which equals the
+    0-seeded fold because 0·2+b₁ = b₁)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+    )
+
+
+_HAM_SQL_WORD = (
+    "list_reduce(list_transform({src}, x -> CASE WHEN x > 0 THEN 1::BIGINT "
+    "ELSE 0::BIGINT END), (a, b) -> a * 2 + b)"
+)
+
+
+@register(
+    "embed_hamming_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT vec_id,
+         {_HAM_SQL_WORD.format(src='embedding[1:32]')} AS lo,
+         {_HAM_SQL_WORD.format(src='embedding[33:64]')} AS hi
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         CAST(bit_count(xor(p.lo, c.lo)) + bit_count(xor(p.hi, c.hi))
+              AS BIGINT) AS hamming
+  FROM w p JOIN w c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+)
+SELECT probe_id, cand_id, hamming
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY hamming ASC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOP_K}
+""",
+    tags=("llm", "similarity", "embedding"),
+)
+def embed_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature nearest neighbors: each 64-d float vector
+    collapses to a 64-bit SIGN SIGNATURE (two 32-bit Horner-folded
+    words — exact int64, no floats anywhere in the query), and probe
+    top-k is ranked by Hamming distance bit_count(xor) — the
+    1-bit-quantization retrieval path (Charikar hyperplane sketch with
+    axis-aligned planes) that makes 100 TB re-ranking cheap: 8 bytes a
+    vector instead of 256, distance is two CPU popcounts, and the
+    signature computation is a map-only pass (F.aggregate HOF — no
+    shuffle, no UDF). Probes broadcast exactly as `sim_topk_cosine`
+    (whose float cosine this op's integer distance approximates;
+    pytest pins the rank-agreement between the two). Unlike the ANN
+    family this IS oracle-exact — the signature and distance are
+    deterministic integers, so the full DuckDB value-hash applies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = emb.select(
+        "vec_id",
+        _signword(F.slice("embedding", 1, 32)).alias("lo"),
+        _signword(F.slice("embedding", 33, 32)).alias("hi"),
+    )
+    probes = w.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(w.select(F.col("vec_id").alias("cand_id"), "lo", "hi"))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                F.bit_count(F.col("plo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("phi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    wn = W.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("probe_id", "cand_id", "hamming")
+    )

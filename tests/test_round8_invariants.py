@@ -253,3 +253,141 @@ def test_quantile_regression_line_sits_near_the_tau_quantile(spark, sf_dir):
         .collect()[0][0]
     )
     assert 0.80 <= frac <= 0.97, frac
+
+
+# --- wave K invariants ----------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σ channel credits = v(full) − v(∅): the defining Shapley
+    efficiency property, computed independently of the operator (total
+    conversions minus conversions with an empty pre-purchase channel
+    set)."""
+    import pyspark.sql.functions as F
+
+    rows = REGISTRY["events_shapley_attribution"].fn(spark, SF001).collect()
+    total_num = sum(r["shapley_num"] for r in rows)
+    k = len(rows)
+    kfact = math.factorial(k)
+    assert total_num % kfact == 0, "credit total must be an exact multiple of k!"
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    pre = (
+        conv.join(
+            ev.filter(F.col("event_type") != "purchase"), "user_id", "left"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.col("cts"), 1).otherwise(0)
+            ).alias("n_pre")
+        )
+    )
+    v_full = conv.count()
+    v_empty = pre.filter(F.col("n_pre") == 0).count()
+    assert total_num // kfact == v_full - v_empty
+
+
+def test_hamming_topk_agrees_with_cosine_ranks(spark):
+    """The 1-bit sign sketch must place most of the exact cosine top-5
+    inside its own top-50 (rank agreement, not equality — quantization
+    loses magnitude information by design)."""
+    exact = REGISTRY["sim_topk_cosine"].fn(spark, SF001).collect()
+    want = {(r["probe_id"], r["cand_id"]) for r in exact}
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from odns_dataimporter_spark.queries.llm_similarity import _signword
+    from odns_dataimporter_spark.tables import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    w = emb.select(
+        "vec_id",
+        _signword(F.slice("embedding", 1, 32)).alias("lo"),
+        _signword(F.slice("embedding", 33, 32)).alias("hi"),
+    )
+    probes = w.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    wide = (
+        F.broadcast(probes)
+        .crossJoin(w.select(F.col("vec_id").alias("cand_id"), "lo", "hi"))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                F.bit_count(F.col("plo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("phi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("hamming", "cand_id")
+            ),
+        )
+        .filter(F.col("rn") <= 50)
+        .collect()
+    )
+    got = {(r["probe_id"], r["cand_id"]) for r in wide}
+    hit = len(want & got) / len(want)
+    assert hit >= 0.5, f"sign-sketch top-50 recall of cosine top-5 = {hit}"
+
+
+def test_bollinger_breach_predicate_matches_float_bands(spark):
+    """The cross-multiplied integer predicate must equal the float
+    formulation |x−μ| > 2σ on the actual sf0.01 grid (modulo exact
+    ties, which the integer form settles exactly)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from odns_dataimporter_spark.queries.stats_ops import (
+        _BB_WIN,
+        _dense_hourly_counts,
+    )
+    from odns_dataimporter_spark.tables import load_table
+
+    ev = load_table(spark, SF001, "events")
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_BB_WIN - 1), W.currentRow)
+    )
+    roll = (
+        _dense_hourly_counts(ev)
+        .select(
+            "event_type",
+            "hour",
+            "x",
+            F.sum("x").over(tw).alias("s"),
+            F.sum(F.col("x") * F.col("x")).over(tw).alias("q"),
+            F.count("*").over(tw).alias("cnt"),
+        )
+        .filter(F.col("cnt") == _BB_WIN)
+        .collect()
+    )
+    n_int = n_float = 0
+    for r in roll:
+        dev_n = _BB_WIN * r["x"] - r["s"]
+        band2 = 4 * (_BB_WIN * r["q"] - r["s"] * r["s"])
+        int_breach = dev_n * dev_n > band2
+        mu = r["s"] / _BB_WIN
+        sigma = math.sqrt(max(r["q"] / _BB_WIN - mu * mu, 0.0))
+        float_breach = abs(r["x"] - mu) > 2 * sigma + 1e-9
+        n_int += int_breach
+        n_float += float_breach
+        assert int_breach == float_breach or abs(
+            abs(r["x"] - mu) - 2 * sigma
+        ) < 1e-6
+    assert n_int > 0, "fixture grid should contain at least one breach"
