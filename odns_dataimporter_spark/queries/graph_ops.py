@@ -799,3 +799,101 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("local_cc_q6"),
     )
+
+
+_KCORE_K = 3  # target core order
+_KCORE_ROUNDS = 4  # fixed peel rounds (unrolled on both engines)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+WITH edges0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+{', '.join(
+    f'''keep{r} AS (
+  SELECT c AS node FROM (
+    SELECT c, COUNT(*) AS d FROM (
+      SELECT u AS c, v AS x FROM edges{r - 1}
+      UNION ALL SELECT v, u FROM edges{r - 1}) a
+    GROUP BY c) dd
+  WHERE d >= {_KCORE_K}
+),
+edges{r} AS (
+  SELECT e.u, e.v FROM edges{r - 1} e
+  JOIN keep{r} ku ON ku.node = e.u
+  JOIN keep{r} kv ON kv.node = e.v
+)''' for r in range(1, _KCORE_ROUNDS + 1)
+)}
+SELECT * FROM (
+{' UNION ALL '.join(
+    f'''SELECT CAST({r} AS BIGINT) AS round,
+       CAST((SELECT COUNT(*) FROM keep{r}) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges{r}) AS BIGINT) AS n_edges'''
+    for r in range(1, _KCORE_ROUNDS + 1)
+)})
+ORDER BY round
+""",
+    tags=("graph", "stats"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core decomposition by iterative peeling over the
+    parts-co-ordered graph — {_KCORE_ROUNDS} FIXED peel rounds (remove
+    every node with degree < {_KCORE_K}, drop incident edges, repeat),
+    reporting surviving node/edge counts per round: the classic
+    community-core extraction that separates durable co-purchase
+    structure from one-off order noise. The round count is bounded BY
+    CONSTRUCTION (the `dedup_cluster_components` lesson: no
+    unconditioned driver-side convergence loop) — each round is one
+    degree aggregate + two semi-joins, all keyed on node id; a full
+    peel at 100 TB runs O(degeneracy) rounds, and the fixed-round
+    variant is the standard bounded-latency approximation whose
+    monotone convergence (counts non-increasing, fixpoint detectable
+    by equal consecutive rows) is pinned by a pytest invariant.
+    Checkpoint per round caps lineage depth."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    edges = (
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("c"))
+            .unionAll(edges.select(F.col("v").alias("c")))
+            .groupBy("c")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select(
+            F.col("c").alias("node")
+        ).localCheckpoint(eager=False)
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            keep.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                F.broadcast(
+                    edges.agg(F.count("*").cast("long").alias("n_edges"))
+                )
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -2213,3 +2213,123 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shapley_q6"),
         )
     )
+
+
+# --- propensity-stratified 1:1 matching -------------------------------------------
+
+_PM_STRATA = 10
+
+
+@register(
+    "events_propensity_match_att",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS BIGINT) AS cov,
+         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS treated,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS out_cents
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT *, CAST(ntile({_PM_STRATA}) OVER (ORDER BY cov, user_id) AS BIGINT)
+              AS stratum
+  FROM u
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY stratum, treated
+                               ORDER BY cov, user_id) AS rk
+  FROM s
+),
+pairs AS (
+  SELECT t.stratum, t.out_cents AS t_out, c.out_cents AS c_out
+  FROM r t JOIN r c
+    ON c.stratum = t.stratum AND c.rk = t.rk
+   AND t.treated = 1 AND c.treated = 0
+)
+SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(t_out - c_out) AS BIGINT) AS sum_diff_cents,
+       floor(CAST(SUM(t_out - c_out) AS DOUBLE) / (COUNT(*) * 100.0)
+             * 1000000.0) / 1000000.0 AS att_q6
+FROM pairs GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "growth", "causal"),
+)
+def events_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect on the treated (ATT) by DETERMINISTIC
+    1:1 rank matching inside propensity strata — the matching-estimator
+    companion to `events_iptw_ate` (weighting) and
+    `events_diff_in_diff` (panel): treatment = user ever hit an
+    'error', outcome = lifetime purchase cents, confounder = browsing
+    intensity (view+click count), stratified into {_PM_STRATA} ntile
+    strata. Matching is rank-pairing within (stratum, arm) ordered by
+    (covariate, user_id) — fully deterministic (no caliper randomness),
+    reproducible across engines, and each unmatched surplus row drops
+    out via the inner join exactly as 1:1 matching without replacement
+    prescribes. Scale shape: one events→user aggregate (keyed shuffle),
+    windows over the USER table (already |users| ≪ corpus; the ntile
+    total order is over an Aggregate output, which the window audit
+    allows — at 10⁹ users switch to fixed covariate-range strata),
+    one self-join on (stratum, rank). Outcomes stay exact integer
+    cents until the final ATT division."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))
+        .cast("long")
+        .alias("cov"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("out_cents"),
+    )
+    s = u.withColumn(
+        "stratum",
+        F.ntile(_PM_STRATA)
+        .over(Window.orderBy("cov", "user_id"))
+        .cast("long"),
+    )
+    r = s.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("stratum", "treated").orderBy("cov", "user_id")
+        ),
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    t = r.filter(F.col("treated") == 1).select(
+        "stratum", "rk", F.col("out_cents").alias("t_out")
+    )
+    c = r.filter(F.col("treated") == 0).select(
+        "stratum", "rk", F.col("out_cents").alias("c_out")
+    )
+    pairs = t.join(c, ["stratum", "rk"])
+    return (
+        pairs.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("t_out") - F.col("c_out"))
+            .cast("long")
+            .alias("sum_diff_cents"),
+        )
+        .select(
+            "stratum",
+            "n_pairs",
+            "sum_diff_cents",
+            (
+                F.floor(
+                    F.col("sum_diff_cents").cast("double")
+                    / (F.col("n_pairs") * 100.0)
+                    * 1e6
+                )
+                / 1e6
+            ).alias("att_q6"),
+        )
+    )

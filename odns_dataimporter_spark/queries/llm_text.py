@@ -2902,3 +2902,171 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# --- Heaps' law fit ---------------------------------------------------------------
+
+_HEAPS_BINS = 10  # id-range checkpoints for the vocab growth curve
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+WITH bounds AS (SELECT MAX(doc_id) + 1 AS hi FROM documents),
+dd AS (
+  SELECT doc_id,
+         LEAST(CAST(doc_id * {_HEAPS_BINS} // hi AS BIGINT),
+               {_HEAPS_BINS - 1}) AS dec,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents CROSS JOIN bounds
+),
+tok_bin AS (
+  SELECT dec, CAST(SUM(n_tok) AS BIGINT) AS toks FROM dd GROUP BY 1
+),
+firsts AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents)
+  GROUP BY 1
+),
+voc_bin AS (
+  SELECT LEAST(CAST(first_doc * {_HEAPS_BINS} // hi AS BIGINT),
+               {_HEAPS_BINS - 1}) AS dec,
+         CAST(COUNT(*) AS BIGINT) AS novel
+  FROM firsts CROSS JOIN bounds GROUP BY 1
+),
+pts AS (
+  SELECT t.dec,
+         CAST(SUM(t.toks) OVER (ORDER BY t.dec) AS BIGINT) AS n_c,
+         CAST(SUM(COALESCE(v.novel, 0)) OVER (ORDER BY t.dec) AS BIGINT) AS v_c
+  FROM tok_bin t LEFT JOIN voc_bin v ON v.dec = t.dec
+),
+q AS (
+  SELECT dec, n_c, v_c,
+         CAST(floor(ln(CAST(n_c AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+         CAST(floor(ln(CAST(v_c AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+  FROM pts WHERE n_c > 0 AND v_c > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+         CAST(MAX(n_c) AS BIGINT) AS total_tokens,
+         CAST(MAX(v_c) AS BIGINT) AS vocab_size
+  FROM q
+),
+f AS (
+  SELECT *,
+         (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta
+  FROM s
+)
+SELECT np AS n_points, total_tokens, vocab_size,
+       floor(beta * 1000000.0) / 1000000.0 AS beta_q6,
+       floor(exp((CAST(sy AS DOUBLE) - beta * sx)
+                 / (CAST(np AS DOUBLE) * 1000000.0)) * 1000000.0)
+         / 1000000.0 AS k_q6
+FROM f
+""",
+    tags=("llm", "text"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·nᵝ for corpus vocabulary growth — the
+    planning curve that predicts tokenizer vocab pressure and novel-
+    token rate at 100 TB from a small prefix (companion to
+    `text_zipf_fit`, which fixes the frequency axis; Heaps fixes the
+    GROWTH axis). Distributed trick: cumulative distinct vocabulary is
+    sequential by definition, but V(checkpoint) = #terms whose FIRST
+    occurrence (min doc_id — one keyed agg) falls at or before the
+    checkpoint, so the whole curve comes from two map-side-combined
+    aggregations and a 10-row cumsum — no sequential scan, no state.
+    Checkpoints are doc-id RANGE bins (bounds from a broadcast 1-row
+    max — no global rank window; the window audit stays clean).
+    Exactness: (n_c, V_c) are exact int64; each point contributes
+    floor-micro'd ln coordinates, the OLS moment sums over the 10
+    points are int64 (order-free), and β/K are closed-form doubles
+    from those ints, floor-q6."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg((F.max("doc_id") + 1).alias("hi"))
+    dd = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.least(
+            (F.col("doc_id") * _HEAPS_BINS / F.col("hi")).cast("long"),
+            F.lit(_HEAPS_BINS - 1).cast("long"),
+        ).alias("dec"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    tok_bin = dd.groupBy("dec").agg(F.sum("n_tok").cast("long").alias("toks"))
+    firsts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    voc_bin = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                (F.col("first_doc") * _HEAPS_BINS / F.col("hi")).cast("long"),
+                F.lit(_HEAPS_BINS - 1).cast("long"),
+            ).alias("dec")
+        )
+        .agg(F.count("*").cast("long").alias("novel"))
+    )
+    wcum = W.orderBy("dec").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = (
+        tok_bin.join(voc_bin, "dec", "left")
+        .select(
+            "dec",
+            F.sum("toks").over(wcum).cast("long").alias("n_c"),
+            F.sum(F.coalesce("novel", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("v_c"),
+        )
+    )
+    q = pts.filter((F.col("n_c") > 0) & (F.col("v_c") > 0)).select(
+        F.floor(F.log(F.col("n_c").cast("double")) * 1e6)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("v_c").cast("double")) * 1e6)
+        .cast("long")
+        .alias("yq"),
+        "n_c",
+        "v_c",
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.max("n_c").cast("long").alias("total_tokens"),
+        F.max("v_c").cast("long").alias("vocab_size"),
+    )
+    beta = (
+        F.col("np").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("np").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        F.col("np").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        (F.floor(beta * 1e6) / 1e6).alias("beta_q6"),
+        (
+            F.floor(
+                F.exp(
+                    (F.col("sy").cast("double") - beta * F.col("sx"))
+                    / (F.col("np").cast("double") * 1e6)
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("k_q6"),
+    )

@@ -3152,3 +3152,439 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_lower_hour"),
         )
     )
+
+
+# --- Cliff's delta --------------------------------------------------------------
+
+_CD_A = "purchase"  # group 1
+_CD_B = "click"  # group 2
+
+
+@register(
+    "stats_cliffs_delta",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(floor(value * 10.0) AS BIGINT) AS b,
+         CASE WHEN event_type = '{_CD_A}' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = '{_CD_B}' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('{_CD_A}', '{_CD_B}')
+),
+h AS (
+  SELECT b, CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2
+  FROM q GROUP BY 1
+),
+c AS (
+  SELECT b, n1, n2,
+         CAST(COALESCE(SUM(n1) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c1b,
+         CAST(COALESCE(SUM(n2) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c2b
+  FROM h
+),
+agg AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n1t, CAST(SUM(n2) AS BIGINT) AS n2t,
+         CAST(SUM(n1 * c2b) AS BIGINT) AS gt,
+         CAST(SUM(n2 * c1b) AS BIGINT) AS lt
+  FROM c
+)
+SELECT n1t AS n_{_CD_A}, n2t AS n_{_CD_B}, gt AS n_greater, lt AS n_less,
+       floor(CAST(gt - lt AS DOUBLE) / (CAST(n1t AS DOUBLE) * n2t)
+             * 1000000.0) / 1000000.0 AS cliffs_delta_q6,
+       CASE WHEN abs(floor(CAST(gt - lt AS DOUBLE)
+                           / (CAST(n1t AS DOUBLE) * n2t) * 1000000.0))
+                 < 147000 THEN 'negligible'
+            WHEN abs(floor(CAST(gt - lt AS DOUBLE)
+                           / (CAST(n1t AS DOUBLE) * n2t) * 1000000.0))
+                 < 330000 THEN 'small'
+            WHEN abs(floor(CAST(gt - lt AS DOUBLE)
+                           / (CAST(n1t AS DOUBLE) * n2t) * 1000000.0))
+                 < 474000 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM agg
+""",
+    tags=("analytics", "stats"),
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the '{_CD_A}' and
+    '{_CD_B}' value distributions — the nonparametric companion to
+    `stats_mann_whitney` (same dominance counts, but reported as the
+    normalized effect δ = (#(x>y) − #(x<y))/(n₁n₂) with Romano's
+    magnitude labels, because at 100 TB the U test's p-value is always
+    ~0 and only the effect size is informative). Values quantize to
+    deci-unit bins (the statistic's definition here); dominance pairs
+    come from the bounded-bin cumulative histogram — Σ n1(b)·C2(<b)
+    and Σ n2(b)·C1(<b) are exact int64 with NO pair enumeration, one
+    corpus shuffle to ≤|value domain|·10 bins, one ordered window over
+    that bounded table, one 1-row reduce. Magnitude thresholds compare
+    floor-micro integers, so the label is hash-stable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CD_A, _CD_B)
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 10.0).cast("long").alias("b"),
+        F.when(F.col("event_type") == _CD_A, 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == _CD_B, 1).otherwise(0).alias("g2"),
+    )
+    h = q.groupBy("b").agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+    )
+    wprev = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    c = h.select(
+        "n1",
+        "n2",
+        F.coalesce(F.sum("n1").over(wprev), F.lit(0)).cast("long").alias("c1b"),
+        F.coalesce(F.sum("n2").over(wprev), F.lit(0)).cast("long").alias("c2b"),
+    )
+    agg = c.agg(
+        F.sum("n1").cast("long").alias("n1t"),
+        F.sum("n2").cast("long").alias("n2t"),
+        F.sum(F.col("n1") * F.col("c2b")).cast("long").alias("gt"),
+        F.sum(F.col("n2") * F.col("c1b")).cast("long").alias("lt"),
+    )
+    delta = (F.col("gt") - F.col("lt")).cast("double") / (
+        F.col("n1t").cast("double") * F.col("n2t")
+    )
+    dmicro = F.abs(F.floor(delta * 1_000_000.0))
+    return agg.select(
+        F.col("n1t").alias(f"n_{_CD_A}"),
+        F.col("n2t").alias(f"n_{_CD_B}"),
+        F.col("gt").alias("n_greater"),
+        F.col("lt").alias("n_less"),
+        (F.floor(delta * 1_000_000.0) / 1_000_000.0).alias("cliffs_delta_q6"),
+        F.when(dmicro < 147_000, "negligible")
+        .when(dmicro < 330_000, "small")
+        .when(dmicro < 474_000, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# --- Hurst exponent (rescaled-range) ---------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)  # dyadic block sizes (hours)
+
+
+@register(
+    "ts_hurst_exponent",
+    oracle=f"""
+WITH {_DENSE_HOURLY_SQL},
+rn AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) - 1
+              AS BIGINT) AS rn
+  FROM series
+),
+m AS (SELECT CAST(unnest([{', '.join(str(s) for s in _HURST_SIZES)}]) AS BIGINT) AS m),
+blk AS (
+  SELECT r.event_type, m.m, r.x, r.rn // m.m AS b, r.rn % m.m + 1 AS t
+  FROM rn r CROSS JOIN m
+),
+wz AS (
+  SELECT *,
+         CAST(SUM(x) OVER (PARTITION BY event_type, m, b ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(x) OVER (PARTITION BY event_type, m, b) AS BIGINT) AS s,
+         CAST(SUM(x * x) OVER (PARTITION BY event_type, m, b) AS BIGINT) AS q,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, m, b) AS BIGINT) AS cnt
+  FROM blk
+),
+bb AS (
+  SELECT event_type, m, b,
+         GREATEST(MAX(m * cum - t * s), 0)
+           - LEAST(MIN(m * cum - t * s), 0) AS rng_m,
+         MAX(m * q - s * s) AS s2_m
+  FROM wz WHERE cnt = m
+  GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT event_type, m,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(floor(CAST(rng_m AS DOUBLE) / sqrt(CAST(s2_m AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS rs_micro
+  FROM bb WHERE s2_m > 0 GROUP BY 1, 2
+),
+ys AS (
+  SELECT event_type, m,
+         ln(CAST(rs_micro AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 1000000.0))
+           / ln(2.0) AS y
+  FROM rs
+),
+pv AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sizes,
+         MAX(CASE WHEN m = 8 THEN y END) AS y8,
+         MAX(CASE WHEN m = 16 THEN y END) AS y16,
+         MAX(CASE WHEN m = 32 THEN y END) AS y32,
+         MAX(CASE WHEN m = 64 THEN y END) AS y64
+  FROM ys GROUP BY 1 HAVING COUNT(*) = {len(_HURST_SIZES)}
+),
+fit AS (
+  SELECT event_type, n_sizes,
+         (-3.0 * y8 - y16 + y32 + 3.0 * y64) / 10.0 AS hurst
+  FROM pv
+)
+SELECT event_type, n_sizes,
+       floor(hurst * 1000000.0) / 1000000.0 AS hurst_q6
+FROM fit ORDER BY event_type
+""",
+    tags=("analytics", "timeseries"),
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via classical rescaled-range (R/S)
+    analysis over dyadic block sizes {_HURST_SIZES} hours — the
+    long-range-dependence probe (H≈0.5 random walk, H>0.5 persistent/
+    trending, H<0.5 mean-reverting) that tells a capacity planner
+    whether hourly load has memory. Exactness ladder: within each
+    block, the cumulative deviation scaled by m is m·cum_t − t·S — an
+    EXACT int64 (no mean subtraction in floats), so the range R·m and
+    the scaled variance m·Q − S² are exact integers; each block
+    contributes floor(R·m/√(mQ−S²)·1e6) — one double op per block,
+    floored to micro-units so the cross-block sum is order-free int64
+    (per-cell-quantize discipline). The log₂ regression over the four
+    sizes is a 4-point OLS in identical expression text. Shape: the
+    bounded hourly grid × 4 block sizes, keyed windows, two small aggs
+    — the corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    series = _dense_hourly_counts(ev)
+    rn = series.select(
+        "event_type",
+        "x",
+        (
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("hour")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("rn"),
+    )
+    msz = spark.createDataFrame(
+        [(int(s),) for s in _HURST_SIZES], "m long"
+    )
+    blk = rn.crossJoin(F.broadcast(msz)).select(
+        "event_type",
+        "m",
+        "x",
+        (F.col("rn") / F.col("m")).cast("long").alias("b"),
+        (F.col("rn") % F.col("m") + 1).alias("t"),
+    )
+    wcum = (
+        W.partitionBy("event_type", "m", "b")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type", "m", "b").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wz = blk.select(
+        "event_type",
+        "m",
+        "b",
+        "t",
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+        F.sum("x").over(wall).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wall).cast("long").alias("q"),
+        F.count("*").over(wall).cast("long").alias("cnt"),
+    ).filter(F.col("cnt") == F.col("m"))
+    z = F.col("m") * F.col("cum") - F.col("t") * F.col("s")
+    bb = wz.groupBy("event_type", "m", "b").agg(
+        (
+            F.greatest(F.max(z), F.lit(0).cast("long"))
+            - F.least(F.min(z), F.lit(0).cast("long"))
+        ).alias("rng_m"),
+        F.max(F.col("m") * F.col("q") - F.col("s") * F.col("s")).alias("s2_m"),
+    )
+    rs = (
+        bb.filter(F.col("s2_m") > 0)
+        .groupBy("event_type", "m")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(
+                F.floor(
+                    F.col("rng_m").cast("double")
+                    / F.sqrt(F.col("s2_m").cast("double"))
+                    * 1_000_000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rs_micro"),
+        )
+    )
+    # order-free 4-point fit: pivot the sizes to columns with MAX (each
+    # (type, m) appears once), then the slope is ONE closed-form
+    # expression with integer coefficients — no float aggregation whose
+    # accumulation order could differ between engines
+    ys = rs.select(
+        "event_type",
+        "m",
+        (
+            F.log(
+                F.col("rs_micro").cast("double")
+                / (F.col("n_blocks").cast("double") * 1_000_000.0)
+            )
+            / F.log(F.lit(2.0))
+        ).alias("y"),
+    )
+    pv = (
+        ys.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sizes"),
+            F.max(F.when(F.col("m") == 8, F.col("y"))).alias("y8"),
+            F.max(F.when(F.col("m") == 16, F.col("y"))).alias("y16"),
+            F.max(F.when(F.col("m") == 32, F.col("y"))).alias("y32"),
+            F.max(F.when(F.col("m") == 64, F.col("y"))).alias("y64"),
+        )
+        .filter(F.col("n_sizes") == len(_HURST_SIZES))
+    )
+    fit = pv.select(
+        "event_type",
+        "n_sizes",
+        (
+            (
+                -3.0 * F.col("y8")
+                - F.col("y16")
+                + F.col("y32")
+                + 3.0 * F.col("y64")
+            )
+            / 10.0
+        ).alias("hurst"),
+    )
+    return fit.select(
+        "event_type",
+        "n_sizes",
+        (F.floor(F.col("hurst") * 1_000_000.0) / 1_000_000.0).alias("hurst_q6"),
+    )
+
+
+# --- normal Q-Q deciles ---------------------------------------------------------
+
+# standard-normal decile quantiles (Φ⁻¹(p)); literals shared verbatim
+# by both engines so the theoretical axis is bit-identical
+_QQ_Z = {
+    10: "-1.2815515655446008",
+    20: "-0.8416212335729142",
+    30: "-0.5244005127080407",
+    40: "-0.2533471031357998",
+    50: "0.0",
+    60: "0.2533471031357998",
+    70: "0.5244005127080407",
+    80: "0.8416212335729144",
+    90: "1.2815515655446008",
+}
+
+_QQ_MOM = {
+    "mu": "CAST(s1 AS DOUBLE) / (10.0 * CAST(n AS BIGINT))",
+    "sd": (
+        "sqrt(CAST(s2 AS DOUBLE) / (100.0 * CAST(n AS BIGINT))"
+        " - (CAST(s1 AS DOUBLE) / (10.0 * CAST(n AS BIGINT)))"
+        " * (CAST(s1 AS DOUBLE) / (10.0 * CAST(n AS BIGINT))))"
+    ),
+}
+
+
+@register(
+    "stats_qq_normal",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 10.0) AS BIGINT) AS b FROM events
+),
+h AS (
+  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2
+),
+cw AS (
+  SELECT event_type, b, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM h
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS s1, CAST(SUM(b * b) AS BIGINT) AS s2
+  FROM q GROUP BY 1
+),
+ps AS (SELECT CAST(unnest(range(10, 100, 10)) AS BIGINT) AS p),
+emp AS (
+  SELECT cw.event_type, ps.p, MIN(cw.b) AS qb
+  FROM cw CROSS JOIN ps
+  WHERE cw.cum * 100 >= ps.p * cw.n
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.p,
+       CAST(e.qb AS DOUBLE) / 10.0 AS emp_q,
+       floor((({_QQ_MOM['mu']}) + (CASE e.p
+              {' '.join(f"WHEN {p} THEN {z}" for p, z in _QQ_Z.items())}
+              END) * ({_QQ_MOM['sd']})) * 1000000.0) / 1000000.0 AS theo_q6,
+       floor((CAST(e.qb AS DOUBLE) / 10.0
+              - (({_QQ_MOM['mu']}) + (CASE e.p
+                 {' '.join(f"WHEN {p} THEN {z}" for p, z in _QQ_Z.items())}
+                 END) * ({_QQ_MOM['sd']}))) * 1000000.0) / 1000000.0 AS gap_q6
+FROM emp e JOIN mom USING (event_type)
+ORDER BY event_type, p
+""",
+    tags=("analytics", "stats"),
+)
+def stats_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal Q-Q decile table per event type — empirical deciles
+    (EXACT order statistics: smallest deci-unit bin whose cumulative
+    count reaches ⌈p·n⌉, via the cross-multiplied integer predicate
+    cum·100 ≥ p·n) against the fitted-normal deciles μ + z_p·σ, where
+    the z_p literals are shared verbatim between engines and μ/σ come
+    from exact integer moment sums through one shared expression text.
+    The per-decile gap column is the distribution-shape diagnostic that
+    `stats_jarque_bera` summarizes into one number — this op shows
+    WHERE the tails depart. Shape: one histogram shuffle to the
+    bounded deci-unit bin table, one cumulative window per type, a
+    9-row broadcast decile spine, one moment aggregate; corpus scanned
+    twice at most (hist + moments; both map-side combined)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 10.0).cast("long").alias("b")
+    ).localCheckpoint(eager=False)  # feeds histogram AND moment agg
+    h = q.groupBy("event_type", "b").agg(F.count("*").cast("long").alias("c"))
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cw = h.select(
+        "event_type",
+        "b",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    mom = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("s1"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("s2"),
+    )
+    ps = spark.createDataFrame([(p,) for p in range(10, 100, 10)], "p long")
+    emp = (
+        cw.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("event_type", "p")
+        .agg(F.min("b").alias("qb"))
+    )
+    zcase = "CASE p " + " ".join(
+        f"WHEN {p} THEN CAST({z} AS DOUBLE)" for p, z in _QQ_Z.items()
+    ) + " END"
+    j = emp.join(mom, "event_type").withColumn("z", F.expr(zcase))
+    mu = F.expr(_QQ_MOM["mu"])
+    sd = F.expr(_QQ_MOM["sd"])
+    theo = mu + F.col("z") * sd
+    return j.select(
+        "event_type",
+        "p",
+        (F.col("qb").cast("double") / 10.0).alias("emp_q"),
+        (F.floor(theo * 1e6) / 1e6).alias("theo_q6"),
+        (
+            F.floor((F.col("qb").cast("double") / 10.0 - theo) * 1e6) / 1e6
+        ).alias("gap_q6"),
+    )
