@@ -863,9 +863,33 @@ def _minhash_recall(
 
 _SH64_BITS = 60
 _SH64_DIGITS = _SH64_BITS // 4  # md5 hex digits consumed
-_SH64_CHUNKS = 4  # pigeonhole: hamming <= 3 => >= 1 intact chunk
-_SH64_CHUNK_BITS = _SH64_BITS // _SH64_CHUNKS  # 15
+# Pigeonhole geometry (Manku/Jain/Sarma block-permutation layout):
+# 6 chunks of 10 bits; hamming <= 3 damages <= 3 chunks, so >= 3 of 6
+# stay intact and the pair shares at least one of the C(6,3)=20
+# three-chunk combination buckets. The combo key is 30 bits (vs the
+# 15-bit single-chunk key of the round-5 design) -- bucket occupancy
+# no longer grows with the corpus, so candidate volume tracks true
+# near-dup density, not corpus size (the sf10 rehearsal measured the
+# 15-bit design at 43x on 10x data: 2^15 buckets saturate and
+# sum(bucket^2) goes quadratic; 30-bit keys removed that term).
+_SH64_CHUNKS = 6
+_SH64_CHUNK_BITS = _SH64_BITS // _SH64_CHUNKS  # 10
+_SH64_COMBOS = tuple(__import__("itertools").combinations(range(_SH64_CHUNKS), 3))
 _SH64_MAXD = 3
+
+
+def _sh64_chunk_sql(col: str, t: int) -> str:
+    mask = (1 << _SH64_CHUNK_BITS) - 1
+    return f"(({col} >> {t * _SH64_CHUNK_BITS}) & {mask})"
+
+
+def _sh64_combo_key_sql(col: str, combo: tuple) -> str:
+    i, j, k = combo
+    return (
+        f"({_sh64_chunk_sql(col, i)} * {1 << (2 * _SH64_CHUNK_BITS)}"
+        f" + {_sh64_chunk_sql(col, j)} * {1 << _SH64_CHUNK_BITS}"
+        f" + {_sh64_chunk_sql(col, k)})"
+    )
 
 
 def _simhash64_sql() -> str:
@@ -898,9 +922,8 @@ WITH tok AS (
     + f"""
 , e AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, sim, {k} AS ci, (sim >> {k * _SH64_CHUNK_BITS}) & "
-      f"{(1 << _SH64_CHUNK_BITS) - 1} AS cv FROM sig"
-      for k in range(_SH64_CHUNKS)
+      f"SELECT doc_id, sim, {m} AS ci, {_sh64_combo_key_sql('sim', combo)} AS cv FROM sig"
+      for m, combo in enumerate(_SH64_COMBOS)
   )}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -921,17 +944,25 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. signature: bit j votes ±1 per distinct token by bit (j%4) of
        md5 hex digit (j//4); the per-doc vote sums are ONE map-side-
        combined groupBy (60 integer sums), shuffle = |docs|;
-    2. candidates: pigeonhole chunk LSH — any pair within Hamming 3
-       of a 4-chunk split shares at least one intact 15-bit chunk, so
-       docs bucket by (chunk_idx, chunk_value) and only same-bucket
-       pairs are generated (O(bucket²), 2^15 buckets per chunk —
-       never all-pairs);
+    2. candidates: block-permutation pigeonhole LSH (Manku et al.'s
+       production web-dedup layout) — the signature splits into 6
+       10-bit chunks; Hamming ≤ 3 damages at most 3, so at least one
+       of the C(6,3)=20 three-chunk combinations survives intact and
+       the pair shares that combo's 30-BIT bucket key. Buckets are
+       (combo_idx, 30-bit key): the key space is 2^30 per combo, so
+       occupancy — and the O(Σ bucket²) candidate term — is governed
+       by true near-dup density, not corpus size (the earlier 4×15-bit
+       single-chunk design saturated its 2^15 buckets and measured 43×
+       on 10× data at sf10; this layout removed that quadratic term);
     3. verify: exact bit_count(sim_a XOR sim_b) ≤ 3 on the candidate
-       set.
+       set, each pair emitted once from its lowest matching combo via
+       a pure integer predicate (no DISTINCT shuffle).
 
     Integer arithmetic end to end ⇒ bit-identical with the DuckDB
-    oracle including every signature. At 100 TB the signature width
-    and chunk count scale the same way (k+1 chunks for distance k).
+    oracle including every signature. At 100 TB, distance-k dedup
+    takes (k+3 choose 3) combos of (k+3) chunks — table count grows
+    combinatorially but each stays corpus-density-bounded; 20 tables
+    at d=3 is the standard production operating point.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -968,7 +999,6 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when consumers diverge (see mining_assoc_rules).
     sig = votes.select("doc_id", sim.alias("sim"))
 
-    mask = (1 << _SH64_CHUNK_BITS) - 1
     e = sig.select(
         "doc_id",
         "sim",
@@ -976,10 +1006,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("ci"),
-                        F.expr(f"(sim >> {k * _SH64_CHUNK_BITS}) & {mask}").alias("cv"),
+                        F.lit(m).alias("ci"),
+                        F.expr(_sh64_combo_key_sql("sim", combo)).alias("cv"),
                     )
-                    for k in range(_SH64_CHUNKS)
+                    for m, combo in enumerate(_SH64_COMBOS)
                 ]
             )
         ).alias("c"),
@@ -990,19 +1020,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "ci", "cv"
     )
-    # A pair within Hamming 3 may share several intact chunks and would
-    # surface once per shared chunk; instead of a DISTINCT shuffle over the
-    # candidate set (2.6 M rows at sf0.1), emit each pair only from its
-    # LOWEST matching chunk — "all chunks below ci differ" is an integer
+    # A pair within Hamming 3 may share several intact combos and would
+    # surface once per shared combo; instead of a DISTINCT shuffle over
+    # the candidate set, emit each pair only from its LOWEST matching
+    # combo — "some chunk of every earlier combo differs" is an integer
     # predicate on (sim_a, sim_b), so dedup costs zero extra shuffles.
-    mask_l = F.lit(mask)
+    def _combo_eq(m: int):
+        c = F.lit(True)
+        for t in _SH64_COMBOS[m]:
+            c = c & (
+                F.expr(_sh64_chunk_sql("sim_a", t))
+                == F.expr(_sh64_chunk_sql("sim_b", t))
+            )
+        return c
+
     first_match = F.lit(True)
-    for k in range(_SH64_CHUNKS - 1):
-        chunk_differs = (
-            F.shiftright("sim_a", k * _SH64_CHUNK_BITS).bitwiseAND(mask_l)
-            != F.shiftright("sim_b", k * _SH64_CHUNK_BITS).bitwiseAND(mask_l)
-        )
-        first_match = first_match & ((F.col("ci") <= k) | chunk_differs)
+    for m in range(len(_SH64_COMBOS) - 1):
+        first_match = first_match & ((F.col("ci") <= m) | ~_combo_eq(m))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         a.join(b, ["ci", "cv"])
