@@ -20,7 +20,8 @@ from the deterministic testdata (documents.text bytes -> pixels /
 samples); the decoders are the operators under test — they parse the
 actual on-disk byte layout (magic, header fields, stride padding,
 chunk boundaries), so swapping in crawled .bmp/.wav payloads changes
-nothing. JPEG/MP3 still require a codec library and raise
+nothing. Baseline JPEG decodes through the pure-Python DCT codec in
+jpeg.py (round 8); MP3 still requires a codec library and raises
 NotImplementedError with that message.
 
 All functions are plain bytes -> tuple so they vectorize cleanly inside
@@ -228,16 +229,20 @@ def decode_wav_samples(blob: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, int]:
-    """Magic-byte dispatch to a real decoder. BMP and PNG decode here
-    (PNG via the stdlib-zlib decoder below — grayscale subset);
-    formats that genuinely need an external codec name it."""
+    """Magic-byte dispatch to a real decoder. BMP, PNG, and baseline
+    JPEG all decode here (PNG via the stdlib-zlib decoder below,
+    grayscale subset; JPEG via the pure-Python baseline codec in
+    jpeg.py — sequential DCT, gray + 4:4:4/4:2:0 YCbCr). Progressive
+    JPEG (SOF2) raises ValueError naming the limitation."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, _, _, px_sum = decode_png(payload)
         return w, h, 1, px_sum
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG requires a DCT codec; use PIL")
+        from odns_dataimporter_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image format")
 
 

@@ -696,3 +696,101 @@ def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         extract_wav_zcr, schema=_ZCR_SCHEMA
     )
+
+
+# --- JPEG (lossy DCT) round trip --------------------------------------------
+
+_JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("jpeg_bytes", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("sum_abs_err", T.LongType()),
+        T.StructField("max_abs_err", T.LongType()),
+    ]
+)
+
+_JPEG_WIDTH = 16
+
+
+def extract_jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: render each doc's bytes as a REAL baseline
+    JPEG (pure-Python DCT codec, Annex K tables), decode it back
+    through the full marker/Huffman/IDCT path, and report the decoded
+    pixel sum plus the exact reconstruction-error integers against the
+    pre-compression source."""
+    from odns_dataimporter_spark.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = text.encode("utf-8")
+            h = max(1, -(-len(payload) // _JPEG_WIDTH))
+            src = payload + b"\x00" * (_JPEG_WIDTH * h - len(payload))
+            blob = encode_jpeg_gray(src, _JPEG_WIDTH)
+            w, hh, px = decode_jpeg_pixels(blob)
+            errs = [abs(a - b) for a, b in zip(px, src)]
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    hh,
+                    1,
+                    len(blob),
+                    sum(px),
+                    sum(errs),
+                    max(errs),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_components",
+                "jpeg_bytes",
+                "px_sum",
+                "sum_abs_err",
+                "max_abs_err",
+            ],
+        )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=None,
+    tags=("llm", "multimodal", "rows-only"),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image decode via mapInPandas: each doc's bytes become
+    an actual baseline JPEG (jpeg.py — FDCT, Annex K quantization,
+    canonical Huffman, byte stuffing) and the operator under test
+    decodes it back (marker walk, Huffman decode, dequantize, IDCT,
+    clamp) into geometry, decoded pixel sum, and EXACT integer
+    reconstruction-error stats vs the pre-compression source — the
+    multimodal quartet's final member after BMP/PNG/WAV, closing the
+    round-7 "JPEG is the most common format" gap with zero external
+    codec libraries.
+
+    rows-only BY NATURE: JPEG is lossy, so unlike `multimodal_png_stats`
+    the pixel sum is not SQL-derivable from the source bytes — there is
+    no DuckDB JPEG codec. The accuracy contract lives in pytest instead
+    (tests/test_media_codecs.py): deterministic golden digests over
+    this exact output, round-trip error bounds (flat blocks ≤1,
+    quantization-bounded elsewhere), malformed-input ValueError, and a
+    4:2:0 color decode exercised through the generic MCU walk.
+
+    Scale shape: one narrow scan, one Arrow-batched mapInPandas stage,
+    zero shuffles — a crawl-decode stage at 100 TB is exactly this
+    plus partition count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        extract_jpeg_features, schema=_JPEG_SCHEMA
+    )

