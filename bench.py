@@ -136,6 +136,21 @@ HEADLINE = [
     "stream_heavy_hitters",
     "stats_ljung_box",
     "stats_page_hinkley",
+    # round-8 second half (waves K-L + JPEG)
+    "events_shapley_attribution",
+    "stats_cramers_v",
+    "stats_jarque_bera",
+    "ml_kappa_mcc",
+    "ml_brier_decomposition",
+    "ts_hurst_exponent",
+    "ts_bollinger_bands",
+    "graph_clustering_coefficient",
+    "graph_kcore",
+    "embed_hamming_topk",
+    "text_heaps_law",
+    "text_code_detect",
+    "stats_cliffs_delta",
+    "multimodal_jpeg_roundtrip",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs
@@ -146,11 +161,12 @@ HEADLINE = [
 # Order for the BOUNDED driver-facing stdout line (full per-query data
 # always lands in BENCH_FULL.json): a fixed 30-query common core first
 # so the cross-round trend keeps its data points, then the REMAINING
-# headliners ROTATED by round number — ~27 of ~60 non-core entries
-# spill past STDOUT_BUDGET each round, so a third-of-the-list rotation
-# guarantees every headliner a driver-recorded timing at least every 3
-# rounds (round-7 VERDICT item 6). The round is inferred from the
-# BENCH_r{N}.json files the driver commits after each round.
+# headliners ROTATED by round number. The stdout tail fits ~57 entries,
+# so with ~83 non-core headliners (round-8 growth) the rotation step is
+# a QUARTER of the list: every headliner gets a driver-recorded timing
+# at least every 4 rounds (was 3 before the round-8 waves; the budget
+# is the driver's fixed 2000-char tail, not ours to grow). The round is
+# inferred from the BENCH_r{N}.json files the driver commits per round.
 _CORE_N = 30
 
 
@@ -171,7 +187,7 @@ def _print_order(round_no: int | None = None) -> list[str]:
     rnd = _current_round() if round_no is None else round_no
     core = HEADLINE[:_CORE_N]
     rest = [n for n in HEADLINE if n not in core]
-    step = (len(rest) + 2) // 3  # a third: full visibility every 3 rounds
+    step = (len(rest) + 3) // 4  # a quarter: full visibility every 4 rounds
     k = (rnd * step) % len(rest) if rest else 0
     return list(core) + rest[k:] + rest[:k]
 

@@ -46,24 +46,26 @@ def test_stdout_line_fits_driver_tail_buffer():
     assert len(kept) >= bench._CORE_N + 10
 
 
-def test_print_order_rotation_covers_every_headliner_in_three_rounds():
-    """The non-core tail rotates by a third per round, so ANY window of
-    3 consecutive rounds gives every headliner at least one
-    driver-visible stdout slot (round-7 VERDICT item 6). Simulated with
-    the worst-case digit widths from the truncation test."""
+def test_print_order_rotation_covers_every_headliner_in_four_rounds():
+    """The non-core tail rotates by a quarter per round, so ANY window
+    of 4 consecutive rounds gives every headliner at least one
+    driver-visible stdout slot (round-7 VERDICT item 6; widened from 3
+    to 4 rounds when the round-8 waves grew the non-core tail past what
+    the driver's fixed 2000-char stdout tail can print in 3). Simulated
+    with the worst-case digit widths from the truncation test."""
     import json
 
     timings = {n: 99999.99 for n in bench.HEADLINE}
     ingest = {"rows": 1_000_000, "sec": 99.9999, "rows_per_sec": 861307}
     for start in range(1, 9):
         seen: set[str] = set()
-        for rnd in range(start, start + 3):
+        for rnd in range(start, start + 4):
             order = bench._print_order(rnd)
             assert sorted(order) == sorted(bench.HEADLINE)
             line = bench.build_stdout_payload(timings, ingest, 0.1, order=order)
             seen.update(json.loads(line)["queries"])
         missing = set(bench.HEADLINE) - seen
-        assert not missing, f"rounds {start}..{start+2} never printed: {missing}"
+        assert not missing, f"rounds {start}..{start+3} never printed: {missing}"
 
 
 def test_stdout_line_keeps_all_queries_when_small():
