@@ -963,6 +963,14 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes (k+3 choose 3) combos of (k+3) chunks — table count grows
     combinatorially but each stays corpus-density-bounded; 20 tables
     at d=3 is the standard production operating point.
+
+    OUTPUT-SIZE caveat (sf10 rehearsal, SCALING.md): on a corpus with
+    heavy true duplication the PAIR ENUMERATION itself is Ω(dups²) —
+    the synthetic sf10 tier has 446M hamming-0 pairs, so wall-clock
+    there is result materialization, not plan cost. At production dup
+    density, don't enumerate pairs: feed these same combo buckets into
+    `dedup_cluster_components`/`dedup_canonical_pick`, which reduce
+    each cluster without materializing C(c,2) rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
