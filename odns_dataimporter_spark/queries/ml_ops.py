@@ -4160,3 +4160,155 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolution_q6"
         ),
     )
+
+
+# --- linear-model SHAP attribution ----------------------------------------------
+
+
+@register(
+    "ml_linear_shap",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM b
+),
+mad AS (
+  SELECT CAST(SUM(c * abs(s.n * h.x1 - s.s1)) AS BIGINT) AS mad1_num
+  FROM (SELECT x1, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1) h
+  CROSS JOIN s
+),
+mad2 AS (
+  SELECT CAST(SUM(c * abs(s.n * h.x2 - s.s2)) AS BIGINT) AS mad2_num
+  FROM (SELECT x2, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1) h
+  CROSS JOIN s
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y,
+         s.n AS n_rows, mad.mad1_num, mad2.mad2_num
+  FROM s CROSS JOIN mad CROSS JOIN mad2
+),
+beta AS (
+  SELECT n_rows, n, mad1_num, mad2_num,
+         {_OLS_DET_1} / {_OLS_DET_A} AS b1,
+         {_OLS_DET_2} / {_OLS_DET_A} AS b2
+  FROM d
+),
+phi AS (
+  SELECT n_rows, b1, b2,
+         abs(b1) * CAST(mad1_num AS DOUBLE) / (n * n) AS m1,
+         abs(b2) * CAST(mad2_num AS DOUBLE) / (n * n) AS m2
+  FROM beta
+)
+SELECT CAST(n_rows AS BIGINT) AS n,
+       floor(b1 * 10000.0) / 1000000.0 AS beta1_q6,
+       floor(b2 * 10000.0) / 1000000.0 AS beta2_q6,
+       floor(m1 * 10000.0) / 1000000.0 AS mean_abs_phi1_q6,
+       floor(m2 * 10000.0) / 1000000.0 AS mean_abs_phi2_q6,
+       floor(m1 / (m1 + m2) * 1000000.0) / 1000000.0 AS share1_q6,
+       floor(m2 / (m1 + m2) * 1000000.0) / 1000000.0 AS share2_q6
+FROM phi
+""",
+    tags=("ml", "stats"),
+)
+def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attribution for the linear model fitted by
+    `ml_ols_normal_eq` (price ~ quantity + discount): for a linear
+    model the Shapley value has the closed form φⱼ(x) = βⱼ(xⱼ − x̄ⱼ),
+    so GLOBAL feature importance E|φⱼ| = |βⱼ|·E|xⱼ − x̄ⱼ| — and the
+    mean absolute deviation folds to exact integers via the
+    cross-multiplied form Σ c(x)·|n·x − Σx| / n² over the feature's
+    (bounded-domain) value histogram, no float mean ever subtracted.
+    This is the model-explanation step a feature pipeline runs after
+    the fit: share1/share2 columns are the attribution mix. β comes
+    from the SAME shared determinant text as the OLS op; every input
+    to a double expression is an exact int64. Shape: one Gram-matrix
+    reduce + two map-side-combined value histograms joined to the
+    broadcast 1-row totals — the fact table is scanned once per
+    histogram family, nothing corpus-sized shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    ).localCheckpoint(eager=False)  # feeds the Gram reduce AND both histograms
+    s = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    ).localCheckpoint(eager=False)  # broadcast totals reused by both MADs
+    h1 = b.groupBy("x1").agg(F.count("*").cast("long").alias("c"))
+    h2 = b.groupBy("x2").agg(F.count("*").cast("long").alias("c"))
+    mad1 = h1.crossJoin(F.broadcast(s)).agg(
+        F.sum(
+            F.col("c") * F.abs(F.col("n") * F.col("x1") - F.col("s1"))
+        )
+        .cast("long")
+        .alias("mad1_num")
+    )
+    mad2 = h2.crossJoin(F.broadcast(s)).agg(
+        F.sum(
+            F.col("c") * F.abs(F.col("n") * F.col("x2") - F.col("s2"))
+        )
+        .cast("long")
+        .alias("mad2_num")
+    )
+    d = (
+        s.crossJoin(F.broadcast(mad1))
+        .crossJoin(F.broadcast(mad2))
+        .select(
+            F.col("n").alias("n_rows"),
+            *[
+                F.col(k).cast("double").alias(k)
+                for k in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+            ],
+            F.col("n").cast("double").alias("n"),
+            "mad1_num",
+            "mad2_num",
+        )
+    )
+    beta = d.select(
+        "n_rows",
+        "n",
+        "mad1_num",
+        "mad2_num",
+        F.expr(f"({_OLS_DET_1}) / ({_OLS_DET_A})").alias("b1"),
+        F.expr(f"({_OLS_DET_2}) / ({_OLS_DET_A})").alias("b2"),
+    )
+    m1 = F.abs(F.col("b1")) * F.col("mad1_num").cast("double") / (
+        F.col("n") * F.col("n")
+    )
+    m2 = F.abs(F.col("b2")) * F.col("mad2_num").cast("double") / (
+        F.col("n") * F.col("n")
+    )
+    return beta.select(
+        F.col("n_rows").alias("n"),
+        (F.floor(F.col("b1") * 1e4) / 1e6).alias("beta1_q6"),
+        (F.floor(F.col("b2") * 1e4) / 1e6).alias("beta2_q6"),
+        (F.floor(m1 * 1e4) / 1e6).alias("mean_abs_phi1_q6"),
+        (F.floor(m2 * 1e4) / 1e6).alias("mean_abs_phi2_q6"),
+        (F.floor(m1 / (m1 + m2) * 1e6) / 1e6).alias("share1_q6"),
+        (F.floor(m2 / (m1 + m2) * 1e6) / 1e6).alias("share2_q6"),
+    )

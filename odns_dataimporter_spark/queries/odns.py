@@ -670,3 +670,51 @@ def odns_resolver_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000.0
         ).alias("p90_ms"),
     )
+
+
+_ANY_MIN_COUNTRIES = 2  # resolver-country spread threshold
+
+
+@register(
+    "odns_anycast_spread",
+    oracle=f"""
+WITH ingested AS ({_ODNS_ORACLE})
+SELECT a_record,
+       CAST(COUNT(*) AS BIGINT) AS n_answers,
+       CAST(COUNT(DISTINCT country_response) AS BIGINT)
+         AS n_resolver_countries,
+       CAST(COUNT(DISTINCT org_response) AS BIGINT) AS n_resolver_orgs,
+       CAST(COUNT(DISTINCT protocol) AS BIGINT) AS n_protocols
+FROM ingested
+WHERE a_record IS NOT NULL AND country_response IS NOT NULL
+GROUP BY a_record
+HAVING COUNT(DISTINCT country_response) >= {_ANY_MIN_COUNTRIES}
+ORDER BY a_record
+""",
+    tags=("odns", "ref", "domain"),
+)
+def odns_anycast_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain analytics: A records answered by resolvers spread across
+    ≥{_ANY_MIN_COUNTRIES} countries — the anycast / CDN-content
+    indicator (one answer IP visible from many vantage countries) and
+    the complement of `odns_geo_mismatch`'s per-org view. Pure
+    grouped COUNT DISTINCT over the tcp∪udp ingest with an integer
+    HAVING threshold — at 100 TB this is one map-side-combined
+    aggregate keyed on a_record; the distinct counts are per-group
+    expand-and-count, which Catalyst plans as two-phase partial
+    aggregation (no extra corpus pass)."""
+    df = _ingest_both(spark).filter(
+        F.col("a_record").isNotNull() & F.col("country_response").isNotNull()
+    )
+    return (
+        df.groupBy("a_record")
+        .agg(
+            F.count("*").cast("long").alias("n_answers"),
+            F.countDistinct("country_response")
+            .cast("long")
+            .alias("n_resolver_countries"),
+            F.countDistinct("org_response").cast("long").alias("n_resolver_orgs"),
+            F.countDistinct("protocol").cast("long").alias("n_protocols"),
+        )
+        .filter(F.col("n_resolver_countries") >= _ANY_MIN_COUNTRIES)
+    )

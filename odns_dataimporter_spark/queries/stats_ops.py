@@ -3588,3 +3588,239 @@ def stats_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("qb").cast("double") / 10.0 - theo) * 1e6) / 1e6
         ).alias("gap_q6"),
     )
+
+
+# --- energy distance ------------------------------------------------------------
+
+# Pairwise |x−y| sums from two bounded histograms via the sorted-prefix
+# identity: Σ_{pairs} |x−y| = Σ_b [ v_b·(C_other(<b)) − S_other(<b) ]·c_b
+# + symmetric — every term exact int64 in deci-units.
+
+
+@register(
+    "stats_energy_distance",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(floor(value * 10.0) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_CD_A}' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = '{_CD_B}' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('{_CD_A}', '{_CD_B}')
+),
+h AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+  FROM q GROUP BY 1
+),
+cw AS (
+  SELECT v, c1, c2,
+         CAST(COALESCE(SUM(c1) OVER w, 0) AS BIGINT) AS p1,
+         CAST(COALESCE(SUM(c2) OVER w, 0) AS BIGINT) AS p2,
+         CAST(COALESCE(SUM(v * c1) OVER w, 0) AS BIGINT) AS q1,
+         CAST(COALESCE(SUM(v * c2) OVER w, 0) AS BIGINT) AS q2
+  FROM h
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sums AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (v * p2 - q2)) + SUM(c2 * (v * p1 - q1)) AS BIGINT)
+           AS sxy,
+         CAST(SUM(c1 * (v * p1 - q1)) AS BIGINT) AS sxx,
+         CAST(SUM(c2 * (v * p2 - q2)) AS BIGINT) AS syy
+  FROM cw
+)
+SELECT n1 AS n_{_CD_A}, n2 AS n_{_CD_B},
+       floor((2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+              - 2.0 * CAST(sxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)
+              - 2.0 * CAST(syy AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2))
+             / 10.0 * 1000000.0) / 1000000.0 AS energy_dist_q6
+FROM sums
+""",
+    tags=("analytics", "stats"),
+)
+def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's energy distance between the '{_CD_A}' and '{_CD_B}'
+    value distributions — E = 2E|X−Y| − E|X−X'| − E|Y−Y'|, the
+    two-sample test that is consistent against ALL alternatives (KS
+    only sees the max CDF gap; energy integrates the whole
+    discrepancy). The O(n²) pairwise |x−y| sums fold to EXACT int64
+    via the sorted-prefix identity on the bounded deci-unit histogram:
+    Σ|x−y| = Σ_b c_b·(v_b·P(<b) − Q(<b)) summed from both sides, where
+    P/Q are prefix counts/value-sums — one corpus shuffle to the
+    histogram, one ordered window over the bounded bin table, one
+    1-row reduce; the three E-terms divide out in doubles at the very
+    end (÷10 restores value units from deci-units). At 100 TB the
+    cross-multiplied products need DECIMAL(38) past ~10¹² pair-units;
+    the histogram shape itself never grows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CD_A, _CD_B)
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 10.0).cast("long").alias("v"),
+        F.when(F.col("event_type") == _CD_A, 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == _CD_B, 1).otherwise(0).alias("g2"),
+    )
+    h = q.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    wprev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cw = h.select(
+        "v",
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).cast("long").alias("p1"),
+        F.coalesce(F.sum("c2").over(wprev), F.lit(0)).cast("long").alias("p2"),
+        F.coalesce(F.sum(F.col("v") * F.col("c1")).over(wprev), F.lit(0))
+        .cast("long")
+        .alias("q1"),
+        F.coalesce(F.sum(F.col("v") * F.col("c2")).over(wprev), F.lit(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    sums = cw.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        (
+            F.sum(F.col("c1") * (F.col("v") * F.col("p2") - F.col("q2")))
+            + F.sum(F.col("c2") * (F.col("v") * F.col("p1") - F.col("q1")))
+        )
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("c1") * (F.col("v") * F.col("p1") - F.col("q1")))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("c2") * (F.col("v") * F.col("p2") - F.col("q2")))
+        .cast("long")
+        .alias("syy"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    energy = (
+        2.0 * F.col("sxy").cast("double") / (n1d * F.col("n2"))
+        - 2.0 * F.col("sxx").cast("double") / (n1d * F.col("n1"))
+        - 2.0 * F.col("syy").cast("double") / (n2d * F.col("n2"))
+    )
+    return sums.select(
+        F.col("n1").alias(f"n_{_CD_A}"),
+        F.col("n2").alias(f"n_{_CD_B}"),
+        (F.floor(energy / 10.0 * 1e6) / 1e6).alias("energy_dist_q6"),
+    )
+
+
+# --- Mood's median test ---------------------------------------------------------
+
+
+@register(
+    "stats_mood_median",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 10.0) AS BIGINT) AS v FROM events
+),
+med AS (
+  SELECT MIN(v) AS m FROM (
+    SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+    FROM q GROUP BY v
+  ) WHERE 2 * cum >= n
+),
+cells AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS above,
+         CAST(SUM(CASE WHEN v <= m THEN 1 ELSE 0 END) AS BIGINT) AS below
+  FROM q CROSS JOIN med GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(above) AS BIGINT) AS ta, CAST(SUM(below) AS BIGINT) AS tb,
+         CAST(SUM(above + below) AS BIGINT) AS n
+  FROM cells
+),
+chi AS (
+  SELECT CAST(SUM(
+           CAST(floor((CAST(t.n AS DOUBLE) * c.above
+                       - CAST(c.above + c.below AS DOUBLE) * t.ta)
+                      * (CAST(t.n AS DOUBLE) * c.above
+                         - CAST(c.above + c.below AS DOUBLE) * t.ta)
+                      / (CAST(c.above + c.below AS DOUBLE) * t.ta * t.tb)
+                      * 1000000.0) AS BIGINT)) AS BIGINT) AS chi_micro_part
+  FROM cells c CROSS JOIN tot t
+)
+SELECT t.n, t.ta AS n_above, t.tb AS n_below,
+       (SELECT CAST(COUNT(*) AS BIGINT) - 1 FROM cells) AS dof,
+       CAST(chi.chi_micro_part AS DOUBLE) / 1000000.0 AS chi2_q6
+FROM tot t CROSS JOIN chi
+""",
+    tags=("analytics", "stats"),
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across ALL event types — does every type
+    share one median? The k-sample positional test that stays valid
+    under gross outliers where `stats_anova_oneway` (means) breaks.
+    Mechanism: the pooled median is the exact order statistic
+    (smallest deci-bin with 2·cum ≥ n — integer predicate); each
+    type's above/≤ split is one conditional aggregate; the χ²(k−1)
+    statistic for the 2×k table uses the per-cell cross-multiplied
+    form (N·a_i − n_i·A)² / (n_i·A·B) with each cell's term evaluated
+    in doubles and floored to micro-units so the cross-cell sum is
+    order-free int64 (the `stats_cramers_v` discipline; both rows of
+    the 2×k table fold into that single per-column term because the
+    two rows' deviations are equal and opposite — (1/A+1/B) = N/AB
+    collapses the pair). Shape: histogram
+    shuffle + bounded-bin window for the median, one aggregate per
+    type, 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 10.0).cast("long").alias("v")
+    ).localCheckpoint(eager=False)  # feeds the median AND the cell split
+    hist = q.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    med = (
+        hist.select(
+            "v",
+            F.sum("c").over(wcum).cast("long").alias("cum"),
+            F.sum("c").over(wall).cast("long").alias("n"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("v").alias("m"))
+    )
+    cells = (
+        q.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(F.col("v") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("below"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND chi terms
+    )
+    tot = cells.agg(
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("below").cast("long").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).cast("long").alias("n"),
+    )
+    ni = (F.col("above") + F.col("below")).cast("double")
+    dev = F.col("n").cast("double") * F.col("above") - ni * F.col("ta")
+    term = dev * dev / (ni * F.col("ta") * F.col("tb")) * 1e6
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.floor(term).cast("long")).cast("long").alias("chi_micro_part"))
+    )
+    ncells = cells.agg((F.count("*") - 1).cast("long").alias("dof"))
+    return (
+        tot.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(ncells))
+        .select(
+            "n",
+            F.col("ta").alias("n_above"),
+            F.col("tb").alias("n_below"),
+            "dof",
+            (F.col("chi_micro_part").cast("double") / 1e6).alias(
+                "chi2_q6"
+            ),
+        )
+    )
