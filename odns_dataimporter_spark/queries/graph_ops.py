@@ -897,3 +897,134 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+bi AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bi),"""
+    + ",".join(_lpa_round_sql(r) for r in range(_LPA_ROUNDS))
+    + f"""
+, lab AS (SELECT node, lbl FROM nl{_LPA_ROUNDS}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+ec AS (
+  SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+),
+dc AS (
+  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM bi b JOIN lab l ON l.node = b.src GROUP BY l.lbl
+),
+terms AS (
+  SELECT dc.lbl, CAST(4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c
+                      AS BIGINT) AS num
+  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl CROSS JOIN m
+)
+SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+       m.m AS n_edges,
+       CAST(SUM(t.num) AS BIGINT) AS q_num,
+       floor(CAST(SUM(t.num) AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * m.m) * 1000000.0) / 1000000.0
+         AS modularity_q6
+FROM terms t CROSS JOIN m GROUP BY m.m
+""",
+    tags=("graph", "stats"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the `graph_label_propagation` communities
+    over the co-order parts graph — the quality score that tells you
+    whether the propagation found structure or noise (Q≈0 random,
+    Q>0.3 strong). EXACT end to end: Q = Σ_c (e_c/m − (d_c/2m)²)
+    cross-multiplies to Σ_c (4m·e_c − d_c²) / (4m²) — per-community
+    numerators are int64 (4m·e_c ≤ 4·|E|² needs DECIMAL(38) past
+    ~10⁹ edges; document, don't guess), their sum is ONE
+    order-free integer, and the ONLY float op is the final division.
+    Labels replicate the LP op's deterministic 2-round schedule (mode
+    with min-label ties), so both engines agree on every community.
+    Shape: the LP rounds (keyed joins + min-struct argmax) plus one
+    intra-community edge count and one degree-by-label aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    e = (
+        li.groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+        .select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds bi, m, and the ec join
+    )
+    bi = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nl = bi.groupBy(F.col("dst").alias("node")).agg(F.min("src").alias("lbl"))
+    for _ in range(_LPA_ROUNDS - 1):
+        counts = (
+            bi.join(F.broadcast(nl.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        nl = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lbl"))
+        )
+    lab = nl.localCheckpoint(eager=False)  # feeds ec AND dc
+    m = e.agg(F.count("*").cast("long").alias("m"))
+    lu = lab.withColumnRenamed("node", "u").withColumnRenamed("lbl", "lu")
+    lv = lab.withColumnRenamed("node", "v").withColumnRenamed("lbl", "lv")
+    ec = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    dc = (
+        bi.join(F.broadcast(lab.withColumnRenamed("node", "src")), "src")
+        .groupBy("lbl")
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    terms = (
+        dc.join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    ncom = dc.agg(F.count("*").cast("long").alias("n_communities"))
+    agg = terms.agg(F.sum("num").cast("long").alias("q_num"))
+    return (
+        ncom.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_communities",
+            F.col("m").alias("n_edges"),
+            "q_num",
+            (
+                F.floor(
+                    F.col("q_num").cast("double")
+                    / (4.0 * F.col("m").cast("double") * F.col("m"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("modularity_q6"),
+        )
+    )

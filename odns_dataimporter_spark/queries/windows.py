@@ -499,3 +499,58 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.cume_dist().over(w) * 1_000_000.0) / 1_000_000.0).alias("cume_q6"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "window_pareto_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cost,
+         CAST(p_size AS BIGINT) AS quality
+  FROM part
+),
+best AS (  -- one candidate per cost level: the max quality
+  SELECT cost, MAX(quality) AS quality FROM pts GROUP BY cost
+),
+stair AS (
+  SELECT cost, quality,
+         MAX(quality) OVER (ORDER BY cost
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_before
+  FROM best
+)
+SELECT cost, quality
+FROM stair WHERE best_before IS NULL OR quality > best_before
+ORDER BY cost
+""",
+    tags=("window", "analytics"),
+)
+def window_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator over part (minimize price,
+    maximize size) — the classic dominance query (Börzsönyi et al.'s
+    SKYLINE OF) that no single groupBy expresses: a point survives iff
+    no other point is ≤ on cost AND ≥ on quality with one strict. The
+    2-D case collapses to the STAIRCASE scan: keep max quality per
+    distinct cost (one map-side-combined aggregate — this bounds the
+    window input by |distinct costs|, a value-domain constant, NOT
+    corpus size), then keep points whose quality strictly exceeds the
+    running max over cheaper costs. The remaining total-order window
+    runs over that bounded aggregate (window-audit-clean: Aggregate
+    sits below it); at 100 TB with an unbounded cost domain the same
+    staircase runs as range-partitioned prefix maxima (the
+    etl_shard_pack two-pass shape). Exact integer cents/size — full
+    value-hash oracle, no floats at all."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cost"),
+        F.col("p_size").cast("long").alias("quality"),
+    )
+    best = pts.groupBy("cost").agg(F.max("quality").alias("quality"))
+    wprev = W.orderBy("cost").rowsBetween(W.unboundedPreceding, -1)
+    stair = best.select(
+        "cost",
+        "quality",
+        F.max("quality").over(wprev).alias("best_before"),
+    )
+    return stair.filter(
+        F.col("best_before").isNull() | (F.col("quality") > F.col("best_before"))
+    ).select("cost", "quality")
