@@ -3070,3 +3070,87 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("k_q6"),
     )
+
+
+# --- term burstiness (Fano factor) ------------------------------------------------
+
+_BURST_TOPN = 20  # most document-frequent terms
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM per_doc GROUP BY 1
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+top AS (
+  SELECT t.*, nd.n FROM per_term t CROSS JOIN nd
+  ORDER BY t.df DESC, t.term ASC LIMIT {_BURST_TOPN}
+)
+SELECT term, df, s AS total_occurrences,
+       floor(CAST(n * q - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+             * 1000000.0) / 1000000.0 AS fano_q6
+FROM top ORDER BY df DESC, term ASC
+""",
+    tags=("llm", "text"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance-to-mean ratio of
+    per-document occurrence counts, zeros included) for the
+    {_BURST_TOPN} most document-frequent terms — Church & Gale's
+    dispersion diagnostic: function words sit near Fano≈1 (Poisson),
+    topical/bursty terms far above — the signal that separates
+    stopword candidates from content terms better than raw frequency
+    (feeds `text_keywords_topk` and stopword-list curation). The
+    zeros-included moments need NO dense doc×term grid: with S=Σx and
+    Q=Σx² over occurrences only, Fano = (N·Q − S²)/(N·S) exactly
+    (absent docs contribute 0 to both) — one token explode with
+    map-side combine to (term, doc) counts, one per-term reduce, a
+    broadcast 1-row doc count, deterministic top-{_BURST_TOPN} by
+    (df, term) via TakeOrderedAndProject. Exact int64 into one final
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    top = (
+        per_term.crossJoin(F.broadcast(nd))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_BURST_TOPN)
+    )
+    return top.select(
+        "term",
+        "df",
+        F.col("s").alias("total_occurrences"),
+        (
+            F.floor(
+                (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * F.col("s"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("fano_q6"),
+    )

@@ -3824,3 +3824,117 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Anderson-Darling two-sample -------------------------------------------------
+
+
+@register(
+    "stats_ad_twosample",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(floor(value * 10.0) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_CD_A}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_CD_A}', '{_CD_B}')
+),
+h AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(g1) AS BIGINT) AS c1
+  FROM q GROUP BY 1
+),
+cw AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER w AS BIGINT) AS i,
+         CAST(SUM(c1) OVER w AS BIGINT) AS mi,
+         CAST(SUM(c) OVER () AS BIGINT) AS nn,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1
+  FROM h
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT nn, n1, nn - n1 AS n2,
+         CAST(SUM(CASE WHEN i < nn THEN
+           CAST(floor(CAST(c AS DOUBLE)
+                      * (CAST(mi AS DOUBLE) * nn - CAST(n1 AS DOUBLE) * i)
+                      * (CAST(mi AS DOUBLE) * nn - CAST(n1 AS DOUBLE) * i)
+                      / (CAST(i AS DOUBLE) * (nn - i))
+                      * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_micro
+  FROM cw GROUP BY nn, n1
+)
+SELECT n1 AS n_{_CD_A}, n2 AS n_{_CD_B},
+       floor(CAST(s_micro AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2 * nn)) / 1000000.0 AS ad_q6
+FROM terms
+""",
+    tags=("analytics", "stats"),
+)
+def stats_ad_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling two-sample statistic between the '{_CD_A}' and
+    '{_CD_B}' value distributions — the tail-weighted companion to
+    `stats_ks_drift` (KS sees the max CDF gap, CvM the average, AD
+    up-weights the tails by 1/(F(1−F)), which is where training-data
+    drift usually hides). Scholz-Stephens tie-adjusted discrete form
+    on the deci-unit histogram: A² = (1/(n₁n₂N)) Σ_b c_b·(M_b·N −
+    n₁·i_b)² / (i_b·(N−i_b)) over distinct pooled levels except the
+    last — M_b, i_b are right-continuous cumulative counts, the
+    squared numerator is cross-multiplied (no CDF floats), each
+    bounded bin's term is floored to micro-units and summed order-free
+    (the `stats_cramers_v` discipline), and ONE final division
+    normalizes. Shape: one corpus shuffle to the bounded histogram,
+    one cumulative window, one reduce."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CD_A, _CD_B)
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 10.0).cast("long").alias("v"),
+        F.when(F.col("event_type") == _CD_A, 1).otherwise(0).alias("g1"),
+    )
+    h = q.groupBy("v").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("g1").cast("long").alias("c1"),
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cw = h.select(
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("i"),
+        F.sum("c1").over(wcum).cast("long").alias("mi"),
+        F.sum("c").over(wall).cast("long").alias("nn"),
+        F.sum("c1").over(wall).cast("long").alias("n1"),
+    )
+    dev = (
+        F.col("mi").cast("double") * F.col("nn")
+        - F.col("n1").cast("double") * F.col("i")
+    )
+    term = (
+        F.col("c").cast("double")
+        * dev
+        * dev
+        / (F.col("i").cast("double") * (F.col("nn") - F.col("i")))
+        * 1e6
+    )
+    terms = cw.groupBy("nn", "n1").agg(
+        F.sum(
+            F.when(F.col("i") < F.col("nn"), F.floor(term).cast("long")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("s_micro")
+    )
+    return terms.select(
+        F.col("n1").alias(f"n_{_CD_A}"),
+        (F.col("nn") - F.col("n1")).alias(f"n_{_CD_B}"),
+        (
+            F.floor(
+                F.col("s_micro").cast("double")
+                / (
+                    F.col("n1").cast("double")
+                    * (F.col("nn") - F.col("n1"))
+                    * F.col("nn")
+                )
+            )
+            / 1e6
+        ).alias("ad_q6"),
+    )
