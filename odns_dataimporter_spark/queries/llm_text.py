@@ -2988,7 +2988,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     points are int64 (order-free), and β/K are closed-form doubles
     from those ints, floor-q6."""
     docs = load_table(spark, sf_dir, "documents")
-    bounds = docs.agg((F.max("doc_id") + 1).alias("hi"))
+    # divergence point: the 1-row bounds aggregate feeds BOTH bucket
+    # assignments — checkpoint so its documents scan happens once
+    # (scan-audit cap: docs = dd + firsts + bounds = 3 scans)
+    bounds = docs.agg((F.max("doc_id") + 1).alias("hi")).localCheckpoint(
+        eager=False
+    )
     dd = docs.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         F.least(
