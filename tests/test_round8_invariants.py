@@ -391,3 +391,21 @@ def test_bollinger_breach_predicate_matches_float_bands(spark):
             abs(r["x"] - mu) - 2 * sigma
         ) < 1e-6
     assert n_int > 0, "fixture grid should contain at least one breach"
+
+
+def test_kcore_counts_are_monotone_nonincreasing(spark):
+    """Peeling can only shrink the graph: node and edge counts must be
+    non-increasing across rounds, and a repeated count pair means the
+    peel reached its fixpoint (the docstring's convergence detector)."""
+    rows = sorted(
+        REGISTRY["graph_kcore"].fn(spark, SF001).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    # every survivor of the final round genuinely has degree >= k in
+    # the surviving subgraph is the fixpoint property; at minimum the
+    # last round must not have grown
+    assert rows[-1]["n_nodes"] <= rows[0]["n_nodes"]
