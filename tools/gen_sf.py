@@ -63,7 +63,19 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     k = sf / 0.1  # multiplier relative to the measured sf0.1 tier
 
     def write(name: str, df: pd.DataFrame) -> None:
-        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False)
+        # SPLITTABILITY: pyarrow's default writes one giant row group
+        # (up to ~1Mi rows) — Spark can only assign a row group to the
+        # task whose split contains its start offset, so a 500k-row
+        # single-group documents.parquet made EVERY scan single-task at
+        # sf10 (caught live in the round-8 rehearsal: 12 of 13 tasks
+        # idle, 1.4 cores on a 32-core box). 32k-row groups give any
+        # tier honest multi-task scans, matching how real 100 TB lakes
+        # are written.
+        df.to_parquet(
+            os.path.join(out, f"{name}.parquet"),
+            index=False,
+            row_group_size=32_768,
+        )
         print(f"{name}: {len(df):,} rows")
 
     write("region", pd.DataFrame({
