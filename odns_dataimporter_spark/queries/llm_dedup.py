@@ -1194,7 +1194,16 @@ def ml_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop): here the blocking is learned (centroid assignment), which is
 # what makes the method work on unlabeled web-scale corpora.
 
-_SEMDEDUP_K = 8  # seed centroids (vec_id 0..7); at 100 TB k ~ n/target-cluster
+_SEMDEDUP_K = 8  # MINIMUM seed centroids (vec_id 0..k-1)
+# Cluster-size governor: k = max(_SEMDEDUP_K, n // _SEMDEDUP_TARGET), so
+# blocks stay ~_SEMDEDUP_TARGET vectors regardless of corpus size. The
+# round-8 sf10 rehearsal proved why this cannot be a constant: k=8 over
+# 200k vectors made 25k-row blocks, and the numpy Gram inside the block
+# scorer is O(block^2) MEMORY -- a python worker ballooned to 35 GB and
+# the OS OOM-killed it. With the governor, the Gram is ~2000^2 = 32 MB
+# per task at every scale; at the driver's sf0.01 (2k vectors) the
+# formula reduces to the historical k=8, so recorded results stand.
+_SEMDEDUP_TARGET = 2000
 _SEMDEDUP_TAU = 0.3
 
 
@@ -1214,7 +1223,8 @@ def _qdot(u, v):
 WITH q AS (SELECT vec_id,
                   list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qe
            FROM embeddings),
-cent AS (SELECT vec_id AS cid, qe AS cvec FROM q WHERE vec_id < {_SEMDEDUP_K}),
+cent AS (SELECT vec_id AS cid, qe AS cvec FROM q
+         WHERE vec_id < (SELECT GREATEST({_SEMDEDUP_K}, COUNT(*) // {_SEMDEDUP_TARGET}) FROM q)),
 d AS (SELECT q.vec_id, c.cid, q.qe, c.cvec,
              list_dot_product(q.qe, q.qe) AS n2,
              list_dot_product(c.cvec, c.cvec) AS cn2,
@@ -1276,8 +1286,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
         ).alias("qe"),
     ).localCheckpoint(eager=False)
-    cent = q.filter(F.col("vec_id") < _SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("cvec")
+    kk = q.agg(
+        F.greatest(
+            F.lit(_SEMDEDUP_K).cast("long"),
+            F.floor(F.count("*") / _SEMDEDUP_TARGET).cast("long"),
+        ).alias("kk")
+    )
+    cent = (
+        q.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("cvec"))
     )
     qe, cvec = F.col("qe"), F.col("cvec")
     d = q.crossJoin(F.broadcast(cent)).select(
