@@ -302,6 +302,15 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin with the range predicate as residual — a hash-partitioned
     shuffle instead of O(n·m). Bin arithmetic is exact integer-µs
     division (`div`), identical to DuckDB's `//`.
+
+    DENSITY caveat (sf10 rehearsal, SCALING.md): the per-bin candidate
+    set is s_b·p_b, so when BOTH densities scale with the corpus the
+    intermediate grows with their product (18.6× on 10× data at sf10 —
+    inherent to pair-producing range joins, whose OUTPUT scales the
+    same way). For aggregate-only semantics like this COUNT, the
+    linear-shape alternative is `join_range_count_sweep` (union-sweep
+    prefix counts: cnt(<hi) − cnt(<lo), no pair enumeration); at equal
+    output semantics prefer it at high density.
     """
     binw = 3_600_000_000  # 1 h in µs == the interval width
     ev = load_table(spark, sf_dir, "events")
@@ -762,4 +771,105 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
         )
+    )
+
+
+@register(
+    "join_range_count_sweep",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS signup_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + 3600000000 AS hi
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, COUNT(*) AS n_in_window
+FROM s JOIN p ON p.t >= s.lo AND p.t < s.hi
+GROUP BY s.signup_id
+""",
+    tags=("join", "range"),
+)
+def join_range_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same one-hour-window purchase count as `join_range_binned`,
+    computed WITHOUT enumerating (signup, purchase) pairs — the linear
+    scale path the sf10 rehearsal demanded (the binned join's per-bin
+    candidate set is s_b·p_b, 18.6× on 10× data once both densities
+    grow; this op measured linear on the same tiers).
+
+    Sweep construction: n_in_window(s) = cnt(t < hi) − cnt(t < lo), so
+    each signup contributes two BOUNDARY PROBES (+1 at hi, −1 at lo)
+    into a union with the purchase points. Distributed prefix counts
+    without a global window: rows bucket by hour bin; a per-bin
+    running purchase count (window PARTITIONED by bin, ordered by
+    (t, probes-before-purchases) so equal-t purchases stay strictly
+    excluded) gives the within-bin prefix, and per-bin purchase totals
+    cumulated EXCLUSIVELY over the bounded bin table (window over an
+    Aggregate — audit-clean) give the offsets. cnt(<x) = offset(bin) +
+    running(probe); one keyed groupBy(signup_id) sums sign·cnt. All
+    exact int64; the oracle is the naive pair join, proving the sweep
+    is pair-for-pair equivalent (signups with zero purchases drop via
+    n > 0, matching the inner-join semantics)."""
+    binw = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr(f"unix_micros(ts) div {binw}").alias("bin"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("kind"),  # purchases AFTER probes at equal t
+        F.lit(1).cast("long").alias("pc"),
+        F.lit(None).cast("long").alias("signup_id"),
+        F.lit(0).cast("long").alias("sign"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + binw).alias("hi"),
+    )
+    probes = s.select(
+        F.expr(f"lo div {binw}").alias("bin"),
+        F.col("lo").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(0).cast("long").alias("pc"),
+        "signup_id",
+        F.lit(-1).cast("long").alias("sign"),
+    ).unionAll(
+        s.select(
+            F.expr(f"hi div {binw}").alias("bin"),
+            F.col("hi").alias("t"),
+            F.lit(0).alias("kind"),
+            F.lit(0).cast("long").alias("pc"),
+            "signup_id",
+            F.lit(1).cast("long").alias("sign"),
+        )
+    )
+    u = p.unionAll(probes).localCheckpoint(
+        eager=False
+    )  # feeds the running window AND the per-bin totals
+    wrun = (
+        W.partitionBy("bin")
+        .orderBy("t", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = u.select(
+        "bin",
+        "kind",
+        "signup_id",
+        "sign",
+        F.sum("pc").over(wrun).cast("long").alias("run_in_bin"),
+    ).filter(F.col("kind") == 0)
+    totals = u.groupBy("bin").agg(F.sum("pc").cast("long").alias("bp"))
+    woff = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    offs = totals.select(
+        "bin",
+        F.coalesce(F.sum("bp").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    cnt = run.join(offs, "bin").select(
+        "signup_id",
+        "sign",
+        (F.col("off") + F.col("run_in_bin")).alias("cnt_less"),
+    )
+    return (
+        cnt.groupBy("signup_id")
+        .agg(F.sum(F.col("sign") * F.col("cnt_less")).cast("long").alias("n_in_window"))
+        .filter(F.col("n_in_window") > 0)
     )

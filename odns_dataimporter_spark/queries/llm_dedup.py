@@ -1297,22 +1297,34 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("kk"))
         .select(F.col("vec_id").alias("cid"), F.col("qe").alias("cvec"))
     )
-    qe, cvec = F.col("qe"), F.col("cvec")
-    d = q.crossJoin(F.broadcast(cent)).select(
+    # Assignment is the designed O(n·k) SemDeDup brute force (k grows
+    # with n under the cluster-size governor, so this term is the
+    # op's documented quadratic — at 100 TB assignment goes
+    # ANN-assisted (sim_ann_ivf's cell shape) before it dominates;
+    # SCALING.md sf10 section). Constant-factor discipline: both
+    # squared norms are computed ONCE per side before the broadcast
+    # cross join, so each of the n·k candidate rows evaluates exactly
+    # one fold (the old shape ran three). A shuffle-free per-row fold
+    # over a packed codebook was measured SLOWER (interpreted HOF per
+    # element × k centroids beats the join only on paper) — keep the
+    # join + map-side-combined min-struct argmin.
+    qn = q.select("vec_id", "qe", _qdot(F.col("qe"), F.col("qe")).alias("n2v"))
+    centn = cent.select(
+        "cid", "cvec", _qdot(F.col("cvec"), F.col("cvec")).alias("cn2v")
+    )
+    d = qn.crossJoin(F.broadcast(centn)).select(
         "vec_id",
         "cid",
-        "qe",
-        _qdot(qe, qe).alias("n2"),
-        _qdot(cvec, cvec).alias("cn2"),
-        _qdot(qe, cvec).alias("dotc"),
+        (
+            F.col("n2v") + F.col("cn2v") - 2 * _qdot(F.col("qe"), F.col("cvec"))
+        ).alias("dist2"),
     )
-    dist2 = F.col("n2") + F.col("cn2") - 2 * F.col("dotc")
     asg = (
-        d.select("vec_id", dist2.alias("dist2"), "cid")
-        .groupBy("vec_id")
+        d.groupBy("vec_id")
         .agg(F.min(F.struct("dist2", "cid")).alias("pick"))
         .select("vec_id", F.col("pick.cid").alias("cid"))
     )
+    qe, cvec = F.col("qe"), F.col("cvec")
     m = (
         asg.join(q, "vec_id")
         .join(F.broadcast(cent), "cid")
