@@ -1020,8 +1020,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_num",
             (
                 F.floor(
-                    F.col("q_num").cast("double")
-                    / (4.0 * F.col("m").cast("double") * F.col("m"))
+                    F.try_divide(
+                        F.col("q_num").cast("double"),
+                        4.0 * F.col("m").cast("double") * F.col("m"),
+                    )
                     * 1e6
                 )
                 / 1e6

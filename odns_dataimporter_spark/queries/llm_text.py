@@ -3052,12 +3052,11 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_c").cast("long").alias("total_tokens"),
         F.max("v_c").cast("long").alias("vocab_size"),
     )
-    beta = (
+    beta = F.try_divide(
         F.col("np").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("np").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     return s.select(
         F.col("np").alias("n_points"),
@@ -3150,10 +3149,12 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("total_occurrences"),
         (
             F.floor(
-                (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
-                    "double"
+                F.try_divide(
+                    (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+                        "double"
+                    ),
+                    F.col("n").cast("double") * F.col("s"),
                 )
-                / (F.col("n").cast("double") * F.col("s"))
                 * 1e6
             )
             / 1e6

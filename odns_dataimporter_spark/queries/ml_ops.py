@@ -4000,14 +4000,23 @@ def ml_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         "tn",
         (
-            F.floor((tp + tn).cast("double") / (tp + fp + fn + tn) * 1e6) / 1e6
+            F.floor(
+                F.try_divide((tp + tn).cast("double"), tp + fp + fn + tn) * 1e6
+            )
+            / 1e6
         ).alias("accuracy_q6"),
-        (F.floor((2 * tp).cast("double") / (2 * tp + fp + fn) * 1e6) / 1e6).alias(
-            "f1_q6"
-        ),
-        (F.floor(kap_num / kap_den * 1e6) / 1e6).alias("kappa_q6"),
         (
-            F.floor((tp * tn - fp * fn).cast("double") / mcc_den * 1e6) / 1e6
+            F.floor(
+                F.try_divide((2 * tp).cast("double"), 2 * tp + fp + fn) * 1e6
+            )
+            / 1e6
+        ).alias("f1_q6"),
+        (F.floor(F.try_divide(kap_num, kap_den) * 1e6) / 1e6).alias("kappa_q6"),
+        (
+            F.floor(
+                F.try_divide((tp * tn - fp * fn).cast("double"), mcc_den) * 1e6
+            )
+            / 1e6
         ).alias("mcc_q6"),
     )
 
@@ -4134,21 +4143,22 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n"),
         (
             F.floor(
-                (
+                F.try_divide(
                     F.col("ss2t").cast("double")
                     - 2.0 * smax * F.col("ssyt")
-                    + F.lit(smax) * smax * F.col("syt")
+                    + F.lit(smax) * smax * F.col("syt"),
+                    F.col("nn").cast("double") * smax * smax,
                 )
-                / (F.col("nn").cast("double") * smax * smax)
                 * 1e6
             )
             / 1e6
         ).alias("brier_q6"),
         (
             F.floor(
-                F.col("syt").cast("double")
-                * (F.col("nn") - F.col("syt"))
-                / (F.col("nn").cast("double") * F.col("nn"))
+                F.try_divide(
+                    F.col("syt").cast("double") * (F.col("nn") - F.col("syt")),
+                    F.col("nn").cast("double") * F.col("nn"),
+                )
                 * 1e6
             )
             / 1e6
@@ -4294,8 +4304,8 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "mad1_num",
         "mad2_num",
-        F.expr(f"({_OLS_DET_1}) / ({_OLS_DET_A})").alias("b1"),
-        F.expr(f"({_OLS_DET_2}) / ({_OLS_DET_A})").alias("b2"),
+        F.expr(f"try_divide(({_OLS_DET_1}), ({_OLS_DET_A}))").alias("b1"),
+        F.expr(f"try_divide(({_OLS_DET_2}), ({_OLS_DET_A}))").alias("b2"),
     )
     m1 = F.abs(F.col("b1")) * F.col("mad1_num").cast("double") / (
         F.col("n") * F.col("n")
@@ -4309,6 +4319,6 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("b2") * 1e4) / 1e6).alias("beta2_q6"),
         (F.floor(m1 * 1e4) / 1e6).alias("mean_abs_phi1_q6"),
         (F.floor(m2 * 1e4) / 1e6).alias("mean_abs_phi2_q6"),
-        (F.floor(m1 / (m1 + m2) * 1e6) / 1e6).alias("share1_q6"),
-        (F.floor(m2 / (m1 + m2) * 1e6) / 1e6).alias("share2_q6"),
+        (F.floor(F.try_divide(m1, m1 + m2) * 1e6) / 1e6).alias("share1_q6"),
+        (F.floor(F.try_divide(m2, m1 + m2) * 1e6) / 1e6).alias("share2_q6"),
     )

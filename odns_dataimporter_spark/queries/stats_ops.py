@@ -2833,11 +2833,10 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     F.sqrt(
-                        chi2_micro
-                        / 1_000_000.0
-                        / (
+                        F.try_divide(
+                            chi2_micro / 1_000_000.0,
                             F.col("n").cast("double")
-                            * (F.least("nr", "nc") - 1).cast("double")
+                            * (F.least("nr", "nc") - 1).cast("double"),
                         )
                     )
                     * 1_000_000.0
@@ -3244,8 +3243,9 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n1") * F.col("c2b")).cast("long").alias("gt"),
         F.sum(F.col("n2") * F.col("c1b")).cast("long").alias("lt"),
     )
-    delta = (F.col("gt") - F.col("lt")).cast("double") / (
-        F.col("n1t").cast("double") * F.col("n2t")
+    delta = F.try_divide(
+        (F.col("gt") - F.col("lt")).cast("double"),
+        F.col("n1t").cast("double") * F.col("n2t"),
     )
     dmicro = F.abs(F.floor(delta * 1_000_000.0))
     return agg.select(
@@ -3695,9 +3695,9 @@ def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     energy = (
-        2.0 * F.col("sxy").cast("double") / (n1d * F.col("n2"))
-        - 2.0 * F.col("sxx").cast("double") / (n1d * F.col("n1"))
-        - 2.0 * F.col("syy").cast("double") / (n2d * F.col("n2"))
+        2.0 * F.try_divide(F.col("sxy").cast("double"), n1d * F.col("n2"))
+        - 2.0 * F.try_divide(F.col("sxx").cast("double"), n1d * F.col("n1"))
+        - 2.0 * F.try_divide(F.col("syy").cast("double"), n2d * F.col("n2"))
     )
     return sums.select(
         F.col("n1").alias(f"n_{_CD_A}"),
@@ -3805,7 +3805,7 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = (F.col("above") + F.col("below")).cast("double")
     dev = F.col("n").cast("double") * F.col("above") - ni * F.col("ta")
-    term = dev * dev / (ni * F.col("ta") * F.col("tb")) * 1e6
+    term = F.try_divide(dev * dev, ni * F.col("ta") * F.col("tb")) * 1e6
     chi = (
         cells.crossJoin(F.broadcast(tot))
         .agg(F.sum(F.floor(term).cast("long")).cast("long").alias("chi_micro_part"))
@@ -3928,11 +3928,11 @@ def stats_ad_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nn") - F.col("n1")).alias(f"n_{_CD_B}"),
         (
             F.floor(
-                F.col("s_micro").cast("double")
-                / (
+                F.try_divide(
+                    F.col("s_micro").cast("double"),
                     F.col("n1").cast("double")
                     * (F.col("nn") - F.col("n1"))
-                    * F.col("nn")
+                    * F.col("nn"),
                 )
             )
             / 1e6
