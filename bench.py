@@ -151,6 +151,21 @@ HEADLINE = [
     "text_code_detect",
     "stats_cliffs_delta",
     "multimodal_jpeg_roundtrip",
+    # round-8 closing wave: spatial family + nonparametric completions
+    # + HITS / PMI / silhouette
+    "geo_grid_rollup",
+    "geo_nearest_hub",
+    "geo_grid_knn",
+    "stats_kruskal_wallis",
+    "stats_wilcoxon_signed_rank",
+    "graph_hits",
+    "text_pmi_pairs",
+    "embed_silhouette",
+    "ts_variance_ratio",
+    "ml_hmm_forward",
+    "text_textrank_keywords",
+    "geo_dbscan_grid",
+    "stats_fisher_exact",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

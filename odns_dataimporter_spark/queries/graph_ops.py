@@ -1030,3 +1030,151 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_q6"),
         )
     )
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+
+_HITS_ITERS = 2
+
+_HITS_ORACLE_HEAD = """
+WITH seq AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events),
+e AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE src IS NOT NULL GROUP BY src, dst),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+h0 AS (SELECT node, 1e0 AS h FROM nodes),
+"""
+
+_HITS_ITER = """
+a{i}r AS (
+  SELECT e.dst AS node, list(CAST(e.n AS DOUBLE) * p.h ORDER BY e.src) AS cs
+  FROM e JOIN h{j} p ON e.src = p.node GROUP BY e.dst),
+a{i}u AS (
+  SELECT n.node, COALESCE(list_reduce(a{i}r.cs, (x, y) -> x + y), 0e0) AS raw
+  FROM nodes n LEFT JOIN a{i}r ON n.node = a{i}r.node),
+a{i}s AS (SELECT list_reduce(list(raw ORDER BY node), (x, y) -> x + y) AS s
+          FROM a{i}u),
+a{i} AS (SELECT node, raw / s AS a FROM a{i}u CROSS JOIN a{i}s),
+h{i}r AS (
+  SELECT e.src AS node, list(CAST(e.n AS DOUBLE) * p.a ORDER BY e.dst) AS cs
+  FROM e JOIN a{i} p ON e.dst = p.node GROUP BY e.src),
+h{i}u AS (
+  SELECT n.node, COALESCE(list_reduce(h{i}r.cs, (x, y) -> x + y), 0e0) AS raw
+  FROM nodes n LEFT JOIN h{i}r ON n.node = h{i}r.node),
+h{i}s AS (SELECT list_reduce(list(raw ORDER BY node), (x, y) -> x + y) AS s
+          FROM h{i}u),
+h{i} AS (SELECT node, raw / s AS h FROM h{i}u CROSS JOIN h{i}s)"""
+
+
+def _hits_oracle() -> str:
+    iters = ",".join(_HITS_ITER.format(i=i, j=i - 1) for i in range(1, _HITS_ITERS + 1))
+    k = _HITS_ITERS
+    return (
+        _HITS_ORACLE_HEAD
+        + iters
+        + f"""
+SELECT h.node,
+       floor(h.h * 1e6) / 1e6 AS hub_q6,
+       floor(a.a * 1e6) / 1e6 AS auth_q6
+FROM h{k} h JOIN a{k} a ON a.node = h.node
+"""
+    )
+
+
+@register("graph_hits", oracle=_hits_oracle(), tags=("graph", "iterative"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) on the DIRECTED event-type
+    transition graph, 2 full (authority, hub) rounds with sum
+    normalization: a ∝ Σ_{u→v} n·h(u), h ∝ Σ_{u→v} n·a(v) — the
+    directed complement to `graph_pagerank` (pagerank scores where
+    walks END UP; HITS separates "feeds many good pages" from "is fed
+    by many good hubs", which on a funnel graph distinguishes
+    initiating event types from terminal ones). Same execution grammar
+    as pagerank: the bounded |event types|² edge set is gathered into
+    ONE row after the single events-scale shuffle, and every iteration
+    is a higher-order array fold; determinism comes from fixed fold
+    orders — authority contributions fold src-ascending, hub
+    contributions dst-ascending, normalization sums node-ascending —
+    bit-matching the oracle's list(... ORDER BY ...) folds. For an
+    unbounded node set, switch to the join-per-iteration +
+    localCheckpoint discipline (graph_bfs_hops / cluster_components
+    pin that shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(win).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    e = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    # (dst, src)-sorted array: filter(dst==v) folds src-ascending;
+    # (src, dst)-sorted array: filter(src==u) folds dst-ascending.
+    edges_a = e.agg(
+        F.sort_array(F.collect_list(F.struct("dst", "src", "n"))).alias("ea")
+    )
+    edges_h = e.agg(
+        F.sort_array(F.collect_list(F.struct("src", "dst", "n"))).alias("eh")
+    )
+    nodes1 = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("node")).alias("ns"))
+    )
+    g = nodes1.crossJoin(edges_a).crossJoin(edges_h)
+    g = g.withColumn("h0", F.transform("ns", lambda _: F.lit(1.0)))
+
+    def _norm(col_name: str) -> F.Column:
+        # node-ascending fold: ns is sorted, transform preserves order
+        return F.aggregate(
+            F.col(col_name), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    for i in range(1, _HITS_ITERS + 1):
+        h_prev = F.col(f"h{i - 1}")
+        a_raw = lambda v: F.aggregate(  # noqa: E731 — src-ascending fold
+            F.filter(F.col("ea"), lambda ed: ed["dst"] == v),
+            F.lit(0.0),
+            lambda acc, ed: acc
+            + ed["n"].cast("double")
+            * F.element_at(
+                h_prev, F.array_position(F.col("ns"), ed["src"]).cast("int")
+            ),
+        )
+        g = g.withColumn(f"a{i}u", F.transform("ns", lambda v: a_raw(v)))
+        g = g.withColumn(
+            f"a{i}",
+            F.transform(
+                f"a{i}u", lambda x: x / _norm(f"a{i}u")
+            ),
+        )
+        a_cur = F.col(f"a{i}")
+        h_raw = lambda u: F.aggregate(  # noqa: E731 — dst-ascending fold
+            F.filter(F.col("eh"), lambda ed: ed["src"] == u),
+            F.lit(0.0),
+            lambda acc, ed: acc
+            + ed["n"].cast("double")
+            * F.element_at(
+                a_cur, F.array_position(F.col("ns"), ed["dst"]).cast("int")
+            ),
+        )
+        g = g.withColumn(f"h{i}u", F.transform("ns", lambda u: h_raw(u)))
+        g = g.withColumn(
+            f"h{i}",
+            F.transform(
+                f"h{i}u", lambda x: x / _norm(f"h{i}u")
+            ),
+        )
+    k = _HITS_ITERS
+    z = g.select(
+        F.explode(
+            F.arrays_zip(F.col("ns"), F.col(f"h{k}"), F.col(f"a{k}"))
+        ).alias("z")
+    )
+    return z.select(
+        F.col("z.ns").alias("node"),
+        (F.floor(F.col(f"z.h{k}") * 1e6) / 1e6).alias("hub_q6"),
+        (F.floor(F.col(f"z.a{k}") * 1e6) / 1e6).alias("auth_q6"),
+    )

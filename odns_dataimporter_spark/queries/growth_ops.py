@@ -2227,7 +2227,8 @@ WITH u AS (
   SELECT user_id,
          CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
               AS BIGINT) AS cov,
-         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 5
+                        > COUNT(*) THEN 1 ELSE 0 END
               AS BIGINT) AS treated,
          CAST(SUM(CASE WHEN event_type = 'purchase'
                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
@@ -2262,10 +2263,13 @@ def events_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average treatment effect on the treated (ATT) by DETERMINISTIC
     1:1 rank matching inside propensity strata — the matching-estimator
     companion to `events_iptw_ate` (weighting) and
-    `events_diff_in_diff` (panel): treatment = user ever hit an
-    'error', outcome = lifetime purchase cents, confounder = browsing
-    intensity (view+click count), stratified into {_PM_STRATA} ntile
-    strata. Matching is rank-pairing within (stratum, arm) ordered by
+    `events_diff_in_diff` (panel): treatment = HEAVY-error user (error
+    share above the 20% uniform base rate, an exact integer predicate
+    n_err*5 > n — "ever hit an error" is degenerate on this corpus:
+    every user has, so matching found zero control arms and returned
+    empty at every tier), outcome = lifetime purchase cents,
+    confounder = browsing intensity (view+click count), stratified
+    into {_PM_STRATA} ntile strata. Matching is rank-pairing within (stratum, arm) ordered by
     (covariate, user_id) — fully deterministic (no caliper randomness),
     reproducible across engines, and each unmatched surplus row drops
     out via the inner join exactly as 1:1 matching without replacement
@@ -2280,7 +2284,12 @@ def events_propensity_match_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))
         .cast("long")
         .alias("cov"),
-        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        F.when(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 5
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
         .cast("long")
         .alias("treated"),
         F.sum(

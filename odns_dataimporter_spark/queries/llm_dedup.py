@@ -51,6 +51,163 @@ def _md5_key(k: int) -> str:
     return "" if k == 0 else f"{k}|"
 
 
+# --- production permutation scheme ------------------------------------------
+# The prod preset (128 perms) does NOT pay 32 md5 invocations per
+# shingle.  Each shingle is md5-hashed ONCE; the first two 8-hex-char
+# chunks become two independent 31-bit integers (h1, h2), and lane j is
+# the universal-hash combination (a_j*h1 + b_j*h2 + c_j) mod P with
+# P = 2^31 - 1 (Mersenne).  This is the textbook "k permutations of one
+# base hash" MinHash construction (Broder 1997; Indyk's 2-universal
+# lane family): P(min over shingles collides) = Jaccard still holds per
+# lane because each lane is a uniform permutation of the shingle
+# universe.  Measured at sf0.1 the signature stage drops 4.1 s -> 0.5 s
+# warm (~8x): 2 conv+mod per shingle plus 128 codegen multiply-adds
+# beats 32 interpreted md5 calls.  Coefficients are bounded below 2^30
+# so the whole lane fits ONE ungrouped expression (h1*a + h2*b + c) % P
+# in positive int64 (h < 2^31, coeff < 2^30 => each product < 2^61,
+# sum < 2^62): ANSI mode never sees an overflow on either engine, and
+# the codegen text stays a third the size of the per-term-mod form.
+# The 128 lane projections are emitted as ONE selectExpr (a single
+# parse) — building them as Python Column trees costs ~1000 py4j round
+# trips (~3.5 s of pure driver chatter at ANY data size).
+_PERM_P = (1 << 31) - 1
+_PERM_COEF_BOUND = 1 << 30
+
+
+def _perm_coeffs(n_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a_j, b_j, c_j) lane coefficients via an explicit
+    64-bit LCG (no dependence on any library RNG's stability): the same
+    literals are embedded in the Spark plan and the DuckDB oracle."""
+    coeffs = []
+    state = 0x5DEECE66D  # fixed seed; any nonzero value works
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return state
+    for _ in range(n_hashes):
+        a = nxt() % (_PERM_COEF_BOUND - 1) + 1  # in [1, 2^30): never degenerate
+        b = nxt() % (_PERM_COEF_BOUND - 1) + 1
+        c = nxt() % _PERM_P
+        coeffs.append((a, b, c))
+    return coeffs
+
+
+def _with_minhash_bands_perm(
+    docs: DataFrame, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc_id, band0..band{n/r-1}) at the production permutation
+    scheme: one md5 per shingle -> (h1, h2) -> n_hashes linear lanes
+    mod P -> per-lane minima -> md5 band digests over comma-joined
+    decimal minima.  Same shingle construction and the same
+    shuffle shape as `_with_minhash_bands` (the shuffle carries only
+    the per-doc minima); only the per-shingle lane derivation differs.
+    Hash-matched with `_minhash_sql_core_perm`."""
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "text", words.alias("_w"), F.size(words).alias("_n"))
+    big = base.filter(F.col("_n") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_w", 1, F.col("_n") - 2),
+                F.slice("_w", 2, F.col("_n") - 2),
+                F.slice("_w", 3, F.col("_n") - 2),
+            )
+        ).alias("_z"),
+    ).select("doc_id", F.concat_ws(" ", "_z.0", "_z.1", "_z.2").alias("_sh"))
+    small = base.filter(F.col("_n") < 3).select("doc_id", F.col("text").alias("_sh"))
+    d = F.md5("_sh")
+    hashed = big.unionByName(small).select(
+        "doc_id",
+        (F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % _PERM_P).alias("_h1"),
+        (F.conv(F.substring(d, 9, 8), 16, 10).cast("long") % _PERM_P).alias("_h2"),
+    )
+    lanes = hashed.selectExpr(
+        "doc_id",
+        *[
+            f"(_h1 * {a} + _h2 * {b} + {c}) % {_PERM_P} AS _l{j}"
+            for j, (a, b, c) in enumerate(_perm_coeffs(n_hashes))
+        ],
+    )
+    mins = lanes.groupBy("doc_id").agg(
+        *[F.min(f"_l{j}").alias(f"_m{j}") for j in range(n_hashes)]
+    )
+    return mins.selectExpr(
+        "doc_id",
+        *[
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(_m{j} AS STRING)"
+                for j in range(b * band_size, (b + 1) * band_size)
+            )
+            + f")) AS band{b}"
+            for b in range(n_hashes // band_size)
+        ],
+    )
+
+
+def _minhash_sql_core_perm(n_hashes: int, band_size: int) -> str:
+    """DuckDB mirror of `_with_minhash_bands_perm`: identical shingles,
+    identical (h1, h2) extraction, identical lane literals."""
+    p = _PERM_P
+    mins = ", ".join(
+        f"list_min(list_transform(range(1, len(ha) + 1), "
+        f"i -> (ha[i] * {a} + hb[i] * {b} + {c}) % {p}"
+        f")) AS m{j}"
+        for j, (a, b, c) in enumerate(_perm_coeffs(n_hashes))
+    )
+    bands = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{j} AS VARCHAR)"
+            for j in range(b * band_size, (b + 1) * band_size)
+        )
+        + f")) AS band{b}"
+        for b in range(n_hashes // band_size)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words, text FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN [text]
+              ELSE list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' ')) END AS shingles
+  FROM base
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p}) AS ha,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) % {p}) AS hb
+  FROM sh
+), mins AS (
+  SELECT doc_id, {mins} FROM hashed
+), sigs AS (
+  SELECT doc_id, {bands}
+  FROM mins
+)
+"""
+
+
+def _cand_pairs_sql_perm(n_hashes: int, band_size: int) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band FROM sigs"
+        for b in range(n_hashes // band_size)
+    )
+    return (
+        _minhash_sql_core_perm(n_hashes, band_size)
+        + f"""
+, exploded AS (
+{union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+)
+"""
+    )
+
+
 @register(
     "dedup_exact_doc",
     oracle="""
@@ -216,6 +373,7 @@ def _candidate_pairs(
     docs: DataFrame,
     n_hashes: int = _N_HASHES,
     band_size: int = _BAND_SIZE,
+    perm: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing any band bucket.
 
@@ -224,7 +382,8 @@ def _candidate_pairs(
     candidate generation is O(bucket²) summed over buckets, never
     O(corpus²), and the expensive hashing never runs twice (a naive
     self-join would recompute the signature pipeline per side)."""
-    sigs = _with_minhash_bands(docs, n_hashes, band_size)
+    mk = _with_minhash_bands_perm if perm else _with_minhash_bands
+    sigs = mk(docs, n_hashes, band_size)
     exploded = sigs.select(
         "doc_id",
         F.explode(
@@ -268,7 +427,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_signature_prod",
-    oracle=_minhash_sql_core(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    oracle=_minhash_sql_core_perm(_PROD_N_HASHES, _PROD_BAND_SIZE)
     + "SELECT doc_id, "
     + ", ".join(f"band{b}" for b in range(_PROD_N_HASHES // _PROD_BAND_SIZE))
     + " FROM sigs",
@@ -277,28 +436,35 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_signature_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-preset MinHash-LSH signatures: 128 permutations in 16
     bands of 8 — the standard corpus-dedup operating point (candidate
-    probability 1-(1-J^8)^16, knee ≈ 0.8 Jaccard). Same one-md5-per-4-
-    lanes construction as the toy preset, extended with 31 keyed md5s
-    per shingle; per-shingle hashing cost is 32 md5s, and the shuffle
-    still carries only the 128 per-doc minima. Value-hash-matched with
-    the DuckDB oracle including every band."""
-    return _with_minhash_bands(
+    probability 1-(1-J^8)^16, knee ≈ 0.8 Jaccard). Unlike the toy
+    preset's chunked-md5 lanes, the 128 permutations come from ONE md5
+    per shingle combined through 128 universal-hash lanes mod 2^31-1
+    (see `_with_minhash_bands_perm`): measured 8x cheaper at sf0.1
+    (the md5 calls, not the shuffle, dominated the old 32-md5 design)
+    and the win grows with corpus size because it is pure per-shingle
+    CPU. Shuffle still carries only the 128 per-doc minima.
+    Value-hash-matched with the DuckDB oracle including every band."""
+    return _with_minhash_bands_perm(
         load_table(spark, sf_dir, "documents"), _PROD_N_HASHES, _PROD_BAND_SIZE
     )
 
 
 @register(
     "dedup_near_minhash_prod",
-    oracle=_cand_pairs_sql(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    oracle=_cand_pairs_sql_perm(_PROD_N_HASHES, _PROD_BAND_SIZE)
     + "SELECT doc_a, doc_b FROM cand",
     tags=("llm", "dedup"),
 )
 def dedup_near_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs at the production LSH preset (128
-    perms / 16 bands of 8): same bucketed O(bucket²) pair expansion as
-    the toy preset, 16-way band explode instead of 2."""
+    perms / 16 bands of 8, permutation-scheme signatures): same
+    bucketed O(bucket²) pair expansion as the toy preset, 16-way band
+    explode instead of 2."""
     return _candidate_pairs(
-        load_table(spark, sf_dir, "documents"), _PROD_N_HASHES, _PROD_BAND_SIZE
+        load_table(spark, sf_dir, "documents"),
+        _PROD_N_HASHES,
+        _PROD_BAND_SIZE,
+        perm=True,
     )
 
 
@@ -373,6 +539,7 @@ def _min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    prev_cache = None
     for rnd in range(1, _CC_MAX_ROUNDS + 1):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
@@ -390,21 +557,44 @@ def _min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
         par = labels.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )
-        upd2 = (
-            upd.join(par, upd.mid_lbl == par.p_node, "left")
-            .select(
-                "node",
-                "lbl",
-                F.least(
-                    F.col("mid_lbl"), F.coalesce("p_lbl", "mid_lbl")
-                ).alias("new_lbl"),
-            )
-            .localCheckpoint(eager=False)
+        upd2 = upd.join(par, upd.mid_lbl == par.p_node, "left").select(
+            "node",
+            "lbl",
+            F.least(
+                F.col("mid_lbl"), F.coalesce("p_lbl", "mid_lbl")
+            ).alias("new_lbl"),
         )
-        changed = upd2.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = upd2.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            return labels, rnd
+        # Convergence is checked every SECOND round: the count() is the
+        # loop's only eager action (each one a full job-scheduling sync
+        # barrier — the dominant cost at small scale and a real stall
+        # at cluster scale), and skipping the odd-round check merely
+        # delays detection by one round: a fixpoint stays a fixpoint.
+        #
+        # STATS-RESET DISCIPLINE (the 20-minute DBSCAN hang): a bare
+        # localCheckpoint snapshots `originStats` from the ORIGINAL
+        # plan, and each round references `labels` twice (neighbor min
+        # + pointer halving), so the estimated sizeInBytes SQUARES per
+        # round — the BigInt's digit count doubles, and by ~round 15
+        # Catalyst's SizeInBytesOnlyStatsPlanVisitor spends minutes in
+        # Toom-Cook multiplication of 100k-digit integers (jstack
+        # evidence in PERFORMANCE.md). persist() + count() BEFORE the
+        # checkpoint makes the optimizer substitute the materialized
+        # InMemoryRelation, whose stats are the REAL cached bytes, so
+        # the checkpoint snapshot resets to ground truth every check
+        # round and the growth between resets is bounded at (real)⁴.
+        if rnd % 2 == 0 or rnd == _CC_MAX_ROUNDS:
+            upd2 = upd2.persist()
+            changed = upd2.filter(F.col("new_lbl") < F.col("lbl")).count()
+            labels = upd2.localCheckpoint(eager=False).select(
+                "node", F.col("new_lbl").alias("lbl")
+            )
+            if prev_cache is not None:
+                prev_cache.unpersist(blocking=False)
+            prev_cache = upd2
+            if changed == 0:
+                return labels, rnd
+        else:
+            labels = upd2.select("node", F.col("new_lbl").alias("lbl"))
     raise RuntimeError(
         f"connected components did not converge in {_CC_MAX_ROUNDS} rounds "
         "(pointer-halving should need ~log2(diameter)); refusing to return "
@@ -765,7 +955,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_recall_prod",
-    oracle=_cand_pairs_sql(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    oracle=_cand_pairs_sql_perm(_PROD_N_HASHES, _PROD_BAND_SIZE)
     + ","
     + _JACCARD_TRUTH_SQL
     + """
@@ -788,21 +978,28 @@ def dedup_minhash_recall_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURABLE: r=8 rows per band moves the candidate-probability knee
     to ~0.8 Jaccard (1-(1-J^8)^16), so against a 0.5-Jaccard truth set
     the prod preset returns FEWER, higher-precision candidates than the
-    toy r=2 preset — the observed sf0.01 numbers (25 vs 28 candidates,
-    same hits) are exactly that curve, which is the evidence a tuning
-    pass needs to pick bands for its target threshold."""
-    return _minhash_recall(spark, sf_dir, _PROD_N_HASHES, _PROD_BAND_SIZE)
+    toy r=2 preset — which is the evidence a tuning pass needs to pick
+    bands for its target threshold."""
+    return _minhash_recall(
+        spark, sf_dir, _PROD_N_HASHES, _PROD_BAND_SIZE, perm=True
+    )
 
 
 def _minhash_recall(
-    spark: SparkSession, sf_dir: str, n_hashes: int, band_size: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int,
+    band_size: int,
+    perm: bool = False,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # candidate set and truth token table each feed multiple count
     # branches (n_candidates, n_hits / n_truth, n_hits and both truth
     # self-join sides) — checkpoint so the signature pipeline and the
     # token explode run once (8 redundant documents scans before)
-    cand = _candidate_pairs(docs, n_hashes, band_size).localCheckpoint(eager=False)
+    cand = _candidate_pairs(docs, n_hashes, band_size, perm=perm).localCheckpoint(
+        eager=False
+    )
     t = docs.select(
         "doc_id", "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenbucket"),
@@ -1680,7 +1877,7 @@ def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_bucket_stats",
-    oracle=_minhash_sql_core(_PROD_N_HASHES, _PROD_BAND_SIZE)
+    oracle=_minhash_sql_core_perm(_PROD_N_HASHES, _PROD_BAND_SIZE)
     + "\n, exploded AS (\n"
     + "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, band{b} AS band FROM sigs"
@@ -1715,7 +1912,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is band-cardinality-sized. All counts exact
     int64; the singleton fraction is one floored division."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _with_minhash_bands(docs, _PROD_N_HASHES, _PROD_BAND_SIZE)
+    sigs = _with_minhash_bands_perm(docs, _PROD_N_HASHES, _PROD_BAND_SIZE)
     n_bands = _PROD_N_HASHES // _PROD_BAND_SIZE
     exploded = sigs.select(
         "doc_id",

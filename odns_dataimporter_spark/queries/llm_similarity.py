@@ -2598,3 +2598,154 @@ def embed_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("probe_id", "cand_id", "hamming")
     )
+
+
+# --- centroid silhouette -----------------------------------------------------
+
+
+@register(
+    "embed_silhouette",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT label, gs.i AS dim, list_extract(qv, gs.i) AS x
+  FROM q, generate_series(1, {_COV_DIM}) gs(i)
+),
+cs AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM ex GROUP BY 1, 2),
+cent AS (SELECT label AS clabel, list(sx ORDER BY dim) AS csx,
+                CAST(MAX(n) AS BIGINT) AS cn
+         FROM cs GROUP BY label),
+j AS (
+  SELECT q.vec_id, q.label, c.clabel,
+         CAST(floor(list_reduce(
+           list_transform(range(1, {_COV_DIM} + 1),
+             i -> (list_extract(qv, i) / 1e6
+                   - list_extract(csx, i) / (1e6 * cn))
+                * (list_extract(qv, i) / 1e6
+                   - list_extract(csx, i) / (1e6 * cn))),
+           (x, y) -> x + y) * 1e9) AS BIGINT) AS d2q
+  FROM q CROSS JOIN cent c
+),
+pt AS (
+  SELECT vec_id, label,
+         CAST(MAX(CASE WHEN clabel = label THEN d2q END) AS BIGINT) AS a9,
+         CAST(MIN(CASE WHEN clabel <> label THEN d2q * 16 + clabel END)
+              AS BIGINT) AS bpack
+  FROM j GROUP BY 1, 2
+),
+sil AS (
+  SELECT label,
+         CASE WHEN GREATEST(a9, bpack // 16) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(bpack // 16 - a9 AS DOUBLE)
+                              / CAST(GREATEST(a9, bpack // 16) AS DOUBLE)
+                              * 1000000.0) AS BIGINT) END AS s6
+  FROM pt
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s6) AS BIGINT) AS sum_sil_q6,
+       floor(CAST(SUM(s6) AS DOUBLE) / COUNT(*)) / 1000000.0 AS mean_sil_q6
+FROM sil GROUP BY 1
+""",
+    tags=("llm", "embedding", "eval"),
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid (simplified) silhouette per label over the embedding
+    corpus: for each vector, a = squared distance to its OWN label
+    centroid, b = min squared distance to any OTHER label's centroid,
+    s = (b−a)/max(a,b) — the cluster-quality score that validates a
+    labeling / clustering before it is trusted for semantic dedup or
+    stratified sampling (the centroid form is the production variant:
+    the classic all-pairs silhouette is O(n²) and its exact blocked
+    twin here is `dedup_embedding_cosine`'s Gram machinery). Exactness:
+    coordinates quantize to integer micros FIRST, so centroid
+    sufficient stats (Σx per dim, n) are exact int64; each point-to-
+    centroid distance is an identical positional fold of
+    (x/1e6 − s/(1e6·n))² on both engines, floor-quantized to q9 ints
+    BEFORE any comparison; the nearest-other argmin is the integer
+    pack min(d2q·16 + label); per-point silhouettes floor to q6 ints
+    so label means are exact integer sums with one final division.
+    Scale: one corpus-scale posexplode aggregate (d·n rows map-side
+    combined to |labels|·d cells), then a broadcast of the |labels|-row
+    centroid table against one corpus scan — never a point-point
+    join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000.0).cast("long"),
+        ).alias("qv"),
+    )
+    ex = q.select("label", F.posexplode("qv").alias("dim", "x"))
+    cs = ex.groupBy("label", "dim").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cent = (
+        cs.groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim", "sx"))).alias("ds"),
+            F.max("n").cast("long").alias("cn"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("ds", lambda d: d["sx"]).alias("csx"),
+            "cn",
+        )
+    )
+    cn = F.col("cn").cast("double")
+    term = lambda x, s: (  # noqa: E731 — identical text both engines
+        x.cast("double") / 1e6 - s.cast("double") / (1e6 * cn)
+    ) * (x.cast("double") / 1e6 - s.cast("double") / (1e6 * cn))
+    j = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.floor(
+            F.aggregate(
+                F.zip_with("qv", "csx", term),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("d2q"),
+    )
+    pt = j.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2q")))
+        .cast("long")
+        .alias("a9"),
+        F.min(
+            F.when(
+                F.col("clabel") != F.col("label"),
+                F.col("d2q") * 16 + F.col("clabel"),
+            )
+        )
+        .cast("long")
+        .alias("bpack"),
+    )
+    b9 = F.expr("bpack DIV 16")
+    s6 = F.when(F.greatest(F.col("a9"), b9) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (b9 - F.col("a9")).cast("double")
+            / F.greatest(F.col("a9"), b9).cast("double")
+            * 1e6
+        ).cast("long")
+    )
+    sil = pt.select("label", s6.alias("s6"))
+    return sil.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s6").cast("long").alias("sum_sil_q6"),
+        (F.floor(F.sum("s6").cast("double") / F.count("*")) / 1e6).alias(
+            "mean_sil_q6"
+        ),
+    )

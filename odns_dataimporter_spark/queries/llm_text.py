@@ -3160,3 +3160,289 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("fano_q6"),
     )
+
+
+# --- PMI word-pair co-occurrence ---------------------------------------------
+
+_PMI_VOCAB = 50  # top document-frequency words admitted to pairing
+_PMI_MIN_CO = 5  # minimum co-document count for a reported pair
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w),
+voc AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM df
+  ) WHERE rk <= {_PMI_VOCAB}
+),
+dv AS (SELECT dw.doc_id, dw.w FROM dw JOIN voc ON voc.w = dw.w),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+co AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM dv a JOIN dv b ON b.doc_id = a.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT co.w1, co.w2, co.c12,
+       v1.c AS c1, v2.c AS c2,
+       floor(ln(CAST(co.c12 AS DOUBLE) * CAST(nd.n AS DOUBLE)
+                / (CAST(v1.c AS DOUBLE) * CAST(v2.c AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS pmi_q6
+FROM co JOIN voc v1 ON v1.w = co.w1 JOIN voc v2 ON v2.w = co.w2
+CROSS JOIN nd
+WHERE co.c12 >= {_PMI_MIN_CO}
+""",
+    tags=("llm", "text"),
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for word pairs
+    restricted to the top-{_PMI_VOCAB} document-frequency vocabulary:
+    PMI(x, y) = ln(N·c_xy / (c_x·c_y)) over co-document counts, the
+    classic collocation/association score (Church & Hanks 1990) a
+    curation pipeline uses to find template phrases and topic clusters
+    beyond single-token stats. Scale design: the quadratic pair
+    expansion happens ONLY inside the vocab-filtered per-document word
+    sets — each document contributes at most C({_PMI_VOCAB},2) pairs
+    regardless of its length, and the vocab filter is a broadcast
+    semi-join against a {_PMI_VOCAB}-row table, so the corpus-scale
+    stages are one distinct-(doc, word) aggregate and one bounded-key
+    pair count (the decontam_ngram broadcast rule + the bounded-block
+    rule from the Jaccard family, composed). Determinism: all counts
+    exact int64; one ln over an exact rational, floored at 1e-6; the
+    top-vocab cut breaks count ties on the word itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    df = dw.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    voc = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w"))),
+        )
+        .filter(F.col("rk") <= _PMI_VOCAB)
+        .drop("rk")
+        .localCheckpoint(eager=False)  # feeds the filter and both count joins
+    )
+    dv = dw.join(F.broadcast(voc.select("w")), "w").select("doc_id", "w")
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    a = dv.select("doc_id", F.col("w").alias("w1"))
+    b = dv.select("doc_id", F.col("w").alias("w2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_CO)
+    )
+    v1 = voc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    v2 = voc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        co.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(nd))
+    )
+    pmi = F.ln(
+        F.col("c12").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        (F.floor(pmi * 1e6) / 1e6).alias("pmi_q6"),
+    )
+
+
+# --- TextRank keywords ---------------------------------------------------------
+
+_TR_DAMP = 0.85
+_TR_ITERS = 3
+_TR_TOP = 10
+_TR_MIN_CO = 2
+
+_TR_ITER_SQL = """
+c{i} AS (
+  SELECT ew.dst, list(ew.w * p.pr ORDER BY ew.src) AS cs
+  FROM ew JOIN pr{j} p ON ew.src = p.node GROUP BY ew.dst),
+pr{i} AS (
+  SELECT n.node,
+         1.5e-1 / CAST(nn.n AS DOUBLE)
+           + 8.5e-1 * COALESCE(list_reduce(c{i}.cs, (x, y) -> x + y), 0e0)
+           AS pr
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON n.node = c{i}.dst)"""
+
+
+def _textrank_oracle() -> str:
+    iters = ",".join(
+        _TR_ITER_SQL.format(i=i, j=i - 1) for i in range(1, _TR_ITERS + 1)
+    )
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w),
+voc AS (
+  SELECT w FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM dfreq
+  ) WHERE rk <= {_PMI_VOCAB}
+),
+dv AS (SELECT dw.doc_id, dw.w FROM dw JOIN voc ON voc.w = dw.w),
+co AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dv a JOIN dv b ON b.doc_id = a.doc_id AND a.w < b.w
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TR_MIN_CO}
+),
+e AS (
+  SELECT w1 AS src, w2 AS dst, n FROM co
+  UNION ALL SELECT w2 AS src, w1 AS dst, n FROM co
+),
+o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n FROM e GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, CAST(e.n AS DOUBLE) / CAST(o.out_n AS DOUBLE) AS w
+  FROM e JOIN o USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT node, 1e0 / CAST(nn.n AS DOUBLE) AS pr
+        FROM nodes CROSS JOIN nn),
+{iters}
+SELECT node AS word, trq / 1000000.0 AS textrank_q6 FROM (
+  SELECT node, CAST(floor(pr * 1e6) AS BIGINT) AS trq,
+         row_number() OVER (ORDER BY CAST(floor(pr * 1e6) AS BIGINT) DESC,
+                            node) AS rk
+  FROM pr{_TR_ITERS}
+) WHERE rk <= {_TR_TOP}
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("llm", "text", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank (damping 0.85, {_TR_ITERS} unrolled iterations) over the
+    UNDIRECTED co-document graph of the top-{_PMI_VOCAB} vocabulary
+    (edges = co-document counts ≥ {_TR_MIN_CO}, from the same bounded
+    pair machinery as `text_pmi_pairs`), reporting the top-{_TR_TOP}
+    words by stationary score — the graph-centrality upgrade over the
+    frequency/RAKE keyword ops (`text_keywords_topk`,
+    `text_rake_keywords`): a word ranks high for co-occurring with
+    other well-connected words, not for raw count. Scale: corpus-scale
+    work is exactly text_pmi_pairs' (one distinct-(doc,word) aggregate
+    + a vocab-bounded pair count); the graph is ≤ {_PMI_VOCAB} nodes
+    by construction, so the iterations run as ordered higher-order
+    folds on ONE gathered row (the graph_pagerank grammar, same
+    src-ascending fold determinism), and the final cut orders on the
+    QUANTIZED integer score with the word as tiebreaker — no float
+    ordering ambiguity."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    dfreq = dw.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    voc = (
+        dfreq.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w")))
+        )
+        .filter(F.col("rk") <= _PMI_VOCAB)
+        .select("w")
+    )
+    dv = dw.join(F.broadcast(voc), "w").select("doc_id", "w")
+    a = dv.select("doc_id", F.col("w").alias("w1"))
+    b = dv.select("doc_id", F.col("w").alias("w2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= _TR_MIN_CO)
+    )
+    e = co.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "n"
+    ).unionAll(co.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "n"))
+    edges1 = e.agg(
+        F.sort_array(F.collect_list(F.struct("dst", "src", "n"))).alias("en")
+    )
+    nodes1 = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("node")).alias("ns"))
+    )
+    g = edges1.crossJoin(nodes1)
+    out_n = lambda s: F.aggregate(  # noqa: E731 — exact integer sum
+        F.filter(F.col("en"), lambda x: x["src"] == s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["n"],
+    )
+    # Edge weights AND source indices are computed once and the single
+    # graph row checkpointed before the loop: the iterations' folds then
+    # read plain stored arrays instead of re-deriving
+    # array_position/out-degree per lambda step (interpreted HOFs have
+    # no common-subexpression elimination).
+    g = g.withColumn(
+        "edges",
+        F.transform(
+            "en",
+            lambda x: F.struct(
+                x["dst"].alias("dst"),
+                x["src"].alias("src"),
+                F.array_position(F.col("ns"), x["src"]).cast("int").alias("si"),
+                (x["n"].cast("double") / out_n(x["src"]).cast("double")).alias(
+                    "w"
+                ),
+            ),
+        ),
+    )
+    n_nodes = F.size("ns").cast("double")
+    g = g.withColumn(
+        "pr0", F.transform("ns", lambda _: F.lit(1.0) / n_nodes)
+    ).localCheckpoint(eager=False)
+    for i in range(_TR_ITERS):
+        prev = F.col(f"pr{i}")
+        contrib = lambda v: F.aggregate(  # noqa: E731 — fold in src order
+            F.filter(F.col("edges"), lambda ed: ed["dst"] == v),
+            F.lit(0.0),
+            lambda acc, ed: acc + ed["w"] * F.element_at(prev, ed["si"]),
+        )
+        # localCheckpoint between iterations: unlike graph_pagerank's
+        # 5-node/25-edge graph, this one carries ~2·C(50,2) edge structs,
+        # and letting CollapseProject inline pr{i} into pr{i+1} makes
+        # the interpreted fold re-evaluate the WHOLE previous iteration
+        # array per edge — O(edges^iters) evaluation (measured: 3
+        # unrolled iterations ran for 20 minutes at sf0.01). Cutting the
+        # lineage per round stores each iteration's 50-float array once;
+        # the checkpointed frame is a single row, so the cost is three
+        # no-op-sized jobs at any corpus scale.
+        g = g.withColumn(
+            f"pr{i + 1}",
+            F.transform(
+                "ns",
+                lambda v: F.lit(0.15) / n_nodes + F.lit(_TR_DAMP) * contrib(v),
+            ),
+        ).localCheckpoint(eager=False)
+    z = g.select(
+        F.explode(F.arrays_zip(F.col("ns"), F.col(f"pr{_TR_ITERS}"))).alias("z")
+    )
+    scored = z.select(
+        F.col("z.ns").alias("word"),
+        F.floor(F.col(f"z.pr{_TR_ITERS}") * 1e6).cast("long").alias("trq"),
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("trq").desc(), F.col("word"))),
+        )
+        .filter(F.col("rk") <= _TR_TOP)
+        .select("word", (F.col("trq") / 1e6).alias("textrank_q6"))
+    )

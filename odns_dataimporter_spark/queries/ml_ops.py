@@ -4322,3 +4322,152 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.try_divide(m1, m1 + m2) * 1e6) / 1e6).alias("share1_q6"),
         (F.floor(F.try_divide(m2, m1 + m2) * 1e6) / 1e6).alias("share2_q6"),
     )
+
+
+# --- 2-state HMM forward log-likelihood ---------------------------------------
+# All parameters are BINARY-EXACT literals (eighths/quarters), so both
+# engines fold identical IEEE trees: prior pi = (1/2, 1/2) at t=0 with
+# the transition applied BEFORE each emission (the "prior then step"
+# forward variant — base case and recursive case share one formula).
+_HMM_P00, _HMM_P01 = 0.875, 0.125  # calm -> calm / calm -> burst
+_HMM_P10, _HMM_P11 = 0.25, 0.75    # burst -> calm / burst -> burst
+_HMM_B0_1, _HMM_B1_1 = 0.25, 0.75  # P(above-average day | state)
+
+
+@register(
+    "ml_hmm_forward",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.event_type,
+         CASE WHEN daily.y * tot.nd > tot.sy THEN 1 ELSE 0 END AS obs,
+         CAST(row_number() OVER (PARTITION BY daily.event_type
+                                 ORDER BY daily.day) AS BIGINT) AS rn
+  FROM daily JOIN tot ON tot.event_type = daily.event_type
+),
+f AS (
+  SELECT event_type, rn,
+         ((0.5 * {_HMM_P00} + 0.5 * {_HMM_P10})
+          * (CASE WHEN obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+         / (((0.5 * {_HMM_P00} + 0.5 * {_HMM_P10})
+             * (CASE WHEN obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+            + ((0.5 * {_HMM_P01} + 0.5 * {_HMM_P11})
+               * (CASE WHEN obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END)))
+           AS a0,
+         ((0.5 * {_HMM_P01} + 0.5 * {_HMM_P11})
+          * (CASE WHEN obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END))
+         / (((0.5 * {_HMM_P00} + 0.5 * {_HMM_P10})
+             * (CASE WHEN obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+            + ((0.5 * {_HMM_P01} + 0.5 * {_HMM_P11})
+               * (CASE WHEN obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END)))
+           AS a1,
+         ln(((0.5 * {_HMM_P00} + 0.5 * {_HMM_P10})
+             * (CASE WHEN obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+            + ((0.5 * {_HMM_P01} + 0.5 * {_HMM_P11})
+               * (CASE WHEN obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END)))
+           AS ll
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         ((f.a0 * {_HMM_P00} + f.a1 * {_HMM_P10})
+          * (CASE WHEN d.obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+         / (((f.a0 * {_HMM_P00} + f.a1 * {_HMM_P10})
+             * (CASE WHEN d.obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+            + ((f.a0 * {_HMM_P01} + f.a1 * {_HMM_P11})
+               * (CASE WHEN d.obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END))),
+         ((f.a0 * {_HMM_P01} + f.a1 * {_HMM_P11})
+          * (CASE WHEN d.obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END))
+         / (((f.a0 * {_HMM_P00} + f.a1 * {_HMM_P10})
+             * (CASE WHEN d.obs = 1 THEN {_HMM_B0_1} ELSE {1 - _HMM_B0_1} END))
+            + ((f.a0 * {_HMM_P01} + f.a1 * {_HMM_P11})
+               * (CASE WHEN d.obs = 1 THEN {_HMM_B1_1} ELSE {1 - _HMM_B1_1} END))),
+         f.ll + ln(((f.a0 * {_HMM_P00} + f.a1 * {_HMM_P10})
+                    * (CASE WHEN d.obs = 1 THEN {_HMM_B0_1}
+                            ELSE {1 - _HMM_B0_1} END))
+                   + ((f.a0 * {_HMM_P01} + f.a1 * {_HMM_P11})
+                      * (CASE WHEN d.obs = 1 THEN {_HMM_B1_1}
+                              ELSE {1 - _HMM_B1_1} END)))
+  FROM f JOIN d ON d.event_type = f.event_type AND d.rn = f.rn + 1
+)
+SELECT f.event_type, tot.nd AS n_days,
+       floor(f.ll * 1000000.0) / 1000000.0 AS loglik_q6,
+       floor(f.a1 * 1000000.0) / 1000000.0 AS p_burst_final_q6
+FROM f JOIN tot ON tot.event_type = f.event_type AND f.rn = tot.nd
+""",
+    tags=("ml", "timeseries", "iterative"),
+)
+def ml_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM forward algorithm (2 hidden states: calm/burst, binary
+    observation: was the day's event count above the per-type average
+    — an exact integer predicate y·n > Σy) over each event type's
+    daily series, with per-step normalization and accumulated
+    log-likelihood — the probabilistic regime model that generalizes
+    the threshold detectors (`ts_peak_detect`, `ts_alert_hysteresis`)
+    with persistence priors, and the forward half of Baum-Welch.
+    Emits per type: series length, total log-likelihood, and the final
+    filtered burst probability. Execution grammar is `ts_kalman_1d`'s:
+    one map-side-combined daily aggregate, each type's series collapses
+    to a single sorted array row, and the forward recursion is a
+    struct-accumulator fold inside one codegen row — state never
+    leaves the row, so 100 TB changes only the aggregate stage. The
+    oracle walks the same recursion as a RECURSIVE CTE; all parameters
+    are binary-exact literals and every update expression is repeated
+    verbatim on both engines (no reads through just-assigned fields),
+    so the IEEE trees match and the value hash is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("sy"), F.count("*").cast("long").alias("nd")
+    )
+    d = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "nd",
+        F.when(F.col("y") * F.col("nd") > F.col("sy"), 1)
+        .otherwise(0)
+        .alias("obs"),
+    )
+    pts = d.groupBy("event_type", "nd").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day").alias("day"), F.col("obs").alias("obs")))
+        ).alias("pts")
+    )
+    init = F.struct(
+        F.lit(0.5).alias("a0"), F.lit(0.5).alias("a1"), F.lit(0.0).alias("ll")
+    )
+
+    def step(acc, pt):
+        e0 = F.when(pt["obs"] == 1, F.lit(_HMM_B0_1)).otherwise(
+            F.lit(1 - _HMM_B0_1)
+        )
+        e1 = F.when(pt["obs"] == 1, F.lit(_HMM_B1_1)).otherwise(
+            F.lit(1 - _HMM_B1_1)
+        )
+        a0p = (acc["a0"] * _HMM_P00 + acc["a1"] * _HMM_P10) * e0
+        a1p = (acc["a0"] * _HMM_P01 + acc["a1"] * _HMM_P11) * e1
+        return F.struct(
+            (a0p / (a0p + a1p)).alias("a0"),
+            (a1p / (a0p + a1p)).alias("a1"),
+            (acc["ll"] + F.ln(a0p + a1p)).alias("ll"),
+        )
+
+    fin = pts.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        F.aggregate("pts", init, step).alias("st"),
+    )
+    return fin.select(
+        "event_type",
+        "n_days",
+        (F.floor(F.col("st.ll") * 1e6) / 1e6).alias("loglik_q6"),
+        (F.floor(F.col("st.a1") * 1e6) / 1e6).alias("p_burst_final_q6"),
+    )

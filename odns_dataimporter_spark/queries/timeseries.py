@@ -2220,3 +2220,227 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("demand_rate_q6"),
     )
+
+
+# --- variance-ratio random-walk test -----------------------------------------
+
+_VR_Q = 4  # aggregation horizon (hours)
+
+
+@register(
+    "ts_variance_ratio",
+    oracle=f"""
+WITH agg0 AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2),
+  b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi FROM events),
+  spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM b),
+  grid AS (SELECT t.event_type, s.hour
+           FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s),
+  series AS (
+    SELECT g.event_type, g.hour, CAST(COALESCE(a.n, 0) AS BIGINT) AS x
+    FROM grid g LEFT JOIN agg0 a ON g.event_type = a.event_type
+                                AND g.hour = a.hour),
+  lagd AS (
+    SELECT event_type, x,
+           x - lag(x, 1) OVER w AS d1,
+           x - lag(x, {_VR_Q}) OVER w AS dq
+    FROM series WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+  s AS (
+    SELECT event_type,
+           CAST(COUNT(d1) AS BIGINT) AS n1,
+           CAST(SUM(d1) AS BIGINT) AS s1,
+           CAST(SUM(d1 * d1) AS BIGINT) AS s11,
+           CAST(COUNT(dq) AS BIGINT) AS nq,
+           CAST(SUM(dq) AS BIGINT) AS sq,
+           CAST(SUM(dq * dq) AS BIGINT) AS sqq
+    FROM lagd GROUP BY event_type)
+SELECT event_type, n1,
+       floor(((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nq) / nq)
+             / ({_VR_Q}.0 * ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                             / n1))
+             * 1000000.0) / 1000000.0 AS vr_q6,
+       floor((((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nq) / nq)
+              / ({_VR_Q}.0 * ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                              / n1)) - 1.0)
+             / sqrt(2.0 * (2.0 * {_VR_Q} - 1.0) * ({_VR_Q} - 1.0)
+                    / (3.0 * {_VR_Q} * n1))
+             * 1000000.0) / 1000000.0 AS z_q6
+FROM s
+WHERE n1 * s11 > s1 * s1
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q={_VR_Q}) per event type over
+    the dense hourly count series: VR = Var(q-hour change)/(q·Var(1-hour
+    change)) — 1 for a random walk, < 1 under mean reversion, > 1 under
+    trending/momentum; the standard "is this series a random walk or
+    does it have structure" screen that complements the
+    autocorrelation (`ts_autocorr_lag`) and Hurst (`ts_hurst_exponent`)
+    diagnostics with an actual test statistic. Determinism: the 1- and
+    q-hour differences are exact integers off the zero-filled spine, so
+    all six sufficient statistics are exact int64; VR and the
+    asymptotic z are one shared float expression floored at 1e-6;
+    constant series are excluded by an integer predicate. Shape: one
+    events-scale hourly aggregate, broadcast spine bounds, both lags in
+    ONE window pass per event_type, 5-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    series = grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    lagd = series.select(
+        "event_type",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", _VR_Q).over(w)).alias("dq"),
+    )
+    s = lagd.groupBy("event_type").agg(
+        F.count("d1").cast("long").alias("n1"),
+        F.sum("d1").cast("long").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).cast("long").alias("s11"),
+        F.count("dq").cast("long").alias("nq"),
+        F.sum("dq").cast("long").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).cast("long").alias("sqq"),
+    )
+    var1 = (
+        F.col("s11").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / F.col("n1")
+    varq = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / F.col("nq")
+    ) / F.col("nq")
+    vr = varq / (float(_VR_Q) * var1)
+    z = (vr - 1.0) / F.sqrt(
+        2.0
+        * (2.0 * _VR_Q - 1.0)
+        * (_VR_Q - 1.0)
+        / (3.0 * _VR_Q * F.col("n1"))
+    )
+    return (
+        s.filter(F.col("n1") * F.col("s11") > F.col("s1") * F.col("s1"))
+        .select(
+            "event_type",
+            "n1",
+            (F.floor(vr * 1e6) / 1e6).alias("vr_q6"),
+            (F.floor(z * 1e6) / 1e6).alias("z_q6"),
+        )
+    )
+
+
+# --- local-maximum peak detection --------------------------------------------
+
+
+@register(
+    "ts_peak_detect",
+    oracle="""
+WITH agg0 AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2),
+  b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi FROM events),
+  spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM b),
+  grid AS (SELECT t.event_type, s.hour
+           FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s),
+  series AS (
+    SELECT g.event_type, g.hour, CAST(COALESCE(a.n, 0) AS BIGINT) AS x
+    FROM grid g LEFT JOIN agg0 a ON g.event_type = a.event_type
+                                AND g.hour = a.hour),
+  m AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM series GROUP BY 1),
+  nb AS (
+    SELECT event_type, hour, x,
+           lag(x) OVER w AS xl, lead(x) OVER w AS xr
+    FROM series WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+SELECT nb.event_type, strftime(nb.hour, '%Y-%m-%d %H:%M:%S') AS hour, nb.x
+FROM nb JOIN m ON m.event_type = nb.event_type
+WHERE nb.xl IS NOT NULL AND nb.xr IS NOT NULL
+  AND nb.xl < nb.x AND nb.x >= nb.xr
+  AND nb.x > CAST(m.sx AS DOUBLE) / m.nd
+             + sqrt((CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.nd)
+                    / m.nd)
+""",
+    tags=("timeseries",),
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/peak detection on the dense hourly series: an hour is a
+    peak iff it strictly exceeds its left neighbor, is ≥ its right
+    neighbor (the plateau-left-edge rule, so a flat-topped burst emits
+    exactly one peak), and clears the per-type significance floor
+    mean + 1σ — the alerting primitive behind `ts_alert_hysteresis`
+    when what you want is the EVENTS, not the state machine. The
+    neighbor tests are exact integer comparisons; the floor is one
+    shared float expression from exact (n, Σx, Σx²); zero-filled hours
+    participate so a spike after silence has a real left neighbor.
+    Shape: one hourly aggregate, one per-type moments reduce broadcast
+    back, one window pass — no corpus-scale shuffle beyond the
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    series = grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    m = series.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    nb = series.select(
+        "event_type",
+        "hour",
+        "x",
+        F.lag("x").over(w).alias("xl"),
+        F.lead("x").over(w).alias("xr"),
+    )
+    thr = F.col("sx").cast("double") / F.col("nd") + F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("nd")
+        )
+        / F.col("nd")
+    )
+    return (
+        nb.join(F.broadcast(m), "event_type")
+        .filter(
+            F.col("xl").isNotNull()
+            & F.col("xr").isNotNull()
+            & (F.col("xl") < F.col("x"))
+            & (F.col("x") >= F.col("xr"))
+            & (F.col("x") > thr)
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "x",
+        )
+    )

@@ -620,6 +620,35 @@ _BNLJ_ALLOWED = {
     # round 8: inequality self-joins over the bounded 64-row cumulative
     # bin table (the stats_mann_kendall |days|^2 shape)
     "ml_isotonic_calibration",
+    # round 8 waves K-O (late additions, audited together): 1-row
+    # scalar broadcasts — corpus totals / bounds / pooled moments —
+    # crossJoined into bounded aggregated tables (the ks_drift shape)
+    "embed_hamming_topk",  # 1-row probe-signature broadcast into the scan
+    "events_shapley_attribution",  # bounded 2^k subset lattice crosses
+    "graph_kcore",  # 1-row |nodes| scalar into the bounded peel rounds
+    "graph_modularity",  # 1-row total-edge-weight scalar
+    "ml_brier_decomposition",  # 1-row base-rate scalar into the bin table
+    "ml_linear_shap",  # 1-row determinant/coefficient row into the scan
+    "ml_quantile_regression_grid",  # bounded parameter-lattice cross
+    "stats_cramers_v",  # 1-row grand-total scalar into the cell table
+    "stats_mood_median",  # 1-row grand-median scalar into the group table
+    "stats_qq_normal",  # 1-row (n, mean, sd) scalar into the decile table
+    "text_heaps_law",  # 1-row bounds aggregate (checkpointed)
+    "text_term_burstiness",  # 1-row corpus-total scalar into term moments
+    "tokenizer_unigram_encode",  # broadcast learned piece-cost vocab
+    "ts_ar2_yule_walker",  # 1-row lag-product sufficient-stats row
+    "ts_bollinger_bands",  # 1-row band-parameter scalar into the series
+    "ts_hurst_exponent",  # bounded 4-row dyadic-block R/S table crosses
+    # round 8 geo wave: broadcast bounded hub table (25 rows) crossed
+    # into the point scan / broadcast 5-row box table theta join —
+    # the designed broadcast-refine spatial shapes
+    "geo_nearest_hub",
+    "geo_point_in_box",
+    # round 8 nonparametrics: 1-row tie-total / span-midpoint scalar
+    # broadcasts (the stats_ks_drift shape)
+    "stats_kruskal_wallis",
+    "stats_wilcoxon_signed_rank",
+    "stats_mcnemar",
 }
 
 
