@@ -226,15 +226,21 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "geo_grid_knn",
     oracle=f"""
-WITH pts AS (
+WITH gov AS (
+  SELECT LEAST(CAST(10000000 AS BIGINT), GREATEST(CAST(500000 AS BIGINT),
+           CAST(floor(10000000.0 * sqrt(1500.0 / COUNT(*))) AS BIGINT)))
+           AS w
+  FROM customer
+), pts AS (
   SELECT c_custkey AS k,
          {_lat_u_sql('c_custkey')} AS lat_u,
-         {_lon_u_sql('c_custkey')} AS lon_u
-  FROM customer
+         {_lon_u_sql('c_custkey')} AS lon_u,
+         gov.w AS w
+  FROM customer CROSS JOIN gov
 ), cells AS (
-  SELECT k, lat_u, lon_u,
-         (lat_u + {_LAT_OFF}) // 10000000 AS cl,
-         (lon_u + {_LON_OFF}) // 10000000 AS cn
+  SELECT k, lat_u, lon_u, w,
+         (lat_u + {_LAT_OFF}) // w AS cl,
+         (lon_u + {_LON_OFF}) // w AS cn
   FROM pts
 ), probes AS (
   SELECT c.k, c.lat_u, c.lon_u, c.cl + d.dl AS cl, c.cn + d.dn AS cn
@@ -264,7 +270,9 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     point probes its own 10° cell plus the 8 surrounding cells (the
     3×3 spatial-grid rewrite that turns a quadratic all-pairs scan
     into an equi-join on cell id) and keeps its closest blockmate in
-    the exact integer equirectangular metric d² = Δlat_u² + Δlon_u²
+    the exact integer equirectangular metric (cell width density-
+    governed at max(0.5°, 10°·sqrt(1500/n)) so expected occupancy — and
+    with it candidate volume per point — is scale-invariant) d² = Δlat_u² + Δlon_u²
     (micro-degrees; products stay < 2^63). Points whose 3×3 block
     holds no other point drop out — exactly the candidate semantics a
     production radius-bounded kNN ships (the block IS the radius
@@ -275,17 +283,36 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid chosen from the profiled density (dedup_lsh_bucket_stats is
     the analogous monitor)."""
     c = load_table(spark, sf_dir, "customer")
-    pts = c.select(
+    # density-governed cell width (the geo_dbscan_grid eps rule): a
+    # FIXED 10-degree grid holds ~n/648 points per cell, so the 3x3
+    # candidate volume grows QUADRATICALLY with the corpus (at sf1 the
+    # fixed grid emitted ~312M candidate pairs and ground for minutes
+    # materializing them); w ~ 1/sqrt(n) keeps expected cell occupancy
+    # constant, so candidates stay ~9*occupancy*n — linear forever
+    gov = c.agg(
+        F.least(
+            F.lit(10_000_000).cast("long"),
+            F.greatest(
+                F.lit(500_000).cast("long"),
+                F.floor(10_000_000 * F.sqrt(1500.0 / F.count("*"))).cast(
+                    "long"
+                ),
+            ),
+        ).alias("w")
+    )
+    pts = c.crossJoin(F.broadcast(gov)).select(
         F.col("c_custkey").alias("k"),
         _lat_u(F.col("c_custkey")).alias("lat_u"),
         _lon_u(F.col("c_custkey")).alias("lon_u"),
+        "w",
     )
     cells = pts.select(
         "k",
         "lat_u",
         "lon_u",
-        F.expr(f"(lat_u + {_LAT_OFF}) DIV 10000000").alias("cl"),
-        F.expr(f"(lon_u + {_LON_OFF}) DIV 10000000").alias("cn"),
+        "w",
+        F.expr(f"(lat_u + {_LAT_OFF}) DIV w").alias("cl"),
+        F.expr(f"(lon_u + {_LON_OFF}) DIV w").alias("cn"),
     ).localCheckpoint(eager=False)  # probe and build sides share one scan
     offs = spark.createDataFrame(
         [(dl, dn) for dl in (-1, 0, 1) for dn in (-1, 0, 1)], "dl int, dn int"
@@ -416,23 +443,30 @@ def _dbscan_pair_sql() -> str:
     """Shared CTE chain: derived points, 3x3 grid-blocked neighbor
     pairs within eps (exact integer metric), per-point degree."""
     return f"""
-pts AS (
+gov AS (
+  SELECT GREATEST(CAST(30 AS BIGINT), CAST(COUNT(*) AS BIGINT) // 150) AS m,
+         LEAST(CAST({_DB_EPS_U} AS BIGINT), GREATEST(CAST(100000 AS BIGINT),
+           CAST(floor({_DB_EPS_U}.0 * sqrt(1500.0 / COUNT(*))) AS BIGINT)))
+           AS eps
+  FROM customer
+), pts AS (
   SELECT c_custkey AS k,
          CASE WHEN c_custkey % 37 < 30 THEN
            GREATEST(CAST(-90000000 AS BIGINT), LEAST(CAST(90000000 AS BIGINT),
-             ({_lat_u_sql('c_custkey % 37 + 1')})
+             ({_lat_u_sql('(c_custkey // 37) % gov.m + 1')})
              + (CAST(c_custkey AS BIGINT) * 1779033703) % 4000001 - 2000000))
          ELSE {_lat_u_sql('c_custkey')} END AS lat_u,
          CASE WHEN c_custkey % 37 < 30 THEN
            GREATEST(CAST(-180000000 AS BIGINT), LEAST(CAST(180000000 AS BIGINT),
-             ({_lon_u_sql('c_custkey % 37 + 1')})
+             ({_lon_u_sql('(c_custkey // 37) % gov.m + 1')})
              + (CAST(c_custkey AS BIGINT) * 3144134277) % 4000001 - 2000000))
-         ELSE {_lon_u_sql('c_custkey')} END AS lon_u
-  FROM customer
+         ELSE {_lon_u_sql('c_custkey')} END AS lon_u,
+         gov.eps AS eps
+  FROM customer CROSS JOIN gov
 ), cells AS (
-  SELECT k, lat_u, lon_u,
-         (lat_u + {_LAT_OFF}) // {_DB_EPS_U} AS cl,
-         (lon_u + {_LON_OFF}) // {_DB_EPS_U} AS cn
+  SELECT k, lat_u, lon_u, eps,
+         (lat_u + {_LAT_OFF}) // eps AS cl,
+         (lon_u + {_LON_OFF}) // eps AS cn
   FROM pts
 ), probes AS (
   SELECT c.k, c.lat_u, c.lon_u, c.cl + d.dl AS cl, c.cn + d.dn AS cn
@@ -444,7 +478,7 @@ pts AS (
   FROM probes p JOIN cells o ON o.cl = p.cl AND o.cn = p.cn AND o.k <> p.k
   WHERE (p.lat_u - o.lat_u) * (p.lat_u - o.lat_u)
       + (p.lon_u - o.lon_u) * (p.lon_u - o.lon_u)
-      <= CAST({_DB_EPS_U} AS BIGINT) * {_DB_EPS_U}
+      <= p.eps * p.eps
 ), deg AS (
   SELECT u AS k, CAST(COUNT(*) + 1 AS BIGINT) AS n_in_eps FROM nbr GROUP BY u
 ), core AS (
@@ -492,7 +526,7 @@ LEFT JOIN border b ON b.k = p.k
 def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density-based clustering (DBSCAN, exact semantics) in the
     integer micro-degree metric over a point set WITH deterministic
-    density structure: 30/37 of customers belong to one of 30 hashed
+    density structure: 30/37 of customers belong to one of max(30, n/150) hashed
     "cities" (city center from the key lattice, per-point jitter
     ±2° from independent multiplicative lanes, clamped to the
     coordinate box), the rest scatter over the full box as background
@@ -527,7 +561,33 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey").cast("long")
     in_city = F.col("c_custkey") % 37 < 30
-    city = F.col("c_custkey") % 37 + 1
+    # cluster-size governor (the SemDeDup rule applied spatially): the
+    # number of cities grows with the corpus so expected city
+    # population stays ~120 — within-eps neighbor pairs are quadratic
+    # IN CLUSTER SIZE, so a fixed city count would make this op
+    # quadratic in the corpus (measured: one sf1 city of ~400 points
+    # put a 272-second single task in the neighbor aggregate)
+    gov = c.agg(
+        F.greatest(
+            F.lit(30).cast("long"), (F.count("*") / 150).cast("long")
+        ).alias("m"),
+        # density-normalized eps (fixed expected degree): the spatial
+        # box is fixed, so a constant eps percolates as the corpus
+        # grows — eps ~ 1/sqrt(n) keeps E[neighbors within eps]
+        # constant, which is what bounds the candidate volume AND the
+        # component diameter at any scale
+        F.least(
+            F.lit(_DB_EPS_U).cast("long"),
+            F.greatest(
+                F.lit(100_000).cast("long"),
+                F.floor(
+                    _DB_EPS_U * F.sqrt(1500.0 / F.count("*"))
+                ).cast("long"),
+            ),
+        ).alias("eps"),
+    )
+    c = c.crossJoin(F.broadcast(gov))
+    city = F.expr("(c_custkey DIV 37)") % F.col("m") + 1
     clat = F.greatest(
         F.lit(-90_000_000).cast("long"),
         F.least(
@@ -546,13 +606,15 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
         F.when(in_city, clat).otherwise(_lat_u(F.col("c_custkey"))).alias("lat_u"),
         F.when(in_city, clon).otherwise(_lon_u(F.col("c_custkey"))).alias("lon_u"),
+        "eps",
     )
     cells = pts.select(
         "k",
         "lat_u",
         "lon_u",
-        F.expr(f"(lat_u + {_LAT_OFF}) DIV {_DB_EPS_U}").alias("cl"),
-        F.expr(f"(lon_u + {_LON_OFF}) DIV {_DB_EPS_U}").alias("cn"),
+        "eps",
+        F.expr(f"(lat_u + {_LAT_OFF}) DIV eps").alias("cl"),
+        F.expr(f"(lon_u + {_LON_OFF}) DIV eps").alias("cn"),
     ).localCheckpoint(eager=False)  # probe and build sides share one scan
     offs = spark.createDataFrame(
         [(dl, dn) for dl in (-1, 0, 1) for dn in (-1, 0, 1)], "dl int, dn int"
@@ -561,6 +623,7 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "lat_u",
         "lon_u",
+        "eps",
         (F.col("cl") + F.col("dl")).alias("cl"),
         (F.col("cn") + F.col("dn")).alias("cn"),
     )
@@ -576,7 +639,10 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("lon_u") - F.col("olon"))
     nbr = (
         probes.join(o, ["cl", "cn"])
-        .filter((F.col("ok") != F.col("k")) & (d2 <= _DB_EPS_U * _DB_EPS_U))
+        .filter(
+            (F.col("ok") != F.col("k"))
+            & (d2 <= F.col("eps") * F.col("eps"))
+        )
         .select(F.col("k").alias("u"), F.col("ok").alias("v"))
         .localCheckpoint(eager=False)  # feeds degree, core edges, border
     )

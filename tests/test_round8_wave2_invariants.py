@@ -76,12 +76,16 @@ def test_geo_grid_knn_is_true_block_nearest(spark, sf_dir):
     python."""
     rows = _rows(spark, sf_dir, "geo_grid_knn")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    w = min(
+        10_000_000,
+        max(500_000, math.floor(10_000_000 * math.sqrt(1500.0 / len(cust)))),
+    )
     pts = {}
     for c in cust:
         k = c.c_custkey
         la = (k * 2654435761) % 180000001 - 90000000
         lo = (k * 2246822519) % 360000001 - 180000000
-        pts[k] = (la, lo, (la + 90000000) // 10000000, (lo + 180000000) // 10000000)
+        pts[k] = (la, lo, (la + 90000000) // w, (lo + 180000000) // w)
     by_cell: dict[tuple, list] = {}
     for k, (la, lo, cl, cn) in pts.items():
         by_cell.setdefault((cl, cn), []).append(k)
@@ -251,12 +255,14 @@ def test_dbscan_matches_bruteforce(spark, sf_dir):
     on every point's role AND cluster id (min-key labeling)."""
     rows = {r.custkey: (r.role, r.cluster_id) for r in _rows(spark, sf_dir, "geo_dbscan_grid")}
     cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
-    EPS = 4_000_000
+    n = len(cust)
+    M = max(30, n // 150)
+    EPS = min(4_000_000, max(100_000, math.floor(4_000_000 * math.sqrt(1500.0 / n))))
     pts = {}
     for c in cust:
         k = c.c_custkey
         if k % 37 < 30:
-            city = k % 37 + 1
+            city = (k // 37) % M + 1
             la = (city * 2654435761) % 180000001 - 90000000
             lo = (city * 2246822519) % 360000001 - 180000000
             la = max(-90000000, min(90000000, la + (k * 1779033703) % 4000001 - 2000000))
