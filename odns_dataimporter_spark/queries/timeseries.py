@@ -2406,8 +2406,17 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
     )
     grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
-    series = grid.join(agg, ["event_type", "hour"], "left").select(
-        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    series = (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("x"),
+        )
+        # checkpoint-on-divergence: the dense series feeds BOTH the
+        # per-type moments reduce and the neighbor window — without the
+        # cut each consumer re-derives it (6 events scans, audited)
+        .localCheckpoint(eager=False)
     )
     m = series.groupBy("event_type").agg(
         F.count("*").cast("long").alias("nd"),

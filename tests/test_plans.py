@@ -649,6 +649,14 @@ _BNLJ_ALLOWED = {
     "stats_kruskal_wallis",
     "stats_wilcoxon_signed_rank",
     "stats_mcnemar",
+    # round 8 closing wave: 1-row scalar / bounded-table broadcasts
+    "geo_dbscan_grid",  # 1-row (city-count, eps) governor row
+    "stats_fisher_exact",  # 1-row corpus totals + 1-row 2x2 cell row
+    "graph_hits",  # single-row gathered graph (the pagerank shape)
+    "text_pmi_pairs",  # 1-row corpus-size scalar (the text_tfidf shape)
+    "embed_silhouette",  # broadcast |labels|-row centroid table
+    "ts_variance_ratio",  # broadcast spine bounds (ts_gapfill_locf shape)
+    "ts_peak_detect",  # broadcast spine bounds + |types|-row moments
 }
 
 
