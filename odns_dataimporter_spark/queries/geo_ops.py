@@ -133,9 +133,14 @@ floor(2.0 * {r} * asin(sqrt(
 
 def _haversine_q6(plat: Column, plon: Column, hlat: Column, hlon: Column) -> Column:
     """floor(haversine_km * 1e6) as int64 — one identical expression
-    sequence on both engines (sin/cos/asin/sqrt agree bitwise between
-    the JVM's StrictMath-accurate libm and DuckDB's, verified on this
-    container; the floor quantization absorbs any residual ulp)."""
+    sequence on both engines. PLATFORM-VERIFIED ONLY: sin/cos/asin/sqrt
+    agree bitwise between the JVM's libm and DuckDB's on this
+    container, but a value landing within an ulp of a 1e-6 floor
+    boundary could quantize differently on a foreign libm (the floor
+    does NOT absorb ulp divergence at boundaries — round-9 ADVICE).
+    Consumers must therefore never let this value DECIDE anything:
+    geo_nearest_hub selects by exact integer d2 and only REPORTS this
+    quantity."""
     dlat = (hlat - plat) / 2e6
     dlon = (hlon - plon) / 2e6
     a = (
@@ -163,33 +168,46 @@ WITH pts AS (
   FROM nation
 ), d AS (
   SELECT c_custkey, n_nationkey,
+         (hlat - plat) * (hlat - plat)
+           + (hlon - plon) * (hlon - plon) AS d2,
          CAST({_HAVERSINE_SQL.format(r=_EARTH_KM)} AS BIGINT) AS d_q6
   FROM pts CROSS JOIN hubs
 ), best AS (
-  SELECT c_custkey, MIN(d_q6 * 32 + n_nationkey) AS packed
+  SELECT c_custkey,
+         MIN(d2 * 32 + n_nationkey) AS packed,
+         arg_min(d_q6, d2 * 32 + n_nationkey) AS dist_q6
   FROM d GROUP BY 1
 )
 SELECT CAST(packed % 32 AS BIGINT) AS hub_key,
        CAST(COUNT(*) AS BIGINT) AS n_assigned,
-       CAST(SUM(packed // 32) AS BIGINT) AS sum_dist_q6,
-       CAST(MAX(packed // 32) AS BIGINT) AS max_dist_q6
+       CAST(SUM(dist_q6) AS BIGINT) AS sum_dist_q6,
+       CAST(MAX(dist_q6) AS BIGINT) AS max_dist_q6
 FROM best GROUP BY 1
 """,
     tags=("geo", "join"),
 )
 def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-hub assignment: every customer point is assigned to the
-    closest of |nations| hub points by great-circle (haversine)
-    distance, then rolled up per hub (count, exact summed/max floored
-    micro-km). The argmin is an INTEGER pack min(d_q6*32 + hubkey) —
-    floor-quantized distance in the high bits, hub key as the
-    deterministic tiebreaker in the low 5 bits — so the assignment
-    decision is exact integer comparison on both engines, immune to
-    float-min tie ambiguity. Scale shape: the hub table is broadcast
-    (bounded at 25 rows); the customer side is scanned once, never
-    shuffled until the per-customer argmin's keyed aggregate — the
-    canonical broadcast-refine pattern for nearest-facility joins at
-    100 TB. (Hub keys are offset by +1 so hub 0 doesn't sit at the
+    closest of |nations| hub points, then rolled up per hub (count,
+    summed/max floored micro-km great-circle distance to the chosen
+    hub). The DECISION metric is the exact integer equirectangular
+    d2 = Δlat² + Δlon² in micro-degrees (the same pure-integer metric
+    geo_grid_knn pins), packed as min(d2*32 + hubkey) — distance in
+    the high bits, hub key as the deterministic tiebreaker in the low
+    5 bits — so WHICH hub wins is exact int64 comparison on any
+    platform; no float enters the assignment (round-9 ADVICE: the
+    earlier floor(haversine) decision could flip across libms when the
+    true distance landed within an ulp of a 1e-6 boundary). The
+    REPORTED distance is the haversine q6 of the selected pair,
+    carried through the argmin with min_by/arg_min; those value
+    columns depend on sin/cos/asin/sqrt agreeing between the JVM and
+    DuckDB libms — verified bitwise on this container, and a foreign
+    platform could shift a reported sum by ±1 micro-km without
+    affecting the assignment or row set. Scale shape: the hub table is
+    broadcast (bounded at 25 rows); the customer side is scanned once,
+    never shuffled until the per-customer argmin's keyed aggregate —
+    the canonical broadcast-refine pattern for nearest-facility joins
+    at 100 TB. (Hub keys are offset by +1 so hub 0 doesn't sit at the
     hash origin shared with no customer key.)"""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -206,17 +224,24 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = pts.crossJoin(F.broadcast(hubs)).select(
         "c_custkey",
         "n_nationkey",
+        (
+            (F.col("hlat") - F.col("plat")) * (F.col("hlat") - F.col("plat"))
+            + (F.col("hlon") - F.col("plon")) * (F.col("hlon") - F.col("plon"))
+        ).alias("d2"),
         _haversine_q6(
             F.col("plat"), F.col("plon"), F.col("hlat"), F.col("hlon")
         ).alias("d_q6"),
     )
+    # packed keys are unique per (customer, hub) — the low-bit hub key
+    # disambiguates — so min_by never sees ties
     best = d.groupBy("c_custkey").agg(
-        F.min(F.col("d_q6") * 32 + F.col("n_nationkey")).alias("packed")
+        F.min(F.col("d2") * 32 + F.col("n_nationkey")).alias("packed"),
+        F.expr("min_by(d_q6, d2 * 32 + n_nationkey)").alias("dist_q6"),
     )
     return best.groupBy((F.col("packed") % 32).cast("long").alias("hub_key")).agg(
         F.count("*").cast("long").alias("n_assigned"),
-        F.sum(F.expr("packed DIV 32")).cast("long").alias("sum_dist_q6"),
-        F.max(F.expr("packed DIV 32")).cast("long").alias("max_dist_q6"),
+        F.sum("dist_q6").cast("long").alias("sum_dist_q6"),
+        F.max("dist_q6").cast("long").alias("max_dist_q6"),
     )
 
 

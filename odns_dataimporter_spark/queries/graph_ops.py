@@ -1058,7 +1058,10 @@ a{i}u AS (
   FROM nodes n LEFT JOIN a{i}r ON n.node = a{i}r.node),
 a{i}s AS (SELECT list_reduce(list(raw ORDER BY node), (x, y) -> x + y) AS s
           FROM a{i}u),
-a{i} AS (SELECT node, raw / s AS a FROM a{i}u CROSS JOIN a{i}s),
+a{i} AS (SELECT node,
+                CASE WHEN (SELECT COUNT(*) FROM e) = 0 THEN 0e0
+                     ELSE raw / s END AS a
+         FROM a{i}u CROSS JOIN a{i}s),
 h{i}r AS (
   SELECT e.src AS node, list(CAST(e.n AS DOUBLE) * p.a ORDER BY e.dst) AS cs
   FROM e JOIN a{i} p ON e.dst = p.node GROUP BY e.src),
@@ -1067,7 +1070,10 @@ h{i}u AS (
   FROM nodes n LEFT JOIN h{i}r ON n.node = h{i}r.node),
 h{i}s AS (SELECT list_reduce(list(raw ORDER BY node), (x, y) -> x + y) AS s
           FROM h{i}u),
-h{i} AS (SELECT node, raw / s AS h FROM h{i}u CROSS JOIN h{i}s)"""
+h{i} AS (SELECT node,
+                CASE WHEN (SELECT COUNT(*) FROM e) = 0 THEN 0e0
+                     ELSE raw / s END AS h
+         FROM h{i}u CROSS JOIN h{i}s)"""
 
 
 def _hits_oracle() -> str:
@@ -1144,10 +1150,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         g = g.withColumn(f"a{i}u", F.transform("ns", lambda v: a_raw(v)))
+        # zero-edge guard (round-9 ADVICE): with an empty edge set every
+        # raw score is 0.0 and the sum normalization would be 0/0 —
+        # NaN on Spark, engine-dependent in the oracle. Gate on the
+        # EXACT integer edge count (size of the gathered edge array)
+        # and emit 0.0, mirrored by the oracle's COUNT(*) = 0 CASE.
         g = g.withColumn(
             f"a{i}",
             F.transform(
-                f"a{i}u", lambda x: x / _norm(f"a{i}u")
+                f"a{i}u",
+                lambda x: F.when(
+                    F.size(F.col("ea")) == 0, F.lit(0.0)
+                ).otherwise(x / _norm(f"a{i}u")),
             ),
         )
         a_cur = F.col(f"a{i}")
@@ -1164,7 +1178,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = g.withColumn(
             f"h{i}",
             F.transform(
-                f"h{i}u", lambda x: x / _norm(f"h{i}u")
+                f"h{i}u",
+                lambda x: F.when(
+                    F.size(F.col("eh")) == 0, F.lit(0.0)
+                ).otherwise(x / _norm(f"h{i}u")),
             ),
         )
     k = _HITS_ITERS

@@ -585,14 +585,26 @@ def _min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
         if rnd % 2 == 0 or rnd == _CC_MAX_ROUNDS:
             upd2 = upd2.persist()
             changed = upd2.filter(F.col("new_lbl") < F.col("lbl")).count()
+            if changed == 0:
+                # converged: materialize the checkpoint EAGERLY (one
+                # cheap job over the cached rows) so the result no
+                # longer references upd2, then drop every cache this
+                # loop holds — otherwise the final round's persist()
+                # outlives the call and leaks one InMemoryRelation per
+                # invocation into executor storage (round-9 ADVICE).
+                labels = upd2.localCheckpoint(eager=True).select(
+                    "node", F.col("new_lbl").alias("lbl")
+                )
+                if prev_cache is not None:
+                    prev_cache.unpersist(blocking=False)
+                upd2.unpersist(blocking=False)
+                return labels, rnd
             labels = upd2.localCheckpoint(eager=False).select(
                 "node", F.col("new_lbl").alias("lbl")
             )
             if prev_cache is not None:
                 prev_cache.unpersist(blocking=False)
             prev_cache = upd2
-            if changed == 0:
-                return labels, rnd
         else:
             labels = upd2.select("node", F.col("new_lbl").alias("lbl"))
     raise RuntimeError(
@@ -1075,18 +1087,36 @@ _SH64_COMBOS = tuple(__import__("itertools").combinations(range(_SH64_CHUNKS), 3
 _SH64_MAXD = 3
 
 
-def _sh64_chunk_sql(col: str, t: int) -> str:
-    mask = (1 << _SH64_CHUNK_BITS) - 1
-    return f"(({col} >> {t * _SH64_CHUNK_BITS}) & {mask})"
+def _sh64_chunk_sql(col: str, t: int, chunk_bits: int = _SH64_CHUNK_BITS) -> str:
+    mask = (1 << chunk_bits) - 1
+    return f"(({col} >> {t * chunk_bits}) & {mask})"
 
 
-def _sh64_combo_key_sql(col: str, combo: tuple) -> str:
-    i, j, k = combo
-    return (
-        f"({_sh64_chunk_sql(col, i)} * {1 << (2 * _SH64_CHUNK_BITS)}"
-        f" + {_sh64_chunk_sql(col, j)} * {1 << _SH64_CHUNK_BITS}"
-        f" + {_sh64_chunk_sql(col, k)})"
-    )
+def _sh64_combo_key_sql(
+    col: str, combo: tuple, chunk_bits: int = _SH64_CHUNK_BITS
+) -> str:
+    parts = [
+        f"{_sh64_chunk_sql(col, t, chunk_bits)} * {1 << ((len(combo) - 1 - p) * chunk_bits)}"
+        for p, t in enumerate(combo)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sh64_layout(sf_dir: str) -> tuple[int, tuple[tuple[int, ...], ...]]:
+    """Corpus-size-tiered pigeonhole geometry (round-9 VERDICT item 5):
+    returns (chunk_bits, combos) — 4x15-bit single chunks for small
+    corpora (4 bucket rows/doc), 6x10-bit three-chunk combos past the
+    size_hints saturation threshold (20 rows/doc, 30-bit keys). Both
+    are complete for Hamming <= {maxd}: damaging <= 3 chunks leaves an
+    intact single chunk of 4 / an intact 3-of-6 combo, and the exact
+    bit_count verify makes the output identical under either layout,
+    so the (static, 6x10-form) oracle stays valid at every tier."""
+    from odns_dataimporter_spark.size_hints import derived_simhash_chunks
+
+    chunks = derived_simhash_chunks(sf_dir)
+    keep = chunks - _SH64_MAXD  # intact chunks pigeonhole guarantees
+    combos = tuple(__import__("itertools").combinations(range(chunks), keep))
+    return _SH64_BITS // chunks, combos
 
 
 def _simhash64_sql() -> str:
@@ -1142,15 +1172,22 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
        md5 hex digit (j//4); the per-doc vote sums are ONE map-side-
        combined groupBy (60 integer sums), shuffle = |docs|;
     2. candidates: block-permutation pigeonhole LSH (Manku et al.'s
-       production web-dedup layout) — the signature splits into 6
-       10-bit chunks; Hamming ≤ 3 damages at most 3, so at least one
-       of the C(6,3)=20 three-chunk combinations survives intact and
-       the pair shares that combo's 30-BIT bucket key. Buckets are
-       (combo_idx, 30-bit key): the key space is 2^30 per combo, so
-       occupancy — and the O(Σ bucket²) candidate term — is governed
-       by true near-dup density, not corpus size (the earlier 4×15-bit
-       single-chunk design saturated its 2^15 buckets and measured 43×
-       on 10× data at sf10; this layout removed that quadratic term);
+       production web-dedup layout), CORPUS-SIZE-TIERED via
+       size_hints.derived_simhash_chunks (round-9 VERDICT item 5):
+       small corpora (< ~200k docs) use 4 chunks of 15 bits with
+       single-chunk buckets — 4 bucket rows/doc, the cheap tier; large
+       corpora split into 6 10-bit chunks bucketed by the C(6,3)=20
+       three-chunk combos — Hamming ≤ 3 damages at most 3 chunks, so
+       an intact single-of-4 / 3-combo-of-6 always survives and BOTH
+       tiers are complete candidate generators. The 30-bit combo keys
+       keep large-corpus occupancy — and the O(Σ bucket²) candidate
+       term — governed by true near-dup density, not corpus size (the
+       untiered 4×15 design saturated its 2^15 buckets and measured
+       43× on 10× data at sf10), while the small tier skips the
+       20-row/doc tax it measured 5.5× for at sf0.1. The exact verify
+       (step 3) makes the OUTPUT identical under either tier, so the
+       single oracle stays valid everywhere
+       (tests/test_round9_invariants.py pins tier equality);
     3. verify: exact bit_count(sim_a XOR sim_b) ≤ 3 on the candidate
        set, each pair emitted once from its lowest matching combo via
        a pure integer predicate (no DISTINCT shuffle).
@@ -1204,6 +1241,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when consumers diverge (see mining_assoc_rules).
     sig = votes.select("doc_id", sim.alias("sim"))
 
+    # corpus-size-tiered pigeonhole geometry (round-9 VERDICT item 5):
+    # 4 bucket rows/doc on small corpora, 20 on large — same output
+    chunk_bits, combos = _sh64_layout(sf_dir)
     e = sig.select(
         "doc_id",
         "sim",
@@ -1212,9 +1252,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(m).alias("ci"),
-                        F.expr(_sh64_combo_key_sql("sim", combo)).alias("cv"),
+                        F.expr(_sh64_combo_key_sql("sim", combo, chunk_bits)).alias(
+                            "cv"
+                        ),
                     )
-                    for m, combo in enumerate(_SH64_COMBOS)
+                    for m, combo in enumerate(combos)
                 ]
             )
         ).alias("c"),
@@ -1232,15 +1274,15 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate on (sim_a, sim_b), so dedup costs zero extra shuffles.
     def _combo_eq(m: int):
         c = F.lit(True)
-        for t in _SH64_COMBOS[m]:
+        for t in combos[m]:
             c = c & (
-                F.expr(_sh64_chunk_sql("sim_a", t))
-                == F.expr(_sh64_chunk_sql("sim_b", t))
+                F.expr(_sh64_chunk_sql("sim_a", t, chunk_bits))
+                == F.expr(_sh64_chunk_sql("sim_b", t, chunk_bits))
             )
         return c
 
     first_match = F.lit(True)
-    for m in range(len(_SH64_COMBOS) - 1):
+    for m in range(len(combos) - 1):
         first_match = first_match & ((F.col("ci") <= m) | ~_combo_eq(m))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
@@ -1537,32 +1579,40 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_cent"),
         )
     )
+    return _semdedup_decide(m)
+
+
+def _semdedup_victims_block(pdf):
+    # Gram matrix over floor-quantized integer-valued doubles: every
+    # partial sum < 2^53, so Q @ Q.T is EXACT regardless of BLAS
+    # summation order — bit-identical to the oracle's
+    # list_dot_product; cos/sqrt/divide are then the same single
+    # correctly-rounded IEEE steps as the SQL formulation.
     import numpy as np
     import pandas as pd
 
-    def _victims_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Gram matrix over floor-quantized integer-valued doubles: every
-        # partial sum < 2^53, so Q @ Q.T is EXACT regardless of BLAS
-        # summation order — bit-identical to the oracle's
-        # list_dot_product; cos/sqrt/divide are then the same single
-        # correctly-rounded IEEE steps as the SQL formulation.
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        ca = pdf["cos_cent"].to_numpy()
-        Q = np.stack(pdf["qe"].to_numpy()).astype("float64")
-        G = Q @ Q.T
-        nrm = np.sqrt(np.einsum("ii->i", G))
-        cos = G / (nrm[:, None] * nrm[None, :])
-        ii, jj = np.nonzero(np.triu(cos >= _SEMDEDUP_TAU, k=1))
-        # ids sorted ascending: i < j; victim = the more prototypical
-        # member (higher centroid cosine), tie -> the higher vec_id (j)
-        vic = np.where(ca[ii] > ca[jj], ids[ii], ids[jj])
-        return pd.DataFrame({"vec_id": np.unique(vic)})
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    ca = pdf["cos_cent"].to_numpy()
+    Q = np.stack(pdf["qe"].to_numpy()).astype("float64")
+    G = Q @ Q.T
+    nrm = np.sqrt(np.einsum("ii->i", G))
+    cos = G / (nrm[:, None] * nrm[None, :])
+    ii, jj = np.nonzero(np.triu(cos >= _SEMDEDUP_TAU, k=1))
+    # ids sorted ascending: i < j; victim = the more prototypical
+    # member (higher centroid cosine), tie -> the higher vec_id (j)
+    vic = np.where(ca[ii] > ca[jj], ids[ii], ids[jj])
+    return pd.DataFrame({"vec_id": np.unique(vic)})
 
+
+def _semdedup_decide(m: DataFrame) -> DataFrame:
+    """Shared SemDeDup tail: cluster-blocked O(cluster²) pair scoring
+    (vectorized numpy Gram per cid, ONE shuffle of n rows) and the
+    keep/drop decision table. Input m: (vec_id, cid, qe, cos_cent)."""
     victims = (
         m.select("cid", "vec_id", "qe", "cos_cent")
         .groupBy("cid")
-        .applyInPandas(_victims_block, "vec_id long")
+        .applyInPandas(_semdedup_victims_block, "vec_id long")
         .withColumn("hit", F.lit(True))
     )
     return m.join(victims, "vec_id", "left").select(
@@ -1571,6 +1621,148 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("cos_cent") * 1_000_000.0) / 1_000_000.0).alias("cos_cent_q6"),
         F.col("hit").isNull().alias("is_kept"),
     )
+
+
+@register(
+    "dedup_semdedup_ann",
+    oracle=None,
+    tags=("llm", "dedup", "embedding", "rows-only"),
+)
+def dedup_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ANN-ASSISTED centroid assignment (round-9 VERDICT
+    item 7): identical decision semantics to `dedup_semdedup` — same
+    governor-sized centroid set, same τ pair rule, same numpy-Gram
+    cluster scorer — but the O(n·k) brute-force nearest-centroid step
+    is replaced by the sim_ann_ivf cell shape:
+
+      1. coarse quantizer: the first ⌈√k⌉ centroids double as coarse
+         cells; each of the k fine centroids is routed to its nearest
+         coarse cell (k·√k tiny work, broadcast);
+      2. every vector scores only the √k coarse cells (n·√k instead of
+         n·k) and multiprobes its 2 nearest cells;
+      3. the fine argmin runs over just the centroids indexed in those
+         2 cells (expected 2k/√k = 2√k candidates per vector).
+
+    Total assignment work is O(n·√k) — at the sf10 rehearsal tier
+    (k=100) that is ~30 distance evaluations per vector instead of
+    100, and the gap widens linearly in √k as the governor grows k
+    with the corpus. At 100 TB the same recursion adds a third level
+    (IVF-in-IVF) before √k itself gets large; the multiprobe count is
+    the recall knob.
+
+    rows-only BY DESIGN: ANN assignment may route a boundary vector to
+    its second-nearest centroid, so the exact DuckDB argmin is not the
+    semantics; `dedup_semdedup` (oracle-green) is the exact twin and
+    tests/test_round9_invariants.py pins assignment agreement ≥ 0.95
+    and run-to-run determinism at sf0.1. Distances use the same exact
+    integer-grid expansion as the exact twin, so the approximation is
+    the CELL ROUTING only, never float noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
+        ).alias("qe"),
+    ).localCheckpoint(eager=False)
+    kk = q.agg(
+        F.greatest(
+            F.lit(_SEMDEDUP_K).cast("long"),
+            F.floor(F.count("*") / _SEMDEDUP_TARGET).cast("long"),
+        ).alias("kk")
+    ).select("kk", F.ceil(F.sqrt(F.col("kk"))).cast("long").alias("cc"))
+    cent = (
+        q.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("qe").alias("cvec"),
+            _qdot(F.col("qe"), F.col("qe")).alias("cn2v"),
+        )
+        # feeds coarse routing, fine argmin, and the m join-back
+        .localCheckpoint(eager=False)
+    )
+    coarse = (
+        q.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("cc"))
+        .select(
+            F.col("vec_id").alias("ccell"),
+            F.col("qe").alias("gvec"),
+            _qdot(F.col("qe"), F.col("qe")).alias("gn2v"),
+        )
+    )
+    # route each fine centroid to its nearest coarse cell (k×√k, tiny)
+    cent_cells = (
+        cent.crossJoin(F.broadcast(coarse))
+        .select(
+            "cid",
+            "ccell",
+            (
+                F.col("cn2v") + F.col("gn2v") - 2 * _qdot(F.col("cvec"), F.col("gvec"))
+            ).alias("dist2"),
+        )
+        .groupBy("cid")
+        .agg(F.min(F.struct("dist2", "ccell")).alias("pick"))
+        .select("cid", F.col("pick.ccell").alias("ccell"))
+    )
+    # every vector scores the √k coarse cells and multiprobes its 3
+    # nearest (slice of a sorted collect_list — bounded at √k structs)
+    qn = q.select("vec_id", "qe", _qdot(F.col("qe"), F.col("qe")).alias("n2v"))
+    probed = (
+        qn.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "ccell",
+            (
+                F.col("n2v") + F.col("gn2v") - 2 * _qdot(F.col("qe"), F.col("gvec"))
+            ).alias("dist2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist2", "ccell"))), 1, 3
+            ).alias("near2")
+        )
+        .select("vec_id", F.explode(F.col("near2.ccell")).alias("ccell"))
+    )
+    # fine argmin over only the centroids indexed in the probed cells;
+    # each coarse centroid is additionally indexed into ITS OWN cell so
+    # no cell is ever empty (duplicate seed vectors could otherwise
+    # route a cell's only centroid elsewhere and strand a vector with
+    # zero candidates) — extra candidates can only improve the argmin
+    routes = cent_cells.union(
+        coarse.select(F.col("ccell").alias("cid"), "ccell")
+    ).distinct()
+    fine = F.broadcast(
+        cent.join(F.broadcast(routes), "cid").select("ccell", "cid", "cvec", "cn2v")
+    )
+    asg = (
+        probed.join(qn, "vec_id")
+        .join(fine, "ccell")
+        .select(
+            "vec_id",
+            "cid",
+            (
+                F.col("n2v") + F.col("cn2v") - 2 * _qdot(F.col("qe"), F.col("cvec"))
+            ).alias("dist2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("pick"))
+        .select("vec_id", F.col("pick.cid").alias("cid"))
+    )
+    qe, cvec = F.col("qe"), F.col("cvec")
+    m = (
+        asg.join(q, "vec_id")
+        .join(F.broadcast(cent.select("cid", "cvec")), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            "qe",
+            F.try_divide(
+                _qdot(qe, cvec), F.sqrt(_qdot(qe, qe)) * F.sqrt(_qdot(cvec, cvec))
+            ).alias("cos_cent"),
+        )
+    )
+    return _semdedup_decide(m)
 
 
 # ---------------------------------------------------------------------------

@@ -530,6 +530,46 @@ _PQ_SUBDIM = 8
 # 0.36). Production PQ uses 256 centroids/subspace (one byte per code);
 # the pipeline shape is identical, only the codebook size changes.
 _PQ_K = 64
+# cogroup parallelism for the Arrow argmin: there are only _PQ_SUB
+# natural groups, so rows are salted by vec_id into size-derived slices
+# per subspace (size_hints.derived_pq_salt — ~1k sub-vectors per task,
+# clamped [4, 64]; the packed 64-row codebook replicated across salts
+# is ~4 KB each, negligible). Up to 64 slices × 8 subs = 512 tasks:
+# enough to saturate any executor count this op meets before the
+# sampled-codebook map-stage formulation takes over at cluster scale.
+
+
+def _pq_argmin_batch(rows, cbs):
+    """Cogrouped (sub, salt) task: numpy nearest-centroid over one
+    subspace's packed codebook. Exact (x−y)² distance form — NOT the
+    ‖x‖²−2xy+‖y‖² expansion, whose cancellation could flip near-ties —
+    and np.argmin's lowest-index-wins tie rule reproduces the old
+    (d2, cid) struct sort because cents arrive cid-ascending."""
+    import numpy as np
+    import pandas as pd
+
+    if rows.empty or cbs.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "sub": pd.Series(dtype="int32"),
+             "sv": pd.Series(dtype="object"), "code": pd.Series(dtype="int32")}
+        )
+    cents = cbs["cents"].iloc[0]
+    cmat = np.stack([np.asarray(c["cent"], dtype=np.float64) for c in cents])
+    svs = np.stack([np.asarray(v, dtype=np.float64) for v in rows["sv"]])
+    codes = np.empty(len(svs), dtype=np.int32)
+    for lo in range(0, len(svs), 65536):  # bound the (m, K, dim) temp
+        chunk = svs[lo : lo + 65536]
+        d2 = ((chunk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        codes[lo : lo + 65536] = d2.argmin(axis=1)
+    cids = np.asarray([c["cid"] for c in cents], dtype=np.int32)
+    return pd.DataFrame(
+        {
+            "vec_id": rows["vec_id"].to_numpy(),
+            "sub": rows["sub"].to_numpy(),
+            "sv": rows["sv"],
+            "code": cids[codes],
+        }
+    )
 
 
 @register("sim_ann_pq", oracle=None, tags=("llm", "similarity", "rows-only"))
@@ -569,6 +609,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact top-k, and that codes compress to _PQ_SUB
     small ints per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
+    from odns_dataimporter_spark.size_hints import derived_pq_salt
+
+    salt_n = derived_pq_salt(sf_dir)
     # quantized vectors feed codebook init, refine, encode, and the
     # probe LUT — checkpoint so the scan+quantize runs once (18
     # redundant embeddings scans before; scan-count audit)
@@ -608,32 +651,44 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _argmin_code(cb: DataFrame, rows: DataFrame) -> DataFrame:
-        """Nearest-centroid id per (vec_id, sub) — shuffle-free: the
-        codebook folds to one array row per subspace and broadcasts."""
+        """Nearest-centroid id per (vec_id, sub), Arrow-batched (round-9
+        VERDICT item 6): the round-8 JVM higher-order fold scored 64
+        centroids × 8 dims per row INTERPRETED (a measured 31.8 s
+        constant at sf1); this version ships each (sub, salt) slice of
+        the sub-vectors plus that subspace's packed codebook into ONE
+        numpy argmin per cogroup task. The salt (vec_id mod _PQ_SALT)
+        restores full-core parallelism despite there being only
+        _PQ_SUB natural groups, and the tiny packed codebook is
+        replicated across salts instead of riding every row through
+        Arrow. Cost model: one linear shuffle of the (vec_id, sub, sv)
+        rows — at 100 TB, PQ encode is a sampled-codebook map stage;
+        here the codebook stays a DataFrame (never driver-collected)
+        and the shuffle is the price of keeping it distributed.
+        Determinism: distances are exact sums of (x−y)² on the 2^20
+        integer grid for the seed codebook, and bit-reproducible
+        float64 for refined (mean) centroids; numpy argmin returns the
+        LOWEST index among ties, matching the old (d2, cid) sort."""
         packed = cb.groupBy("sub").agg(
             F.array_sort(F.collect_list(F.struct("cid", "cent"))).alias("cents")
         )
-        scored = rows.join(F.broadcast(packed), "sub").select(
+        salted_cb = packed.select(
+            "sub",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt"),
+            "cents",
+        )
+        salted_rows = rows.select(
             "vec_id",
             "sub",
             "sv",
-            F.array_sort(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("sv"), c["cent"], lambda x, y: (x - y) * (x - y)
-                            ),
-                            F.lit(0.0),
-                            lambda acc, d: acc + d,
-                        ).alias("d2"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )[0]["cid"].alias("code"),
+            F.pmod(F.col("vec_id"), F.lit(salt_n)).cast("int").alias("salt"),
         )
-        return scored
+        return (
+            salted_rows.groupBy("sub", "salt")
+            .cogroup(salted_cb.groupBy("sub", "salt"))
+            .applyInPandas(
+                _pq_argmin_batch, "vec_id long, sub int, sv array<double>, code int"
+            )
+        )
 
     # one Lloyd refinement: per-(sub, cid, pos) means over assignments
     assign0 = _argmin_code(cb0, sv)

@@ -25,6 +25,23 @@ from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give the CPU-bound codec stage at least one input split per
+    core. A small corpus arrives as a single parquet split, which pins
+    the whole Arrow/mapInPandas decode to ONE task regardless of
+    cluster size; a round-robin repartition of the narrow
+    (doc_id, text) projection is orders of magnitude cheaper than the
+    per-byte codec work it unblocks. The rebalance only fires when the
+    scan's natural split count is BELOW the session parallelism — at
+    100 TB the file splits already exceed the core count, the branch
+    is a no-op, and the operators keep their zero-shuffle scan shape."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 @register(
     "multimodal_bytes",
     oracle="""
@@ -145,7 +162,7 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (encode = the test-double for 'payload arrived from the crawl';
     decode = the production operator), Arrow both ways, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", "text").mapInPandas(
+    payloads = _spread(docs.select("doc_id", "text")).mapInPandas(
         _bmp_payloads,
         schema=T.StructType(
             [
@@ -212,7 +229,7 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same two-stage mapInPandas shape as multimodal_extract; the decode
     stage is what a crawled audio column runs unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         extract_wav_features, schema=_WAV_SCHEMA
     )
 
@@ -305,7 +322,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as multimodal_extract; at 100 TB this runs embarrassingly
     parallel per partition with Arrow in/out."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         resize_worker, schema=_RESIZE_SCHEMA
     )
 
@@ -391,7 +408,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-decode error (offset, endianness, tail handling) breaks the
     hash. Zero shuffles; Arrow-batched per partition."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         audio_energy_worker, schema=_AUDIO_SCHEMA
     )
 
@@ -592,7 +609,7 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, zero shuffles — the per-row codec cost is the whole
     operator, exactly how a crawl-decode stage behaves at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select("doc_id", "text").mapInPandas(
+    feats = _spread(docs.select("doc_id", "text")).mapInPandas(
         extract_png_features, schema=_PNG_SCHEMA
     )
     return feats.select("doc_id", "width", "height", "bit_depth", "px_sum")
@@ -693,7 +710,7 @@ def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode path fully value-hash verified. Scale shape: embarrassingly
     parallel map, zero shuffle; all features exact int64."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         extract_wav_zcr, schema=_ZCR_SCHEMA
     )
 
@@ -722,6 +739,8 @@ def extract_jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     through the full marker/Huffman/IDCT path, and report the decoded
     pixel sum plus the exact reconstruction-error integers against the
     pre-compression source."""
+    import numpy as np
+
     from odns_dataimporter_spark.jpeg import (
         decode_jpeg_pixels,
         encode_jpeg_gray,
@@ -735,7 +754,9 @@ def extract_jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             src = payload + b"\x00" * (_JPEG_WIDTH * h - len(payload))
             blob = encode_jpeg_gray(src, _JPEG_WIDTH)
             w, hh, px = decode_jpeg_pixels(blob)
-            errs = [abs(a - b) for a, b in zip(px, src)]
+            px_a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+            src_a = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
+            errs = np.abs(px_a - src_a)
             rows.append(
                 (
                     doc_id,
@@ -743,9 +764,9 @@ def extract_jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                     hh,
                     1,
                     len(blob),
-                    sum(px),
-                    sum(errs),
-                    max(errs),
+                    int(px_a.sum()),
+                    int(errs.sum()),
+                    int(errs.max()),
                 )
             )
         yield pd.DataFrame(
@@ -791,6 +812,6 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles — a crawl-decode stage at 100 TB is exactly this
     plus partition count."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         extract_jpeg_features, schema=_JPEG_SCHEMA
     )

@@ -68,3 +68,45 @@ def derived_lsh_planes(sf_dir: str) -> int:
     est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
     n_buckets = max(2, est_rows // _LSH_TARGET_BUCKET)
     return max(4, min(24, (n_buckets - 1).bit_length()))
+
+
+# rough parquet footprint of one documents row (short synthetic text)
+_DOC_ROW_BYTES = 120
+# switch the 60-bit SimHash pigeonhole layout once the corpus
+# approaches 2^15-bucket saturation: with 4x15-bit single-chunk keys
+# the expected bucket holds est_docs/2^15 signatures and the
+# O(sum bucket^2) candidate term turns corpus-quadratic past ~200k
+# docs (the sf10 rehearsal measured 43x on 10x data before the 6x10
+# redesign); below that the 4-row/doc layout is 5x cheaper than the
+# 20-row/doc combo layout for identical output.
+_SIMHASH_PROD_DOCS = 200_000
+
+
+def derived_simhash_chunks(sf_dir: str) -> int:
+    """Chunk count for dedup_simhash_hamming's 60-bit pigeonhole LSH:
+    4 (15-bit single-chunk buckets, 4 bucket rows/doc) while the
+    estimated corpus stays under ~200k docs, 6 (10-bit chunks, C(6,3)
+    three-chunk combo buckets, 20 rows/doc, 30-bit key space) beyond.
+    BOTH layouts are complete candidate generators for Hamming <= 3
+    (pigeonhole: <= 3 damaged chunks always leave an intact single
+    chunk of 4, or an intact 3-combo of 6) and the exact bit_count
+    verify makes the OUTPUT layout-invariant — only cost moves
+    (tests/test_round9_invariants.py pins result equality)."""
+    b = table_bytes(sf_dir, "documents")
+    if b <= 0:
+        return 6  # size unknown: the prod layout is safe at any scale
+    est_docs = max(1, b // _DOC_ROW_BYTES)
+    return 4 if est_docs < _SIMHASH_PROD_DOCS else 6
+
+
+def derived_pq_salt(sf_dir: str) -> int:
+    """Cogroup salt count for sim_ann_pq's Arrow argmin: there are only
+    _PQ_SUB natural groups, so rows are salted into per-subspace slices.
+    Aim for ~1k sub-vectors per task (numpy argmin is O(us) per row —
+    bigger slices amortize the Arrow/worker round-trip; more slices only
+    pay off once there are rows to fill them), clamped to [4, 64]."""
+    b = table_bytes(sf_dir, "embeddings")
+    if b <= 0:
+        return 64  # size unknown: favor parallelism
+    est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
+    return max(4, min(64, est_rows // 1000))
