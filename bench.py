@@ -166,6 +166,11 @@ HEADLINE = [
     "text_textrank_keywords",
     "geo_dbscan_grid",
     "stats_fisher_exact",
+    # round-9 additions
+    "sim_mmr_rerank",
+    "multimodal_audio_autocorr",
+    "dedup_semdedup_ann",
+    "sim_ann_pq",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

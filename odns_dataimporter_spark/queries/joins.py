@@ -296,50 +296,91 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The broadcast-nested-loop shape of `join_theta_range` only works
     when one side is tiny; when both sides are facts, the scalable
-    rewrite is to quantize the range dimension into fixed-width bins:
-    each interval explodes to the bins it overlaps (≤2 here), each
-    point maps to exactly one bin, and the join becomes an EQUI join on
-    bin with the range predicate as residual — a hash-partitioned
-    shuffle instead of O(n·m). Bin arithmetic is exact integer-µs
-    division (`div`), identical to DuckDB's `//`.
+    rewrite quantizes the range dimension into bins and joins EQUI on
+    bin with the range predicate as residual. Round-9 applies the
+    SCALING.md density governor (VERDICT item 8) by DECOMPOSING the
+    count over fine bins of width interval/m (m = size-derived,
+    size_hints.derived_range_bins):
 
-    DENSITY caveat (sf10 rehearsal, SCALING.md): the per-bin candidate
-    set is s_b·p_b, so when BOTH densities scale with the corpus the
-    intermediate grows with their product (18.6× on 10× data at sf10 —
-    inherent to pair-producing range joins, whose OUTPUT scales the
-    same way). For aggregate-only semantics like this COUNT, the
-    linear-shape alternative is `join_range_count_sweep` (union-sweep
-    prefix counts: cnt(<hi) − cnt(<lo), no pair enumeration); at equal
-    output semantics prefer it at high density.
+      * FULL bins (entirely inside the window) contribute a
+        pre-aggregated per-bin purchase COUNT — the join touches
+        S·m count rows, never the underlying purchases;
+      * only the ≤2 EDGE bins run row-level candidates with the exact
+        [lo, hi) residual — ~2·S·(P_window/m) rows.
+
+    Balancing the two terms at m* = √(2·P_window) bounds the total
+    intermediate at O(n^1.5) where the single-bin layout's density
+    product was O(n²) (12–19× on 10× data in the sf1/sf10 rehearsals).
+    Bin arithmetic is exact integer-µs division (`div`), identical to
+    DuckDB's `//`; an edge bin that happens to be fully covered
+    (aligned window) is excluded by an integer predicate so no
+    purchase is counted twice. The oracle is the plain pairwise range
+    join — the decomposition is plan shape only.
+
+    For pair-PRODUCING range semantics (the rows, not the count) the
+    intermediate is the output and no governor can shrink it; route
+    those to `join_range_count_sweep`'s prefix-count formulation when
+    the aggregate is all that's needed, or accept output-bound cost.
     """
+    from odns_dataimporter_spark.size_hints import derived_range_bins
+
     binw = 3_600_000_000  # 1 h in µs == the interval width
+    m = derived_range_bins(sf_dir)
+    w = max(1, binw // m)  # fine bin width, µs
     ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.unix_micros("ts").alias("lo"),
-            (F.unix_micros("ts") + binw).alias("hi"),
-        )
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    F.expr(f"lo div {binw}"), F.expr(f"(hi - 1) div {binw}")
-                )
-            ),
-        )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + binw).alias("hi"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id"),
         F.unix_micros("ts").alias("t"),
-        F.expr(f"unix_micros(ts) div {binw}").alias("bin"),
+        F.expr(f"unix_micros(ts) div {w}").alias("bin"),
+    )
+    # per-fine-bin purchase counts: the "index" the full-bin half joins
+    pcnt = p.groupBy("bin").agg(F.count("*").alias("c"))
+    # full bins: ceil(lo/w) .. (hi div w) - 1 (empty when the window
+    # fits inside one or two bins — sequence() would generate a
+    # DESCENDING range there, hence the explicit guard)
+    full = (
+        s.select(
+            "signup_id",
+            F.explode(
+                F.when(
+                    F.expr(f"(lo + {w} - 1) div {w}") <= F.expr(f"hi div {w} - 1"),
+                    F.sequence(
+                        F.expr(f"(lo + {w} - 1) div {w}"),
+                        F.expr(f"hi div {w} - 1"),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("bin"),
+        )
+        .join(pcnt, "bin")
+        .select("signup_id", F.col("c").alias("contrib"))
+    )
+    # edge bins: the (<=2) partially-covered bins run row-level, with
+    # fully-covered edge bins excluded so aligned windows don't double
+    # count against the full-bin half
+    edges = (
+        s.select(
+            "signup_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.expr(f"lo div {w}"), F.expr(f"(hi - 1) div {w}"))
+                )
+            ).alias("bin"),
+        )
+        .filter(~((F.col("bin") * w >= F.col("lo")) & ((F.col("bin") + 1) * w <= F.col("hi"))))
+        .join(p, "bin")
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .select("signup_id", F.lit(1).cast("long").alias("contrib"))
     )
     return (
-        s.join(p, "bin")
-        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        full.unionAll(edges)
         .groupBy("signup_id")
-        .agg(F.count("*").alias("n_in_window"))
+        .agg(F.sum("contrib").alias("n_in_window"))
     )
 
 

@@ -775,6 +775,180 @@ def _dot_d(a: Column, b: Column) -> Column:
     )
 
 
+# --- MMR diversity re-ranking --------------------------------------------------
+
+_MMR_POOL = 8  # relevance pool per probe fed to the greedy selector
+_MMR_K = 3  # picks per probe
+_MMR_LAMBDA = 0.7  # relevance weight; (1 - λ) penalizes redundancy
+
+
+def _mmr_greedy(pdf):
+    """Per-probe greedy MMR over the ≤_MMR_POOL-candidate pool: pick
+    argmax(λ·rel − (1−λ)·max_{s∈selected} cos(c, s)), ties to the lower
+    cand_id; the first pick's score is λ·rel (empty diversity term).
+    Pure Python over ≤8 rows — the pool is the bounded object, the
+    corpus-scale work already happened in the relevance stage. Float
+    discipline: dots are exact integer-grid sums; sqrt/×/−/÷ are single
+    correctly-rounded IEEE steps, bit-equal to the unrolled SQL."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        (
+            int(r.cand_id),
+            float(r.rel),
+            np.asarray(r.cqe, dtype=np.float64),
+            float(r.cn2),
+        )
+        for r in pdf.itertuples()
+    ]
+    out = []
+    selected = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for cand_id, rel, qe, cn2 in rows:
+            if any(cand_id == s[0] for s in selected):
+                continue
+            div = None
+            for s_id, s_qe, s_cn2 in selected:
+                c = float(qe @ s_qe) / (math.sqrt(cn2) * math.sqrt(s_cn2))
+                div = c if div is None else max(div, c)
+            score = (
+                _MMR_LAMBDA * rel
+                if div is None
+                else _MMR_LAMBDA * rel - (1.0 - _MMR_LAMBDA) * div
+            )
+            if best is None or (-score, cand_id) < (-best[0], best[1]):
+                best = (score, cand_id, qe, cn2)
+        if best is None:
+            break
+        selected.append((best[1], best[2], best[3]))
+        out.append(
+            (
+                int(pdf["probe_id"].iloc[0]),
+                rank,
+                best[1],
+                math.floor(best[0] * 1_000_000.0) / 1_000_000.0,
+            )
+        )
+    return pd.DataFrame(out, columns=["probe_id", "rank", "cand_id", "mmr_q6"])
+
+
+_MMR_ORACLE = f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS qe
+           FROM embeddings),
+n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS n2 FROM q),
+rel AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.qe AS cqe, c.n2 AS cn2,
+         list_dot_product(p.qe, c.qe) / (sqrt(p.n2) * sqrt(c.n2)) AS rel
+  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES} AND p.n2 > 0 AND c.n2 > 0),
+pool AS (
+  SELECT * FROM (SELECT rel.*, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
+                 FROM rel)
+  WHERE rn <= {_MMR_POOL}),
+s1 AS (SELECT probe_id, cand_id AS id1, cqe AS qe1, cn2 AS cn21,
+              {_MMR_LAMBDA} * rel AS score1
+       FROM pool WHERE rn = 1),
+m2 AS (
+  SELECT t.probe_id, t.cand_id, t.cqe, t.cn2, t.rel,
+         {_MMR_LAMBDA} * t.rel - {1.0 - _MMR_LAMBDA} *
+           (list_dot_product(t.cqe, s.qe1) / (sqrt(t.cn2) * sqrt(s.cn21))) AS score
+  FROM pool t JOIN s1 s ON s.probe_id = t.probe_id AND t.cand_id <> s.id1),
+s2 AS (SELECT probe_id, cand_id AS id2, cqe AS qe2, cn2 AS cn22, score AS score2
+       FROM (SELECT m2.*, row_number() OVER
+               (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn2 FROM m2)
+       WHERE rn2 = 1),
+m3 AS (
+  SELECT t.probe_id, t.cand_id,
+         {_MMR_LAMBDA} * t.rel - {1.0 - _MMR_LAMBDA} * GREATEST(
+           list_dot_product(t.cqe, a.qe1) / (sqrt(t.cn2) * sqrt(a.cn21)),
+           list_dot_product(t.cqe, b.qe2) / (sqrt(t.cn2) * sqrt(b.cn22))) AS score
+  FROM pool t
+  JOIN s1 a ON a.probe_id = t.probe_id AND t.cand_id <> a.id1
+  JOIN s2 b ON b.probe_id = t.probe_id AND t.cand_id <> b.id2),
+s3 AS (SELECT probe_id, cand_id AS id3, score AS score3
+       FROM (SELECT m3.*, row_number() OVER
+               (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn3 FROM m3)
+       WHERE rn3 = 1)
+SELECT probe_id, CAST(1 AS INTEGER) AS rank, CAST(id1 AS BIGINT) AS cand_id,
+       floor(score1 * 1000000.0) / 1000000.0 AS mmr_q6
+FROM s1
+UNION ALL
+SELECT probe_id, CAST(2 AS INTEGER), CAST(id2 AS BIGINT),
+       floor(score2 * 1000000.0) / 1000000.0 FROM s2
+UNION ALL
+SELECT probe_id, CAST(3 AS INTEGER), CAST(id3 AS BIGINT),
+       floor(score3 * 1000000.0) / 1000000.0 FROM s3
+"""
+
+
+@register("sim_mmr_rerank", oracle=_MMR_ORACLE, tags=("llm", "similarity"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    after exact cosine retrieval fills a {_MMR_POOL}-candidate pool per
+    probe, a greedy selector picks {_MMR_K} results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    standard diversity re-rank between retrieval and prompt assembly
+    (dedups near-identical passages that all scored high).
+
+    Scale shape: the corpus-scale work is the relevance stage — the
+    same broadcast-probes × streamed-candidates zero-big-shuffle plan
+    as sim_topk_cosine, with a per-probe window keeping the top
+    {_MMR_POOL}. The greedy loop then runs on the BOUNDED pool (≤{_MMR_POOL}
+    rows/probe) inside one Arrow-batched applyInPandas — at 100 TB the
+    pool rows per probe are constant, so re-rank cost is O(probes), not
+    corpus-bound. Determinism: embeddings on the 2^20 integer grid make
+    every dot exact; sqrt/×/−/÷ are correctly-rounded IEEE doubles on
+    both engines; ties break to the lower cand_id. The oracle unrolls
+    the {_MMR_K} greedy steps as chained CTEs — full rows+schema+hash
+    parity on an ITERATIVE algorithm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
+        ).alias("qe"),
+    )
+    n = q.select("vec_id", "qe", _dot_d(F.col("qe"), F.col("qe")).alias("n2"))
+    probes = n.filter((F.col("vec_id") < _N_PROBES) & (F.col("n2") > 0)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qe").alias("pqe"),
+        F.col("n2").alias("pn2"),
+    )
+    cands = n.filter(F.col("n2") > 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("cqe"),
+        F.col("n2").alias("cn2"),
+    )
+    rel = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            "cqe",
+            "cn2",
+            F.try_divide(
+                _dot_d(F.col("pqe"), F.col("cqe")),
+                F.sqrt(F.col("pn2")) * F.sqrt(F.col("cn2")),
+            ).alias("rel"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    pool = rel.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MMR_POOL
+    )
+    return pool.groupBy("probe_id").applyInPandas(
+        _mmr_greedy, "probe_id long, rank int, cand_id long, mmr_q6 double"
+    )
+
+
 _OUT_SCALE = 1048576  # 2^20 int grid (same as coreset/logreg)
 _OUT_TOPK = 5
 

@@ -7,9 +7,10 @@ path is REAL: pure-Python byte-level codecs for uncompressed formats
 header parsing, stride padding, RIFF chunk walking, the lot — with
 oracle-verified outputs. Round 7 adds PNG — a genuinely COMPRESSED
 format decoded with only the stdlib (zlib IDAT inflate, CRC-verified
-chunk walk, all five scanline filters). Only JPEG/MP3 still require an
-external codec library and raise NotImplementedError naming it;
-crawled .bmp/.wav/.png payload columns run unchanged.
+chunk walk, all five scanline filters). Round 8 closes JPEG with a
+real baseline-DCT codec (jpeg.py: marker walk, Huffman, IDCT, 4:2:0),
+numpy-vectorized in round 9; only MP3 still names an external library.
+Crawled .bmp/.wav/.png/.jpg payload columns run unchanged.
 """
 
 from __future__ import annotations
@@ -712,6 +713,84 @@ def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _spread(docs.select("doc_id", "text")).mapInPandas(
         extract_wav_zcr, schema=_ZCR_SCHEMA
+    )
+
+
+# --- audio autocorrelation (pitch primitive) ---------------------------------
+
+_AC_LAGS = (1, 2, 4)  # µs-scale pitch-band lags at the 8 kHz synth rate
+
+_AC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("n_samples", T.LongType())]
+    + [T.StructField(f"ac_lag{k}", T.LongType()) for k in _AC_LAGS]
+)
+
+
+def extract_wav_autocorr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the PCM16 WAV, decode the actual
+    samples back through the RIFF walker, then compute raw (unnormalized)
+    autocorrelation Σ s[n]·s[n+k] at the fixed lags — exact int64
+    (|s| ≤ 32768 ⇒ each product ≤ 2^30, sums far below 2^63)."""
+    import numpy as np
+
+    from odns_dataimporter_spark.media import decode_wav_samples, encode_wav
+
+    def feats(text: str):
+        _, _, samples = decode_wav_samples(encode_wav(text.encode("utf-8")))
+        s = np.asarray(samples, dtype=np.int64)
+        n = len(s)
+        return (n, *(int((s[:-k] * s[k:]).sum()) if n > k else 0 for k in _AC_LAGS))
+
+    for pdf in batches:
+        out = [feats(t) for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": [o[0] for o in out],
+                **{
+                    f"ac_lag{k}": [o[i + 1] for o in out]
+                    for i, k in enumerate(_AC_LAGS)
+                },
+            }
+        )
+
+
+@register(
+    "multimodal_audio_autocorr",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(hex(encode(text)), '..'),
+           h -> (CAST('0x' || h AS BIGINT) - 128) * 256) AS sm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sm) AS BIGINT) AS n_samples,
+       {", ".join(
+           f"CAST(COALESCE(CASE WHEN len(sm) > {k} THEN "
+           f"list_dot_product(sm[1:len(sm) - {k}], sm[{k} + 1:len(sm)]) END, 0) "
+           f"AS BIGINT) AS ac_lag{k}"
+           for k in _AC_LAGS
+       )}
+FROM s
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw autocorrelation of REAL decoded PCM16 audio at fixed lags —
+    the pitch-detection / periodicity primitive (a voiced signal shows
+    a strong positive peak at its fundamental period; lag-k products
+    feed both YIN-style pitch tracking and comfort-noise detection).
+    Same proven shape as `multimodal_wav_zcr`: payloads synthesized
+    from corpus bytes, decoded back by the RIFF chunk walker inside an
+    Arrow-batched mapInPandas stage, features as EXACT int64 sums of
+    sample products (each ≤ 2^30, so the sums are bit-identical to the
+    oracle's list_dot_product over the hex-pair reconstruction — a
+    fully value-hash-verified DSP path with no float anywhere). Scale
+    shape: embarrassingly parallel map, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        extract_wav_autocorr, schema=_AC_SCHEMA
     )
 
 

@@ -110,3 +110,28 @@ def derived_pq_salt(sf_dir: str) -> int:
         return 64  # size unknown: favor parallelism
     est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
     return max(4, min(64, est_rows // 1000))
+
+
+# rough parquet footprint of one events row (narrow typed columns)
+_EVENTS_ROW_BYTES = 21
+
+
+def derived_range_bins(sf_dir: str) -> int:
+    """Fine bins per interval for join_range_binned's decomposed count
+    (full-bin prefix counts + row-level edges). Balancing the two
+    intermediates — full-bin lookups cost S·m rows, edge candidates
+    cost ~2·S·(P_window/m) rows — gives m* = sqrt(2·P_window), the
+    SCALING.md 1/sqrt(n) governor: total intermediate grows n^1.5
+    instead of the n^2 density product of the single-bin layout.
+    P_window (expected points per interval) is estimated from file
+    bytes: ~1/5 of events are purchases and the generator's time span
+    is fixed, so density scales with row count. Clamped to [1, 256];
+    on a real cluster feed this from catalog row counts + the actual
+    time span instead of os.stat."""
+    b = table_bytes(sf_dir, "events")
+    if b <= 0:
+        return 8
+    est_rows = max(1, b // _EVENTS_ROW_BYTES)
+    per_window = (est_rows // 5) / 720.0  # 30-day span, 1-hour windows
+    m = round((2.0 * per_window) ** 0.5)
+    return max(1, min(256, m))

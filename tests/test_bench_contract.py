@@ -87,3 +87,33 @@ def test_headline_covers_every_family():
         "graph", "timeseries", "ml", "embedding", "analytics",
     ):
         assert family in tags, f"no headline query carries tag {family!r}"
+
+
+def test_full_registry_artifact_covers_every_query():
+    """round-9 VERDICT item 2: the committed full-registry correctness
+    artifact must never lag the registry again (the round-8 closing
+    wave landed 17 ops AFTER the artifact was generated, leaving them
+    with no checked-in parity evidence). One entry per registered
+    query, zero fails, and every oracle-backed query marked ok."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_LOCAL_FULL_r*.json")),
+        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+    )
+    assert paths, "no full-registry correctness artifact committed"
+    with open(paths[-1]) as f:
+        art = json.load(f)["queries"]
+    missing = sorted(set(REGISTRY) - set(art))
+    stale = sorted(set(art) - set(REGISTRY))
+    assert not missing, f"registry queries absent from {paths[-1]}: {missing}"
+    assert not stale, f"artifact entries no longer registered: {stale}"
+    bad = {n: e for n, e in art.items() if e.get("status") == "fail"}
+    assert not bad, f"artifact records failures: {sorted(bad)}"
+    rows_only = sorted(n for n, e in art.items() if e.get("status") == "rows_only")
+    oracle_backed = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    wrong = [n for n in rows_only if n in oracle_backed]
+    assert not wrong, f"oracle-backed queries recorded rows_only: {wrong}"
