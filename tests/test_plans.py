@@ -524,6 +524,8 @@ _BNLJ_ALLOWED = {
     "ts_downsample_lttb",  # broadcast 1-row span-bounds aggregate
     "ts_seasonal_hourly_profile",  # broadcast |types|-row totals rollup
     "dedup_semdedup",  # broadcast k-row centroid table (assignment stage)
+    "dedup_semdedup_ann",  # broadcast 1-row governor scalar + √k coarse cells
+    "sim_mmr_rerank",  # broadcast probe rows × streamed corpus (sim_topk shape)
     "graph_triangle_count",  # cross join of three single-row count aggregates
     "llm_curation_pipeline_v2",  # inherits DSIR's broadcast totals scalar
     "sample_importance_resample",  # inherits DSIR's broadcast totals scalar
