@@ -328,14 +328,25 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = derived_range_bins(sf_dir)
     w = max(1, binw // m)  # fine bin width, µs
     ev = load_table(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_id"),
-        F.unix_micros("ts").alias("lo"),
-        (F.unix_micros("ts") + binw).alias("hi"),
+    # both halves (full-bin counts + edge residuals) consume each side:
+    # checkpoint the two narrow filtered projections so the events scan
+    # runs once per side instead of once per consumer (scan audit)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.unix_micros("ts").alias("lo"),
+            (F.unix_micros("ts") + binw).alias("hi"),
+        )
+        .localCheckpoint(eager=False)
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.unix_micros("ts").alias("t"),
-        F.expr(f"unix_micros(ts) div {w}").alias("bin"),
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.unix_micros("ts").alias("t"),
+            F.expr(f"unix_micros(ts) div {w}").alias("bin"),
+        )
+        .localCheckpoint(eager=False)
     )
     # per-fine-bin purchase counts: the "index" the full-bin half joins
     pcnt = p.groupBy("bin").agg(F.count("*").alias("c"))

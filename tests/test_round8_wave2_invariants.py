@@ -30,33 +30,34 @@ def _rows(spark, sf_dir, name):
 
 def test_geo_nearest_hub_matches_bruteforce(spark, sf_dir):
     """The packed-integer argmin must agree with a brute-force python
-    haversine over the derived coordinates (same quantization)."""
+    reimplementation of the decision metric. Round 9 switched the
+    selection from floored haversine to the EXACT integer
+    equirectangular d2 (round-9 ADVICE: floor(haversine) could flip
+    across libms within an ulp of a quantization boundary), so the
+    brute force is pure integer arithmetic — no float anywhere."""
     rows = _rows(spark, sf_dir, "geo_nearest_hub")
     got = {r.hub_key: r.n_assigned for r in rows}
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey").collect()
 
-    def lat(k):
-        return ((k * 2654435761) % 180000001 - 90000000) / 1e6
+    def lat_u(k):
+        return (k * 2654435761) % 180000001 - 90000000
 
-    def lon(k):
-        return ((k * 2246822519) % 360000001 - 180000000) / 1e6
+    def lon_u(k):
+        return (k * 2246822519) % 360000001 - 180000000
 
-    def hav_q6(p, h):
-        a = (
-            math.sin(math.radians((h[0] - p[0]) / 2)) ** 2
-            + math.cos(math.radians(p[0]))
-            * math.cos(math.radians(h[0]))
-            * math.sin(math.radians((h[1] - p[1]) / 2)) ** 2
-        )
-        return math.floor(2.0 * 6371.0 * math.asin(math.sqrt(a)) * 1e6)
-
-    hubs = [(r.n_nationkey, (lat(r.n_nationkey + 1), lon(r.n_nationkey + 1))) for r in nat]
+    hubs = [
+        (r.n_nationkey, lat_u(r.n_nationkey + 1), lon_u(r.n_nationkey + 1))
+        for r in nat
+    ]
     want: dict[int, int] = {}
     for c in cust:
-        p = (lat(c.c_custkey), lon(c.c_custkey))
-        best = min(hubs, key=lambda h: (hav_q6(p, h[1]), h[0]))
+        plat, plon = lat_u(c.c_custkey), lon_u(c.c_custkey)
+        best = min(
+            hubs,
+            key=lambda h: ((h[1] - plat) ** 2 + (h[2] - plon) ** 2, h[0]),
+        )
         want[best[0]] = want.get(best[0], 0) + 1
     assert got == want
 
