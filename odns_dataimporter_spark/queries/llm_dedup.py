@@ -1681,88 +1681,118 @@ def dedup_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds coarse routing, fine argmin, and the m join-back
         .localCheckpoint(eager=False)
     )
-    coarse = (
-        q.crossJoin(F.broadcast(kk))
-        .filter(F.col("vec_id") < F.col("cc"))
-        .select(
-            F.col("vec_id").alias("ccell"),
-            F.col("qe").alias("gvec"),
-            _qdot(F.col("qe"), F.col("qe")).alias("gn2v"),
-        )
+    # The whole assignment (coarse routing + 3-probe + fine argmin +
+    # centroid cosine) runs in ONE cogrouped Arrow stage: the round-9
+    # rehearsal showed the DataFrame formulation's per-row interpreted
+    # HOF dots were a 19 s/111 s constant at sf1/sf10 even though the
+    # O(n·√k) RATIO held — the exact shape sim_ann_pq's encode had
+    # before its cogroup rewrite. Inside the worker the per-cell
+    # distance blocks are integer-exact float64 matmuls (every product
+    # < 2^53), the tie rules mirror the min-struct formulation
+    # (lowest ccell, then lowest cid), and the work stays O(n·√k·dim):
+    # one (rows-in-cell × centroids-in-cell) block per probed cell,
+    # never the full n×k matrix. The governor-sized centroid table is
+    # replicated across salt slices (k ≤ n/2000 rows — ~3 MB at the
+    # sf10 tier); at the scale where even that replication hurts, the
+    # codebook is sample-trained and broadcast, per SCALING.md.
+    from odns_dataimporter_spark.size_hints import derived_pq_salt
+
+    salt_n = derived_pq_salt(sf_dir)
+    salted_rows = q.select(
+        "vec_id", "qe", F.pmod(F.col("vec_id"), F.lit(salt_n)).cast("int").alias("salt")
     )
-    # route each fine centroid to its nearest coarse cell (k×√k, tiny)
-    cent_cells = (
-        cent.crossJoin(F.broadcast(coarse))
-        .select(
-            "cid",
-            "ccell",
-            (
-                F.col("cn2v") + F.col("gn2v") - 2 * _qdot(F.col("cvec"), F.col("gvec"))
-            ).alias("dist2"),
-        )
-        .groupBy("cid")
-        .agg(F.min(F.struct("dist2", "ccell")).alias("pick"))
-        .select("cid", F.col("pick.ccell").alias("ccell"))
+    salted_cents = cent.crossJoin(F.broadcast(kk.select("cc"))).select(
+        "cid",
+        "cvec",
+        "cc",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt"),
     )
-    # every vector scores the √k coarse cells and multiprobes its 3
-    # nearest (slice of a sorted collect_list — bounded at √k structs)
-    qn = q.select("vec_id", "qe", _qdot(F.col("qe"), F.col("qe")).alias("n2v"))
-    probed = (
-        qn.crossJoin(F.broadcast(coarse))
-        .select(
-            "vec_id",
-            "ccell",
-            (
-                F.col("n2v") + F.col("gn2v") - 2 * _qdot(F.col("qe"), F.col("gvec"))
-            ).alias("dist2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("dist2", "ccell"))), 1, 3
-            ).alias("near2")
-        )
-        .select("vec_id", F.explode(F.col("near2.ccell")).alias("ccell"))
-    )
-    # fine argmin over only the centroids indexed in the probed cells;
-    # each coarse centroid is additionally indexed into ITS OWN cell so
-    # no cell is ever empty (duplicate seed vectors could otherwise
-    # route a cell's only centroid elsewhere and strand a vector with
-    # zero candidates) — extra candidates can only improve the argmin
-    routes = cent_cells.union(
-        coarse.select(F.col("ccell").alias("cid"), "ccell")
-    ).distinct()
-    fine = F.broadcast(
-        cent.join(F.broadcast(routes), "cid").select("ccell", "cid", "cvec", "cn2v")
-    )
-    asg = (
-        probed.join(qn, "vec_id")
-        .join(fine, "ccell")
-        .select(
-            "vec_id",
-            "cid",
-            (
-                F.col("n2v") + F.col("cn2v") - 2 * _qdot(F.col("qe"), F.col("cvec"))
-            ).alias("dist2"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("pick"))
-        .select("vec_id", F.col("pick.cid").alias("cid"))
-    )
-    qe, cvec = F.col("qe"), F.col("cvec")
     m = (
-        asg.join(q, "vec_id")
-        .join(F.broadcast(cent.select("cid", "cvec")), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            "qe",
-            F.try_divide(
-                _qdot(qe, cvec), F.sqrt(_qdot(qe, qe)) * F.sqrt(_qdot(cvec, cvec))
-            ).alias("cos_cent"),
+        salted_rows.groupBy("salt")
+        .cogroup(salted_cents.groupBy("salt"))
+        .applyInPandas(
+            _semdedup_ann_assign,
+            "vec_id long, cid long, qe array<double>, cos_cent double",
         )
     )
     return _semdedup_decide(m)
+
+
+def _semdedup_ann_assign(rows, cents):
+    """Cogrouped salt-slice worker for dedup_semdedup_ann: coarse-route
+    the centroids, 3-probe each vector's nearest coarse cells, fine
+    argmin within the probed cells' centroid sets, then the centroid
+    cosine — all integer-exact distances (2^20 grid ⇒ every matmul
+    partial < 2^53), ties to the lower ccell/cid, matching the exact
+    twin's min-struct rules bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    if rows.empty or cents.empty:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="int64"),
+                "qe": pd.Series(dtype="object"),
+                "cos_cent": pd.Series(dtype="float64"),
+            }
+        )
+    cdf = cents.sort_values("cid")
+    cids = cdf["cid"].to_numpy()
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["cvec"]])
+    cn2 = (C * C).sum(axis=1)
+    cc = int(cdf["cc"].iloc[0])
+    gmask = cids < cc
+    G, gcells, gn2 = C[gmask], cids[gmask], cn2[gmask]
+    # centroid -> nearest coarse cell (tie: lowest ccell — G is
+    # cid-ascending so argmin's first-min rule matches)
+    route = gcells[
+        np.argmin(cn2[:, None] + gn2[None, :] - 2.0 * (C @ G.T), axis=1)
+    ]
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in rows["qe"]])
+    n2 = (V * V).sum(axis=1)
+    dvg = n2[:, None] + gn2[None, :] - 2.0 * (V @ G.T)
+    nprobe = min(3, len(gcells))
+    # stable sort: equal-distance cells keep ascending ccell order,
+    # mirroring the (dist2, ccell) struct sort
+    top = np.argsort(dvg, axis=1, kind="stable")[:, :nprobe]
+    # membership: centroid j belongs to cell g if routed there OR g is
+    # its own cell (the own-cell guarantee — no probed cell is empty)
+    memb = (route[None, :] == gcells[:, None]) | (cids[None, :] == gcells[:, None])
+    best_d = np.full(len(V), np.inf)
+    best_cid = np.full(len(V), np.iinfo(np.int64).max, dtype=np.int64)
+    for gi in range(len(gcells)):
+        rsel = (top == gi).any(axis=1)
+        csel = memb[gi]
+        if not rsel.any() or not csel.any():
+            continue
+        D = (
+            n2[rsel, None]
+            + cn2[None, csel]
+            - 2.0 * (V[rsel] @ C[csel].T)
+        )
+        j = D.argmin(axis=1)  # lowest cid among in-cell ties (cid-ascending)
+        d = D[np.arange(D.shape[0]), j]
+        cand = cids[csel][j]
+        cur_d, cur_c = best_d[rsel], best_cid[rsel]
+        upd = (d < cur_d) | ((d == cur_d) & (cand < cur_c))
+        cur_d[upd], cur_c[upd] = d[upd], cand[upd]
+        best_d[rsel], best_cid[rsel] = cur_d, cur_c
+    idx = np.searchsorted(cids, best_cid)
+    dot = (V * C[idx]).sum(axis=1)
+    denom = np.sqrt(n2) * np.sqrt(cn2[idx])
+    cos = np.divide(dot, denom, out=np.full(len(V), np.nan), where=denom > 0)
+    return pd.DataFrame(
+        {
+            "vec_id": rows["vec_id"].to_numpy(),
+            "cid": best_cid,
+            "qe": rows["qe"],
+            # NULL (not NaN) for zero-norm vectors, like try_divide
+            "cos_cent": pd.array(
+                [None if not np.isfinite(c) else c for c in cos], dtype="Float64"
+            ),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
