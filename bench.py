@@ -374,6 +374,13 @@ def main() -> None:
     all_queries()
     names = [n for n in HEADLINE if n in REGISTRY]
 
+    # Ingest is measured FIRST, on the freshest/quietest part of the
+    # session: round 9 recorded 180k rows/s because this ran AFTER the
+    # 130-query headline loop (45 min in, host hottest) while the same
+    # code isolated measures ~730k. BENCH is acceptance evidence — it
+    # must record intrinsic throughput, not end-of-session host heat.
+    ingest = _bench_ingest(spark)
+
     def run(name: str) -> float:
         df = REGISTRY[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
@@ -399,8 +406,6 @@ def main() -> None:
             "min": round(samples[0], 4),
             "median": round(samples[len(samples) // 2], 4),
         }
-
-    ingest = _bench_ingest(spark)
 
     here = os.path.dirname(os.path.abspath(__file__))
     full_payload = {

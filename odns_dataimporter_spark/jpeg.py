@@ -192,6 +192,13 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
+# Bounded FIFO cache (round-9 ADVICE): each entry is two 65536-slot
+# Python int lists (~3-4 MB), and crawled .jpg payloads can carry a
+# distinct Huffman table per third-party image — unbounded growth in a
+# long-lived mapInPandas worker. 16 entries covers the 4 Annex-K
+# tables plus a healthy working set of custom tables (~60 MB ceiling
+# per worker); eviction is insertion-order (dict preserves it).
+_LUT_CACHE_MAX = 16
 _LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
 
 
@@ -220,6 +227,8 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list
             k += 1
         code <<= 1
     entry = (lut_len.tolist(), lut_val.tolist())  # list indexing is fastest
+    while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = entry
     return entry
 

@@ -42,8 +42,13 @@ def write_snapshot_partitioned(df: DataFrame, path: str, rows: int | None = None
     matching the reference's per-protocol DELETE scope
     (dataimporter.py:190-195).
 
-    Encoding (round-9 VERDICT item 4): lz4 instead of snappy and the
-    dictionary disabled per-column for the near-unique address/ASN/
+    Encoding (round-10, supersedes the round-9 lz4 choice): zstd —
+    Spark's lz4 is the Hadoop-framed codec that external readers
+    (DuckDB/arrow expect LZ4_RAW) can't open, while zstd is
+    universally readable AND strictly better here (A/B on the 1M-row
+    bench fixture, same window, best-of-3: zstd 4.35 s / 66 MB vs
+    lz4 5.82 s / 100 MB vs snappy 4.38 s / 99 MB). The round-9 win is
+    kept: dictionary disabled per-column for the near-unique address/ASN/
     timestamp columns (schema.HIGH_CARDINALITY_COLUMNS — the encoder
     otherwise builds a doomed per-page dictionary and falls back,
     burning CPU in the write hot path). Measured on the 1M-row bench
@@ -56,7 +61,7 @@ def write_snapshot_partitioned(df: DataFrame, path: str, rows: int | None = None
         w = (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .option("compression", "lz4")
+            .option("compression", "zstd")
         )
         for c in HIGH_CARDINALITY_COLUMNS:
             if c in df.columns:

@@ -40,3 +40,55 @@ def ts_str(col: Column | str) -> Column:
 
 def ts_str_sql(expr: str) -> str:
     return f"strftime({expr}, '{TS_FMT_DUCK}')"
+
+
+def scalable_row_number(df, order_cols: list[str], out: str = "r"):
+    """Global row_number() over `order_cols` WITHOUT a single-task sort
+    (round-10 VERDICT item 5 — the distributed-rank pattern).
+
+    A plain ``row_number().over(Window.orderBy(...))`` moves the whole
+    input into one task; harmless over 25 nations, a corpus-wide
+    bottleneck when the input cardinality grows with the data (nodes,
+    vocab, resolvers). This helper computes the identical rank in
+    three scalable steps:
+
+      1. ``repartitionByRange(order_cols)`` — Spark's range
+         partitioner (sampled boundaries) puts each key range in one
+         partition, ranges ascending with partition id;
+      2. per-partition ``row_number`` PARTITIONED BY the partition id
+         (parallel, no global sort);
+      3. the per-partition counts (one row per partition — bounded by
+         ``spark.sql.shuffle.partitions``, NOT by the corpus) are
+         cumulated into exclusive prefix offsets with a window over
+         that tiny aggregate and broadcast-joined back.
+
+    Row_number ties: same as the global form — `order_cols` should be
+    a total order (callers here always include a unique id column).
+    """
+    from pyspark.sql.window import Window as W
+
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = d.withColumn(
+        "_lr", F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    )
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_c").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        # long, not row_number's int: 2^31 nodes is reachable at 100 TB
+        .withColumn(out, F.col("_lr") + F.col("_off"))
+        .drop("_pid", "_lr", "_off")
+    )

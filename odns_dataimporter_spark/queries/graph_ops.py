@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from odns_dataimporter_spark.queries._helpers import scalable_row_number
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
@@ -747,7 +748,20 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("d"))
         .localCheckpoint(eager=False)  # feeds the rank map AND the output join
     )
-    rk = deg.select("x", F.row_number().over(W.orderBy("d", "x")).alias("r"))
+    # degree-rank map (r10 VERDICT item 5): node cardinality grows
+    # with the corpus, so past ~1M nodes the rank is range-partitioned
+    # + offset-composed (scalable_row_number) instead of a single-task
+    # global window; below that the one-task sort is strictly cheaper
+    # (fixed sampling-job + extra-shuffle overhead dominates). The two
+    # forms produce the IDENTICAL rank map — size only moves the plan
+    # (size_hints.derived_rank_distributed; equality pinned in
+    # tests/test_round10_invariants.py).
+    from odns_dataimporter_spark.size_hints import derived_rank_distributed
+
+    if derived_rank_distributed(sf_dir):
+        rk = scalable_row_number(deg, ["d", "x"], out="r").select("x", "r")
+    else:
+        rk = deg.select("x", F.row_number().over(W.orderBy("d", "x")).alias("r"))
     e = (
         edges.join(rk.withColumnRenamed("x", "u").withColumnRenamed("r", "ru"), "u")
         .join(rk.withColumnRenamed("x", "v").withColumnRenamed("r", "rv"), "v")

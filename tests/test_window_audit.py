@@ -13,11 +13,23 @@ any unpartitioned Window / WindowGroupLimit whose subtree reaches a
 BIG base table without first passing a cardinality collapse:
 
 - Limit / TakeOrderedAndProject  (bounded row count), or
-- an Aggregate                   (input reduced to group cardinality), or
+- an Aggregate whose grouping keys are provably NON-corpus-growing
+  (r10 tightening, VERDICT r9 item 5: an Aggregate keyed by a
+  corpus-growing attribute — node ids, vocabulary terms, doc/vec ids,
+  resolvers — reduces to a cardinality that still grows with the
+  data, so a global window above it is still a single-task sort at
+  100 TB; keyless aggregates and bounded-key groupings stay exempt), or
 - LocalTableScan                 (literal data).
 
 Windows over small dimension tables (nation/region/customer/...) are
 fine — a global rank over 25 nations is not a scale problem.
+
+r10 also closes the CHECKPOINT HOLE: `localCheckpoint(eager=False)`
+truncates the printed plan to `Scan ExistingRDD`, hiding the base
+table (and any collapsing Aggregate) from this audit. An ExistingRDD
+scan is therefore treated as potentially-big — conservative: windows
+over checkpointed inputs must be allowlisted with a cardinality
+justification or restructured.
 
 Detection detail: partition columns print INSIDE
 windowspecdefinition(...) — an empty partition spec means the first
@@ -41,6 +53,21 @@ BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 # query -> reason an unpartitioned window over a big table is the op's
 # own semantics (pinned: anything NOT listed here fails).
 ALLOWLIST: dict[str, str] = {
+    "graph_clustering_coefficient": (
+        "the degree-rank map is SIZE-TIERED (size_hints."
+        "derived_rank_distributed): below ~1M nodes it is a single-task "
+        "window over the checkpointed degree table (strictly cheaper "
+        "locally), above it scalable_row_number's range-partitioned "
+        "two-pass — the audit runs at sf0.001 where the single-task "
+        "branch is the correct choice; rank-map equality of the two "
+        "forms is pinned in tests/test_round10_invariants.py"
+    ),
+    "stats_bootstrap_ci": (
+        "the window indexes the DAY-reduced revenue series (calendar "
+        "cardinality, ~2.4k rows/decade — grows with time span, not "
+        "corpus density); the collapsing groupBy(day) Aggregate is "
+        "hidden behind the scan-dedup localCheckpoint"
+    ),
     "window_range_frame": (
         "the op demonstrates a GLOBAL RANGE frame (running count over a "
         "total order of o_totalprice) — the SQL semantic itself requires "
@@ -53,13 +80,33 @@ ALLOWLIST: dict[str, str] = {
 # NB: must not match "WindowGroupLimit" (that node is itself a window,
 # not a cardinality bound — with an empty partition spec it still
 # global-sorts everything into one task)
-_BOUNDING = re.compile(
+_HARD_BOUNDING = re.compile(
     r"GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject"
-    r"|Aggregate|LocalTableScan"
+    r"|LocalTableScan"
+)
+_AGG_KEYS = re.compile(r"Aggregate\w*\(keys=\[(.*?)\], functions")
+# attribute names whose cardinality grows with the corpus (this repo's
+# aliases for node ids, vocabulary, documents/vectors, users, TPC-H
+# entity keys). Heuristic by name — the audit is a ratchet over code we
+# control, and new growing-key aliases belong in this list.
+_GROWING_KEY = re.compile(
+    r"\b(x|node|src|dst|word|term|token|shingle|doc_id|vec_id|user_id"
+    r"|resolver|\w*partkey|\w*custkey|\w*suppkey|\w*orderkey)#",
+    re.I,
 )
 _BIG_SCAN = re.compile(
     r"file:[^\s\],]*?/(" + "|".join(BIG_TABLES) + r")\.parquet"
+    # checkpointed lineage prints as an opaque RDD scan — potentially big
+    r"|Scan ExistingRDD|LogicalRDD"
 )
+
+
+def _is_bounding_agg(line: str) -> bool:
+    m = _AGG_KEYS.search(line)
+    if not m:
+        return False
+    keys = m.group(1)
+    return keys == "" or not _GROWING_KEY.search(keys)
 
 
 def _node_indent(line: str) -> int:
@@ -95,7 +142,7 @@ def _violations(plan: str) -> list[str]:
             if _node_indent(lines[j]) <= ind:
                 break
             subtree.append(lines[j])
-        if any(_BOUNDING.search(s) for s in subtree):
+        if any(_HARD_BOUNDING.search(s) or _is_bounding_agg(s) for s in subtree):
             continue
         if any(_BIG_SCAN.search(s) for s in subtree):
             out.append(ln.strip()[:120])
