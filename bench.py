@@ -171,6 +171,8 @@ HEADLINE = [
     "multimodal_audio_autocorr",
     "dedup_semdedup_ann",
     "sim_ann_pq",
+    # round-10 additions
+    "dedup_semdedup_kmeans",
     # dedup_containment is deliberately NOT a headline entry: on this
     # synthetic corpus (31-token vocabulary) the op's OUTPUT is
     # near-quadratic by semantics (2.55M qualifying pairs from 5k docs

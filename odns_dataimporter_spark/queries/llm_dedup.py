@@ -1845,6 +1845,200 @@ def _semdedup_ann_assign(rows, cents):
     )
 
 
+# Lloyd rounds for the kmeans-trained SemDeDup twin: centroid QUALITY
+# (not assignment) is all training buys, and on the hash-spread seeds
+# two rounds already move every seed to its local mass center — more
+# rounds shave inertia by <1% while costing a full sample pass each.
+_SEMDEDUP_KM_ROUNDS = 2
+
+
+def _semdedup_km_partial(rows, cents):
+    """Cogrouped salt-slice Lloyd trainer for dedup_semdedup_kmeans:
+    flat nearest-centroid argmin (ties to the lowest cid — C is
+    cid-ascending so numpy's first-min rule matches the min-struct
+    convention) followed by per-cluster PARTIAL sums, so the shuffle
+    after this stage carries k rows per slice, never the sample.
+    The sums are over 2^20-grid integer-valued vectors (every partial
+    < 2^53), so downstream reduction is EXACT and order-independent
+    even though the trained centroids themselves are non-integer
+    means."""
+    import numpy as np
+    import pandas as pd
+
+    if rows.empty or cents.empty:
+        return pd.DataFrame(
+            {
+                "cid": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+                "sums": pd.Series(dtype="object"),
+            }
+        )
+    cdf = cents.sort_values("cid")
+    cids = cdf["cid"].to_numpy()
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["cvec"]])
+    cn2 = (C * C).sum(axis=1)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in rows["qe"]])
+    n2 = (V * V).sum(axis=1)
+    a = (n2[:, None] + cn2[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+    out_c, out_n, out_s = [], [], []
+    for gi in np.unique(a):
+        sel = a == gi
+        out_c.append(int(cids[gi]))
+        out_n.append(int(sel.sum()))
+        out_s.append(V[sel].sum(axis=0))
+    return pd.DataFrame({"cid": out_c, "cnt": out_n, "sums": out_s})
+
+
+def _semdedup_km_reduce(pdf):
+    """Reduce the per-slice Lloyd partials of ONE cluster to its mean.
+    Partial sums are integer-valued float64 (< 2^53), so the stacked
+    sum is exact in any order; the single division to the mean is one
+    correctly-rounded IEEE step — training is bit-deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["sums"]]).sum(axis=0)
+    n = float(pdf["cnt"].sum())
+    return pd.DataFrame({"cid": [int(pdf["cid"].iloc[0])], "mvec": [S / n]})
+
+
+@register(
+    "dedup_semdedup_kmeans",
+    oracle=None,
+    tags=("llm", "dedup", "embedding", "iterative", "rows-only"),
+)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with SAMPLE-TRAINED kmeans centroids (round-9 VERDICT
+    item 6): identical decision semantics to `dedup_semdedup` — same τ
+    pair rule, same numpy-Gram cluster scorer, same keep/drop
+    prototype convention — but the centroids are LEARNED instead of
+    "the first k vec_ids". The exact twin's first-k init is exact and
+    oracle-expressible, yet quality-fragile on ordered corpora: a
+    topic-sorted dump hands it k near-identical centroids and the
+    clustering degenerates (one giant cluster = one giant Gram). This
+    twin fixes the init AND refines it:
+
+      1. seeds: the k vectors with the smallest xxhash64(vec_id) —
+         an order-independent spread (ingest sort order cannot bias
+         it), picked by TakeOrderedAndProject (parallel top-k);
+      2. training: _SEMDEDUP_KM_ROUNDS (=2) Lloyd rounds over a hash
+         sample capped at ~50k vectors (size_hints); each round is ONE
+         cogrouped Arrow stage emitting per-cluster PARTIAL sums (k
+         rows per salt slice through the shuffle, never the sample)
+         reduced to exact integer-grid means;
+      3. assignment: the trained k centroids go through the shared
+         two-level ANN worker (`_semdedup_ann_assign`, O(n·√k) — the
+         first ⌈√k⌉ trained centroids double as coarse cells), then
+         the shared `_semdedup_decide` tail.
+
+    k comes from the same cluster-size governor as the exact twin but
+    fed from file bytes (derived_semdedup_k) so no count() job gates
+    the plan. 100 TB shape: training cost is capped by the sample
+    (O(rounds·50k·k) numpy flops), the corpus is touched exactly once
+    for assignment and once for the pair stage.
+
+    rows-only BY DESIGN: trained means are not SQL-reachable in one
+    oracle pass (the sample + 2 Lloyd rounds + ANN routing would be a
+    4-level nested quadratic CTE); `dedup_semdedup` stays the
+    oracle-green exact twin and tests/test_round10_invariants.py pins
+    (a) one decision row per vector + run-to-run determinism, (b)
+    keep/drop agreement vs the exact twin, and (c) the quality
+    contract that motivates the op: on a topic-sorted remap of the
+    corpus the trained centroids' mean assigned-centroid cosine beats
+    the first-k twin's (SemDeDup, Abbas et al. 2023 — clustering
+    quality, not exactness, is what the method needs)."""
+    import math
+
+    from odns_dataimporter_spark.size_hints import (
+        derived_pq_salt,
+        derived_semdedup_k,
+        derived_semdedup_sample_mod,
+    )
+
+    k = derived_semdedup_k(sf_dir)
+    cc = math.isqrt(k - 1) + 1  # ceil(sqrt(k))
+    smod = derived_semdedup_sample_mod(sf_dir)
+    salt_n = derived_pq_salt(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS DOUBLE))"
+        ).alias("qe"),
+    ).localCheckpoint(eager=False)
+
+    from pyspark.sql.window import Window as W
+
+    # seeds: hash-spread top-k (TakeOrderedAndProject); the residual
+    # row_number window runs over the k-row result, like ml_kmeans c0
+    seed_order = [F.xxhash64("vec_id").asc(), F.col("vec_id").asc()]
+    cents = (
+        q.orderBy(*seed_order)
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy(*seed_order)) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("qe").alias("cvec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # sample-trained Lloyd rounds (hash sample: order-independent, a
+    # DIFFERENT hash stream than the seed pick so the two cannot
+    # correlate)
+    sample = (
+        q.filter(F.pmod(F.xxhash64("vec_id", F.lit("km-train")), F.lit(smod)) == 0)
+        if smod > 1
+        else q
+    )
+    srows = sample.select(
+        "vec_id", "qe", F.pmod(F.col("vec_id"), F.lit(salt_n)).cast("int").alias("salt")
+    )
+    for _ in range(_SEMDEDUP_KM_ROUNDS):
+        scents = cents.select(
+            "cid",
+            "cvec",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt"),
+        )
+        partial = (
+            srows.groupBy("salt")
+            .cogroup(scents.groupBy("salt"))
+            .applyInPandas(_semdedup_km_partial, "cid long, cnt long, sums array<double>")
+        )
+        means = partial.groupBy("cid").applyInPandas(
+            _semdedup_km_reduce, "cid long, mvec array<double>"
+        )
+        # empty clusters keep their previous centroid (k is tiny; the
+        # localCheckpoint truncates per-round lineage like ml_kmeans)
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=False)
+        )
+
+    # final assignment: the shared two-level ANN worker over the
+    # trained centroids (first ceil(sqrt(k)) cids are the coarse cells)
+    salted_rows = q.select(
+        "vec_id", "qe", F.pmod(F.col("vec_id"), F.lit(salt_n)).cast("int").alias("salt")
+    )
+    salted_cents = cents.select(
+        "cid",
+        "cvec",
+        F.lit(cc).cast("long").alias("cc"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt"),
+    )
+    m = (
+        salted_rows.groupBy("salt")
+        .cogroup(salted_cents.groupBy("salt"))
+        .applyInPandas(
+            _semdedup_ann_assign,
+            "vec_id long, cid long, qe array<double>, cos_cent double",
+        )
+    )
+    return _semdedup_decide(m)
+
+
 # ---------------------------------------------------------------------------
 # Incremental (snapshot-vs-batch) near-dedup: the production cadence is
 # never "dedup the whole corpus from scratch" — a new crawl batch is

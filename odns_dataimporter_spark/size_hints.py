@@ -150,6 +150,40 @@ _PART_ROW_BYTES = 9
 _RANK_DISTRIBUTED_NODES = 1_000_000
 
 
+# dedup_semdedup_kmeans trains its centroids on a hash-sample of the
+# corpus: Lloyd assignment is O(rounds * sample * k), so the sample is
+# capped (~50k vectors keeps the training stage a rounding error next
+# to the final full-corpus assignment at every tier) while small
+# corpora train on everything (mod 1).
+_SEMDEDUP_TRAIN_CAP = 50_000
+
+
+def derived_semdedup_k(sf_dir: str) -> int:
+    """Centroid count for the kmeans-trained SemDeDup twin: the same
+    cluster-size governor as the exact twin (k = max(8, n/2000) keeps
+    the O(cluster^2) Gram stage ~bounded), but fed from file bytes so
+    the plan needs no count() job. The estimate tracks the exact
+    twin's count-derived k at every rehearsed tier (500 rows -> 8,
+    20k -> 10, 200k -> 100); a small divergence only moves cluster
+    granularity, never correctness (the op is rows-only by design)."""
+    b = table_bytes(sf_dir, "embeddings")
+    if b <= 0:
+        return 8
+    est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
+    return max(8, est_rows // 2000)
+
+
+def derived_semdedup_sample_mod(sf_dir: str) -> int:
+    """Hash-sample modulus for kmeans centroid training: keep the
+    training set under ~_SEMDEDUP_TRAIN_CAP vectors (vec hash % mod ==
+    0 selects ~1/mod of the corpus, order-independently)."""
+    b = table_bytes(sf_dir, "embeddings")
+    if b <= 0:
+        return 1
+    est_rows = max(1, b // _EMBEDDING_ROW_BYTES)
+    return max(1, est_rows // _SEMDEDUP_TRAIN_CAP)
+
+
 def derived_rank_distributed(sf_dir: str) -> bool:
     """True when a corpus-growing rank map (graph node degrees — the
     part key universe) should use the range-partitioned

@@ -119,6 +119,85 @@ def test_scalable_row_number_equals_global_window(spark, sf_dir):
     assert old == new and len(old) > 0
 
 
+# --- dedup_semdedup_kmeans: sample-trained centroid twin (VERDICT r9 item 6)
+
+
+@pytest.fixture(scope="module")
+def topic_sorted_emb_dir(tmp_path_factory, spark, sf_dir):
+    """A 'topic-sorted dump' remap of the embeddings corpus: vec_id
+    reassigned by rank of the first coordinate, so the exact twin's
+    first-k centroid pick lands on k near-identical extreme vectors —
+    the degenerate case the kmeans twin exists to survive."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from odns_dataimporter_spark.tables import load_table
+
+    d = str(tmp_path_factory.mktemp("sorted_emb"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.select(
+        (F.row_number().over(W.orderBy(F.element_at("embedding", 1), "vec_id")) - 1)
+        .cast("long")
+        .alias("vec_id"),
+        "embedding",
+        "label",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_semdedup_kmeans_covers_all_vectors_and_is_deterministic(spark, sf_dir):
+    """One decision row per vector (the shared ANN worker's own-cell
+    guarantee) and bit-stable across runs — training is exact-integer
+    partial-sum arithmetic, so Lloyd means are order-independent."""
+    fn = REGISTRY["dedup_semdedup_kmeans"].fn
+    a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert a == b
+    from odns_dataimporter_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(a) == n
+    assert len({r[0] for r in a}) == n  # one row per vec_id
+
+
+def _semdedup_quality(spark, name, d):
+    from pyspark.sql import functions as F
+
+    df = REGISTRY[name].fn(spark, d)
+    r = df.agg(
+        F.avg("cos_cent_q6").alias("mc"),
+        F.avg(F.col("is_kept").cast("double")).alias("kf"),
+    ).collect()[0]
+    return r["mc"], r["kf"]
+
+
+def test_semdedup_kmeans_quality_contract(spark, sf_dir, topic_sorted_emb_dir):
+    """The pinned quality contract (round-9 VERDICT item 6): trained
+    centroids must yield TIGHTER clusters than the exact twin's
+    first-k init — higher mean assigned-centroid cosine — on the real
+    corpus AND on the topic-sorted remap where first-k degenerates
+    (measured r10: 0.259 vs 0.189 orig, 0.260 vs 0.182 sorted — the
+    margin asserted is half the observed gap). The keep/drop RATE must
+    stay in family with the exact twin (same τ rule on a comparable
+    clustering), so quality cannot be bought by dropping everything."""
+    for d in (sf_dir, topic_sorted_emb_dir):
+        mc_exact, kf_exact = _semdedup_quality(spark, "dedup_semdedup", d)
+        mc_km, kf_km = _semdedup_quality(spark, "dedup_semdedup_kmeans", d)
+        assert mc_km >= mc_exact + 0.03, (d, mc_km, mc_exact)
+        assert abs(kf_km - kf_exact) <= 0.15, (d, kf_km, kf_exact)
+
+
+def test_semdedup_kmeans_ordering_invariant_quality(spark, sf_dir, topic_sorted_emb_dir):
+    """Corpus ORDER must not move the kmeans twin's clustering quality
+    (hash-spread seeds + sample training see ids, not sort position):
+    mean centroid cosine on the sorted remap within 0.05 of the
+    original corpus. The exact twin has no such guarantee — that is
+    the motivating defect."""
+    mc_orig, _ = _semdedup_quality(spark, "dedup_semdedup_kmeans", sf_dir)
+    mc_sorted, _ = _semdedup_quality(spark, "dedup_semdedup_kmeans", topic_sorted_emb_dir)
+    assert abs(mc_sorted - mc_orig) <= 0.05, (mc_orig, mc_sorted)
+
+
 def test_jpeg_lut_cache_bounded():
     """Feeding more distinct Huffman tables than the cap leaves the
     cache at the cap (FIFO eviction), and a re-request after eviction
