@@ -774,21 +774,35 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")), "t")
         .select("s", "t", F.array_intersect("ns", "nt").alias("inter"))
         .filter(F.size("inter") > 0)
-        .localCheckpoint(eager=False)  # feeds all three corner projections
     )
-    corners = (
-        closed.select(F.col("s").alias("r"), F.size("inter").cast("long").alias("c"))
-        .unionAll(
-            closed.select(
-                F.col("t").alias("r"), F.size("inter").cast("long").alias("c")
+    # All three corner credits of every closed wedge in ONE projection:
+    # [(s, |inter|), (t, |inter|)] ++ [(u, 1) for u in inter], exploded
+    # once and map-side-combined straight into the per-rank sum. The
+    # previous shape localCheckpointed `closed` (s, t, AND the whole
+    # intersection array) and re-read it through three separate
+    # projections — at the sf10 rehearsal tier that materialization
+    # (Σ|inter| = 3·triangles rows of array payload) spilled ~10 GB to
+    # disk and serialized the stage behind single-threaded block
+    # writes. Streaming the explode keeps the corner stage pipelined:
+    # nothing is materialized between the closing join and the
+    # aggregation.
+    sz = F.size("inter").cast("long")
+    corners = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("s").cast("long").alias("r"), sz.alias("c")),
+                    F.struct(F.col("t").cast("long").alias("r"), sz.alias("c")),
+                ),
+                F.transform(
+                    "inter",
+                    lambda x: F.struct(
+                        x.cast("long").alias("r"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
             )
-        )
-        .unionAll(
-            closed.select(
-                F.explode("inter").alias("r"), F.lit(1).cast("long").alias("c")
-            )
-        )
-    )
+        ).alias("rc")
+    ).select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     tri_r = corners.groupBy("r").agg(F.sum("c").cast("long").alias("t"))
     # rank -> original node id, then deterministic top-N hubs
     tri_node = rk.join(tri_r, "r", "left").select(
