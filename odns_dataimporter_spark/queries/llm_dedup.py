@@ -1627,27 +1627,58 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_decide(m)
 
 
+# Row-block width for the streamed Gram in _semdedup_victims_block:
+# per-block temporaries are ~17·B·n bytes (Gram slab + denom + bool),
+# reused across blocks, so peak worker memory is O(B·n) instead of the
+# O(n²) of a materialized cosine matrix.
+_SEMDEDUP_GRAM_BLOCK = 512
+
+
 def _semdedup_victims_block(pdf):
-    # Gram matrix over floor-quantized integer-valued doubles: every
-    # partial sum < 2^53, so Q @ Q.T is EXACT regardless of BLAS
-    # summation order — bit-identical to the oracle's
-    # list_dot_product; cos/sqrt/divide are then the same single
-    # correctly-rounded IEEE steps as the SQL formulation.
+    # Streamed Gram over floor-quantized integer-valued doubles: every
+    # partial sum < 2^53, so each Q[blk] @ Q.T slab is EXACT regardless
+    # of BLAS blocking/summation order — bit-identical to the oracle's
+    # list_dot_product; per element, cos = g/(a·b) is the same two
+    # single correctly-rounded IEEE steps as the SQL formulation, so
+    # blocking cannot flip a τ-boundary pair. The full n×n Gram/cosine
+    # is never materialized: the old shape allocated ~27 bytes/element
+    # of FRESH temporaries per cluster (G + outer + cos + two bools),
+    # which (a) grows worker memory quadratically in cluster size (the
+    # r8 35 GB OOM class) and (b) pays this host's pathological
+    # first-touch page-fault latency (measured: a fresh 128 MB
+    # elementwise divide 19-45 s cold vs 0.1 s on reused pages —
+    # PERFORMANCE.md round 10) on every large cluster.
     import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
-    ca = pdf["cos_cent"].to_numpy()
+    ca = pdf["cos_cent"].to_numpy(dtype="float64", na_value=np.nan)
     Q = np.stack(pdf["qe"].to_numpy()).astype("float64")
-    G = Q @ Q.T
-    nrm = np.sqrt(np.einsum("ii->i", G))
-    cos = G / (nrm[:, None] * nrm[None, :])
-    ii, jj = np.nonzero(np.triu(cos >= _SEMDEDUP_TAU, k=1))
-    # ids sorted ascending: i < j; victim = the more prototypical
-    # member (higher centroid cosine), tie -> the higher vec_id (j)
-    vic = np.where(ca[ii] > ca[jj], ids[ii], ids[jj])
-    return pd.DataFrame({"vec_id": np.unique(vic)})
+    n = len(ids)
+    # exact: (Q*Q).sum(1) == diag(Q@Q.T) — integer-valued partials
+    nrm = np.sqrt((Q * Q).sum(axis=1))
+    vic_parts = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for lo in range(0, n, _SEMDEDUP_GRAM_BLOCK):
+            hi = min(lo + _SEMDEDUP_GRAM_BLOCK, n)
+            gb = Q[lo:hi] @ Q.T  # exact integer-valued slab
+            cosb = gb / (nrm[lo:hi, None] * nrm[None, :])
+            bi, jj = np.nonzero(cosb >= _SEMDEDUP_TAU)
+            ii = bi + lo
+            keep = ii < jj  # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                # ids sorted ascending: i < j; victim = the more
+                # prototypical member (higher centroid cosine), tie ->
+                # the higher vec_id (j)
+                vic_parts.append(np.where(ca[ii] > ca[jj], ids[ii], ids[jj]))
+    vic = (
+        np.unique(np.concatenate(vic_parts))
+        if vic_parts
+        else np.empty(0, dtype=ids.dtype)
+    )
+    return pd.DataFrame({"vec_id": vic})
 
 
 def _semdedup_decide(m: DataFrame) -> DataFrame:
