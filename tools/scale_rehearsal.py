@@ -48,6 +48,15 @@ def main() -> None:
     ap.add_argument("--out", default="SCALING.json")
     a = ap.parse_args()
 
+    # Heap discipline (round 10): do NOT oversize the driver heap.
+    # This host services first-touch page faults pathologically slowly
+    # (measured ~100x normal cost; PERFORMANCE.md round 10), so a 48g
+    # heap that G1 happily expands into costs tens of kernel-bound
+    # minutes of page faults + concurrent-GC thrash before any query
+    # work shows up. A modest ceiling keeps the JVM collecting instead
+    # of expanding; per-op session restarts (below) stop cross-op
+    # localCheckpoint blocks from ratcheting the heap up.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(app_name="scale_rehearsal", cpus="32")
     all_queries()
     names = [n for n in HEADLINE if n in REGISTRY]
@@ -61,6 +70,17 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
+
+    def recycle_session():
+        # per-op context restart: releases every retained block
+        # (lazy localCheckpoints pin their RDD blocks for the
+        # lifetime of the context, and six runs per op at the sf10
+        # tier otherwise ratchet the heap into G1 thrash). The JVM
+        # survives (py4j gateway), so JIT state persists; only the
+        # block manager and scheduler are rebuilt (~5 s).
+        nonlocal spark
+        spark.stop()
+        spark = get_spark(app_name="scale_rehearsal", cpus="32")
 
     def measure(name: str, sf_dir: str) -> dict:
         run_once(name, sf_dir)  # warm (plan cache, file listing, JIT)
@@ -87,6 +107,8 @@ def main() -> None:
             f"{a.target_label} {r1['min']}s ({ratio}x)",
             flush=True,
         )
+        if i + 1 < len(names):
+            recycle_session()
 
     # --only reruns merge into the existing file instead of clobbering
     # the full table
