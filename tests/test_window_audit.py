@@ -90,7 +90,8 @@ _AGG_KEYS = re.compile(r"Aggregate\w*\(keys=\[(.*?)\], functions")
 # entity keys). Heuristic by name — the audit is a ratchet over code we
 # control, and new growing-key aliases belong in this list.
 _GROWING_KEY = re.compile(
-    r"\b(x|node|src|dst|word|term|token|shingle|doc_id|vec_id|user_id"
+    r"\b(x|w|node|src|dst|word|term|token|shingle|ngram|bigram|trigram"
+    r"|doc_id|vec_id|user_id"
     r"|resolver|\w*partkey|\w*custkey|\w*suppkey|\w*orderkey)#",
     re.I,
 )
