@@ -1792,28 +1792,11 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_B,
         _BM25_K1,
         _BM25_TERMS,
+        _bm25_substrate,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-    )
-    tf = (
-        base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.max("dl").cast("long").alias("dl"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    stats, tf = _bm25_substrate(docs, _BM25_TERMS)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(

@@ -1663,6 +1663,44 @@ _BM25_TOPK = 10
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def _bm25_substrate(
+    docs: DataFrame, terms: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """(stats, tf) for the BM25 scorer family from ONE documents scan.
+
+    The r9 form derived the corpus stats aggregate (n_docs, Σdl) and
+    the (doc, term) tf table from two independent reads of `documents`
+    — two parquet scans, two tokenizes (the split is the expensive
+    part). Here one narrow per-doc projection (doc_id, dl,
+    matched-terms array) is lazily localCheckpointed and BOTH
+    consumers read it: filter() keeps every row (empty match array,
+    never a dropped doc), so n_docs/Σdl over the projection equal the
+    full-corpus stats bit-for-bit, and explode(mt) emits exactly the
+    rows the old explode-then-isin kept. The checkpoint holds three
+    tiny columns, never the text. tf keeps its own lazy checkpoint —
+    it still feeds both the df aggregate and the scorer."""
+    toks = F.split("text", " ")
+    perdoc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("mt"),
+    ).localCheckpoint(eager=False)
+    stats = perdoc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        perdoc.select("doc_id", "dl", F.explode("mt").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return stats, tf
+
+
 @register(
     "text_bm25_topk",
     oracle=f"""
@@ -1712,27 +1750,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition order never matters), one identical IEEE expression tree
     on both engines; ties broken by doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-    )
-    tf = (
-        base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.max("dl").cast("long").alias("dl"),
-        )
-        # tf feeds both df and the scorer: the lazy checkpoint pins the
-        # explode+aggregate subtree so df never re-derives the tokenize.
-        .localCheckpoint(eager=False)
-    )
+    stats, tf = _bm25_substrate(docs, _BM25_TERMS)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -1872,25 +1890,7 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is per-query-partitioned; with a large query registry that
     is a balanced shuffle keyed on query_id."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-    )
-    tf = (
-        base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .filter(F.col("token").isin(*_RET_ALL_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.max("dl").cast("long").alias("dl"),
-        )
-        .localCheckpoint(eager=False)  # feeds df AND the scorer
-    )
+    stats, tf = _bm25_substrate(docs, _RET_ALL_TERMS)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     qt = spark.createDataFrame(
         [(q, t) for q, ts in _RETRIEVAL_QUERIES for t in ts],
@@ -2007,25 +2007,7 @@ def ml_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row aggregate. All counters exact int64; the three ratios are
     single late divisions."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("sum_dl"),
-    )
-    tf = (
-        base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        )
-        .filter(F.col("token").isin(*_RET_ALL_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.max("dl").cast("long").alias("dl"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    stats, tf = _bm25_substrate(docs, _RET_ALL_TERMS)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     qt = spark.createDataFrame(
         [(q, t) for q, ts in _RETRIEVAL_QUERIES for t in ts],
