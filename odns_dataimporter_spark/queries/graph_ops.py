@@ -304,6 +304,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # E rows and the per-task memory at one adjacency array. The
     # triangle through oriented corner s<t<u is found exactly once, on
     # edge (s,t), as u ∈ N+(s) ∩ N+(t).
+    # adj feeds both closing-join sides and the alias'd expression ids
+    # defeat exchange reuse, so this aggregate is planned twice — but a
+    # lazy localCheckpoint here measured 25-75% SLOWER (A/B r10): the
+    # sole downstream consumer is one immediate aggregate, so the
+    # duplicated subtree is pure pipelined CPU while the checkpoint
+    # pays a block-store round trip. Contrast
+    # graph_clustering_coefficient, whose checkpointed adj wins.
     adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
     tri = (
         e.join(adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns")), "s")
@@ -768,6 +775,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t"))
         .localCheckpoint(eager=False)
     )
+    # adj is planned twice (alias'd expr ids defeat exchange reuse) but
+    # a lazy localCheckpoint measured flat at sf0.1 AND sf1 (A/B r10):
+    # the duplicated subtree is pipelined CPU, the checkpoint is a
+    # block-store round trip — see graph_triangle_count for the case
+    # where the same change measured an outright regression.
     adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
     closed = (
         e.join(adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns")), "s")

@@ -69,7 +69,19 @@ def main() -> None:
         df = REGISTRY[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # drop the py4j plan handles NOW so ContextCleaner can release
+        # this run's lazy-localCheckpoint blocks before the next run
+        # allocates its own — at the sf10 tier three runs' worth of
+        # retained checkpoint RDDs OOM'd a 16g driver (each run of a
+        # checkpoint-heavy graph op pins several GB until Python GC
+        # drops the DataFrame reference)
+        del df
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
+        return dt
 
     def recycle_session():
         # per-op context restart: releases every retained block
@@ -99,6 +111,9 @@ def main() -> None:
 
         gc.collect()
         r01 = measure(name, a.base)
+        # fresh block manager between tiers: the base tier's surviving
+        # checkpoint blocks must not shrink the target tier's headroom
+        recycle_session()
         r1 = measure(name, a.target)
         ratio = round(r1["min"] / r01["min"], 2) if r01["min"] > 0 else None
         out[name] = {a.base_label: r01, a.target_label: r1, "ratio": ratio}
