@@ -182,13 +182,15 @@ HEADLINE = [
 
 # Order for the BOUNDED driver-facing stdout line (full per-query data
 # always lands in BENCH_FULL.json): a fixed 30-query common core first
-# so the cross-round trend keeps its data points, then the REMAINING
-# headliners ROTATED by round number. The stdout tail fits ~57 entries,
-# so with ~83 non-core headliners (round-8 growth) the rotation step is
-# a QUARTER of the list: every headliner gets a driver-recorded timing
-# at least every 4 rounds (was 3 before the round-8 waves; the budget
-# is the driver's fixed 2000-char tail, not ours to grow). The round is
-# inferred from the BENCH_r{N}.json files the driver commits per round.
+# so the cross-round trend keeps its data points, then (r11) the 10
+# slowest non-core headliners of the current run — the expensive tail
+# is never invisible to the driver — then the REMAINING headliners
+# ROTATED by round number in steps of a FIFTH of the list: every
+# headliner gets a driver-recorded timing at least every 5 rounds
+# (was 4; the 10 guaranteed slow slots displace ~10 rotation slots and
+# the budget is the driver's fixed 2000-char tail, not ours to grow).
+# The round is inferred from the BENCH_r{N}.json files the driver
+# commits per round.
 _CORE_N = 30
 
 
@@ -205,13 +207,33 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _print_order(round_no: int | None = None) -> list[str]:
+def _print_order(
+    round_no: int | None = None, timings: dict[str, float] | None = None
+) -> list[str]:
+    """Stdout entry order: fixed core, then (r11, VERDICT r10 item 8)
+    the 10 SLOWEST non-core headliners of THIS run — so the expensive
+    tail is driver-visible every round, not once per rotation cycle —
+    then the fifth-rotated remainder. At realistic digit widths the
+    line fits ~24 rotation entries after core+slowest-10, more than
+    the step, so every headliner keeps a driver-visible slot within 5
+    consecutive rounds (pinned in test_bench_contract.py)."""
     rnd = _current_round() if round_no is None else round_no
     core = HEADLINE[:_CORE_N]
     rest = [n for n in HEADLINE if n not in core]
-    step = (len(rest) + 3) // 4  # a quarter: full visibility every 4 rounds
+    # a fifth (was a quarter before r11): the 10 always-printed slow
+    # slots cost ~10 rotation slots per round, so the provable
+    # full-coverage window moves from 4 to 5 rounds — the measured
+    # line capacity (~24 rotation entries at realistic digit widths)
+    # covers step=21 with slack every round.
+    step = (len(rest) + 4) // 5
     k = (rnd * step) % len(rest) if rest else 0
-    return list(core) + rest[k:] + rest[:k]
+    rotated = rest[k:] + rest[:k]
+    if timings:
+        slow10 = sorted(
+            (n for n in rest if n in timings), key=lambda n: -timings[n]
+        )[:10]
+        rotated = slow10 + [n for n in rotated if n not in slow10]
+    return list(core) + rotated
 
 
 PRINT_ORDER = _print_order()
@@ -355,14 +377,20 @@ def _bench_ingest(spark) -> dict:
         return time.perf_counter() - t0
 
     run()  # warmup (also pays the one-time gunzip)
-    # best-of-3: timings here are bimodal under external machine load
-    # (~1.5s intrinsic, occasional 8s outliers); min is the stable
-    # estimator of intrinsic cost and each run is cheap
-    sec = min(run(), run(), run())
+    # best-of-7 (r11, VERDICT r10 item 3 — was best-of-3): timings here
+    # are bimodal under external machine load (~1.2s intrinsic,
+    # occasional 8s outliers), and with only 3 samples one loaded
+    # window put 318k rows/s in the round-10 driver artifact while the
+    # same code measured 1.07M isolated. Seven cheap runs make the min
+    # robust to a multi-second load burst; the median is recorded too
+    # so the artifact shows the spread instead of hiding it.
+    samples = sorted(run() for _ in range(7))
+    sec = samples[0]
     return {
         "rows": _INGEST_ROWS,
         "sec": round(sec, 4),
         "rows_per_sec": int(_INGEST_ROWS / sec),
+        "rows_per_sec_median": int(_INGEST_ROWS / samples[len(samples) // 2]),
     }
 
 
@@ -438,7 +466,11 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full_payload, f, indent=1)
         f.write("\n")
-    print(build_stdout_payload(timings, ingest, sf))
+    print(
+        build_stdout_payload(
+            timings, ingest, sf, order=_print_order(timings=timings)
+        )
+    )
     spark.stop()
 
 

@@ -92,3 +92,68 @@ def scalable_row_number(df, order_cols: list[str], out: str = "r"):
         .withColumn(out, F.col("_lr") + F.col("_off"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def scalable_prefix_sum(df, order_cols: list[str], val_col: str, out: str = "cum"):
+    """Global EXCLUSIVE running sum of ``val_col`` over ``order_cols``
+    WITHOUT a single-task sort (round-11, VERDICT r10 item 4 — the
+    running-sum analogue of :func:`scalable_row_number`).
+
+    The nonparametric test family (`stats_kruskal_wallis`,
+    `stats_mann_whitney`, `stats_wilcoxon_signed_rank`) cumulates a
+    count histogram ordered by distinct value to turn midranks into
+    exact integers. A plain
+    ``sum(c).over(Window.orderBy(v).rowsBetween(unboundedPreceding, -1))``
+    moves the whole histogram into one task — fine while the value
+    domain is bounded (price cents), a corpus-scale bottleneck once
+    the distinct-value count grows with the data. Identical result in
+    three scalable steps, mirroring scalable_row_number:
+
+      1. ``repartitionByRange(order_cols)`` — ascending key ranges,
+         one per partition;
+      2. per-partition exclusive running sum PARTITIONED BY the
+         partition id (parallel, no global sort);
+      3. per-partition totals (one row per partition) cumulated into
+         exclusive offsets with a window over that tiny aggregate and
+         broadcast-joined back.
+
+    Exactness: callers sum int64 counts, and int64 addition is
+    associative — the split into (local prefix + partition offset)
+    reproduces the global prefix sum bit-for-bit (equality with the
+    single-task window is pinned in tests/test_round11_invariants.py).
+    ``order_cols`` must be a total order of the rows (callers pass the
+    distinct histogram key)."""
+    from pyspark.sql.window import Window as W
+
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = d.withColumn(
+        "_lc",
+        F.coalesce(
+            F.sum(val_col).over(
+                W.partitionBy("_pid")
+                .orderBy(*order_cols)
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.sum(val_col).alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_t").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
+    )

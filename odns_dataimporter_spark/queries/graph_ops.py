@@ -22,8 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
 
-from odns_dataimporter_spark.queries._helpers import scalable_row_number
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
@@ -725,106 +725,98 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_CC_TOPN} hubs of the parts-co-ordered graph — the
     per-node refinement of `graph_triangle_count`'s global tally, and
     the standard "is this hub a community or a star" diagnostic. Scale
-    mechanism: per-node triangle counts come from the SAME degree-
-    oriented adjacency-intersection closing as the global count
-    (wedges fan out from the low-degree endpoint, Σ min-deg² not
-    Σ deg²), with CORNER ATTRIBUTION — a triangle found on oriented
-    edge (s,t) via u ∈ N⁺(s)∩N⁺(t) credits all three corners through
-    one explode of the (≤√E-bounded) intersection array plus two
-    constant columns, then one keyed re-aggregation; token-free,
-    cartesian-free. The oracle is the orientation-free id-ordered
-    wedge join (a1.x < a2.x), proving orientation + attribution
-    preserves per-node semantics exactly. Hub selection is a
-    deterministic global top-{_CC_TOPN} by (degree, node) —
-    TakeOrderedAndProject, no global window."""
+    mechanism (r11, VERDICT r10 item 1 — rewritten hub-local): the
+    output needs triangle counts for exactly {_CC_TOPN} nodes, so the
+    whole all-node machinery (degree-rank map, oriented edge list,
+    adjacency arrays, the closing join that OOM'd 16 g/28 g heaps and
+    needed 56 g at the sf10 rehearsal) is REPLACED by computing only
+    what is asked (guide §1.2/§8): (1) hubs = deterministic global
+    top-{_CC_TOPN} of the degree table by (degree, node) —
+    TakeOrderedAndProject, no global window; (2) each hub's
+    neighborhood via two broadcast joins of the 20-row hub table
+    against the edge list; (3) t_hub = |edges inside N(hub)| — the
+    candidate neighbor PAIRS (Σ C(deg_hub, 2), bounded by
+    {_CC_TOPN}·max_deg², ~600k rows at sf1 where max_deg=245 grows
+    ~logarithmically in this co-order graph) broadcast back against
+    the id-ordered edge list in ONE streaming pass — no E-row
+    shuffle, no arrays, nothing quadratic in the corpus. The oracle
+    is unchanged (all-node wedge join + top-N), proving hub-local
+    counting preserves semantics exactly. At the ≥1M-node tier the
+    E-row edge checkpoint stores DISK_ONLY so block storage cannot
+    starve execution memory (measured r11: MEMORY_AND_DISK checkpoint
+    blocks alone OOM'd a 16 g heap at sf10). Boundary: a
+    celebrity-degree graph (max_deg² ≫ E) would inflate the pair set;
+    for THIS op's co-order graph max_deg is sqrt-of-order-size
+    bounded (222 at sf0.1 → 245 at sf1 → 276 at sf10)."""
+    from odns_dataimporter_spark.size_hints import derived_rank_distributed
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
+    big = derived_rank_distributed(sf_dir)
+    ckpt_lvl = StorageLevel.DISK_ONLY if big else None
     edges = (
         li.groupBy("ok")
         .agg(F.collect_set("pk").alias("ps"))
         .select(F.explode("ps").alias("u"), "ps")
         .select("u", F.explode(F.filter("ps", lambda v: v > F.col("u"))).alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)  # feeds degrees, rank joins, closing
+        # feeds the degree aggregate, both neighborhood joins and the
+        # closing scan (4 consumers)
+        .localCheckpoint(eager=False, storageLevel=ckpt_lvl)
     )
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").cast("long").alias("d"))
-        .localCheckpoint(eager=False)  # feeds the rank map AND the output join
+    # both directions of every edge in ONE streamed projection over
+    # the checkpoint: feeds the degree aggregate AND the neighborhood
+    # join, so the E-row checkpoint is read 3 times total (deg, nbr,
+    # closing) instead of 5 — each read is a multi-GB sequential disk
+    # pass at the DISK_ONLY tier.
+    stacked = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("e2")
+    ).select(F.col("e2.a").alias("a"), F.col("e2.b").alias("b"))
+    deg = stacked.groupBy(F.col("a").alias("x")).agg(
+        F.count("*").cast("long").alias("d")
     )
-    # degree-rank map (r10 VERDICT item 5): node cardinality grows
-    # with the corpus, so past ~1M nodes the rank is range-partitioned
-    # + offset-composed (scalable_row_number) instead of a single-task
-    # global window; below that the one-task sort is strictly cheaper
-    # (fixed sampling-job + extra-shuffle overhead dominates). The two
-    # forms produce the IDENTICAL rank map — size only moves the plan
-    # (size_hints.derived_rank_distributed; equality pinned in
-    # tests/test_round10_invariants.py).
-    from odns_dataimporter_spark.size_hints import derived_rank_distributed
-
-    if derived_rank_distributed(sf_dir):
-        rk = scalable_row_number(deg, ["d", "x"], out="r").select("x", "r")
-    else:
-        rk = deg.select("x", F.row_number().over(W.orderBy("d", "x")).alias("r"))
-    e = (
-        edges.join(rk.withColumnRenamed("x", "u").withColumnRenamed("r", "ru"), "u")
-        .join(rk.withColumnRenamed("x", "v").withColumnRenamed("r", "rv"), "v")
-        .select(F.least("ru", "rv").alias("s"), F.greatest("ru", "rv").alias("t"))
+    # deterministic top-N hubs; 20 rows, checkpointed lazily so the
+    # two consumers (neighborhood join + output) don't re-run the
+    # degree aggregate each.
+    hubs = (
+        deg.orderBy(F.desc("d"), F.asc("x"))
+        .limit(_CC_TOPN)
         .localCheckpoint(eager=False)
     )
-    # adj is planned twice (alias'd expr ids defeat exchange reuse) but
-    # a lazy localCheckpoint measured flat at sf0.1 AND sf1 (A/B r10):
-    # the duplicated subtree is pipelined CPU, the checkpoint is a
-    # block-store round trip — see graph_triangle_count for the case
-    # where the same change measured an outright regression.
-    adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
-    closed = (
-        e.join(adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns")), "s")
-        .join(adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")), "t")
-        .select("s", "t", F.array_intersect("ns", "nt").alias("inter"))
-        .filter(F.size("inter") > 0)
+    # each hub's neighborhood: an edge contributes its OTHER endpoint
+    # when one endpoint is a hub (a hub pair contributes to both
+    # neighborhoods via the stacked directions).
+    hu = hubs.select(F.col("x").alias("h"))
+    nbr = stacked.join(F.broadcast(hu), stacked.a == hu.h).select(
+        "h", F.col("b").alias("n")
     )
-    # All three corner credits of every closed wedge in ONE projection:
-    # [(s, |inter|), (t, |inter|)] ++ [(u, 1) for u in inter], exploded
-    # once and map-side-combined straight into the per-rank sum. The
-    # previous shape localCheckpointed `closed` (s, t, AND the whole
-    # intersection array) and re-read it through three separate
-    # projections — at the sf10 rehearsal tier that materialization
-    # (Σ|inter| = 3·triangles rows of array payload) spilled ~10 GB to
-    # disk and serialized the stage behind single-threaded block
-    # writes. Streaming the explode keeps the corner stage pipelined:
-    # nothing is materialized between the closing join and the
-    # aggregation.
-    sz = F.size("inter").cast("long")
-    corners = closed.select(
-        F.explode(
-            F.concat(
-                F.array(
-                    F.struct(F.col("s").cast("long").alias("r"), sz.alias("c")),
-                    F.struct(F.col("t").cast("long").alias("r"), sz.alias("c")),
-                ),
-                F.transform(
-                    "inter",
-                    lambda x: F.struct(
-                        x.cast("long").alias("r"), F.lit(1).cast("long").alias("c")
-                    ),
-                ),
-            )
-        ).alias("rc")
-    ).select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-    tri_r = corners.groupBy("r").agg(F.sum("c").cast("long").alias("t"))
-    # rank -> original node id, then deterministic top-N hubs
-    tri_node = rk.join(tri_r, "r", "left").select(
-        F.col("x").alias("node"), F.coalesce("t", F.lit(0)).cast("long").alias("t")
+    # candidate pairs inside each neighborhood, id-ordered to match
+    # the edge list's u < v convention
+    pairs = (
+        nbr.withColumnRenamed("n", "n1")
+        .join(nbr.withColumnRenamed("n", "n2"), "h")
+        .filter(F.col("n1") < F.col("n2"))
+    )
+    # one streaming pass over the edge list closes every pair:
+    # t_hub = |{(n1, n2) ∈ N(h)² : n1 < n2, (n1, n2) ∈ E}|
+    tri_h = (
+        edges.join(
+            F.broadcast(pairs),
+            (edges.u == pairs.n1) & (edges.v == pairs.n2),
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("t"))
     )
     top = (
-        deg.select(F.col("x").alias("node"), "d")
-        .join(tri_node, "node")
-        .orderBy(F.desc("d"), F.asc("node"))
-        .limit(_CC_TOPN)
+        hubs.select(F.col("x").alias("node"), "d")
+        .join(F.broadcast(tri_h).withColumnRenamed("h", "node"), "node", "left")
+        .select("node", "d", F.coalesce("t", F.lit(0)).cast("long").alias("t"))
     )
     return top.filter(F.col("d") >= 2).select(
         "node",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from odns_dataimporter_spark.queries._helpers import scalable_prefix_sum
 from odns_dataimporter_spark.registry import register
 from odns_dataimporter_spark.tables import load_table
 
@@ -82,12 +83,26 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = v.groupBy("cents", "g").agg(F.count("*").cast("long").alias("c"))
     t = d.groupBy("cents").agg(F.sum("c").cast("long").alias("ct"))
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    cu = t.select(
-        "cents",
-        "ct",
-        F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("long").alias("cum"),
-    )
+    # histogram prefix sum, SIZE-TIERED (r11, VERDICT r10 item 4): the
+    # |distinct cents| histogram is value-domain-bounded locally but
+    # grows with the corpus until domain saturation, so past ~1M
+    # estimated base rows the exclusive running sum is computed by the
+    # range-partitioned scalable_prefix_sum instead of a single-task
+    # global window. Identical int64 result either way (equality
+    # pinned in tests/test_round11_invariants.py).
+    from odns_dataimporter_spark.size_hints import derived_prefix_distributed
+
+    if derived_prefix_distributed(sf_dir, "orders"):
+        cu = scalable_prefix_sum(t, ["cents"], "ct", out="cum").select(
+            "cents", "ct", F.col("cum").cast("long").alias("cum")
+        )
+    else:
+        w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+        cu = t.select(
+            "cents",
+            "ct",
+            F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("long").alias("cum"),
+        )
     gr = (
         d.join(cu, "cents")
         .groupBy("g")
@@ -326,13 +341,23 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("ct"),
         F.count_if(F.col("d") > 0).cast("long").alias("cpos"),
     )
-    w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
-    cu = h.select(
-        "ad",
-        "ct",
-        "cpos",
-        F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("long").alias("cum"),
-    )
+    # size-tiered histogram prefix sum — see stats_kruskal_wallis; the
+    # |distinct |diff|| histogram is bounded by the user count, which
+    # grows with the corpus.
+    from odns_dataimporter_spark.size_hints import derived_prefix_distributed
+
+    if derived_prefix_distributed(sf_dir, "events"):
+        cu = scalable_prefix_sum(h, ["ad"], "ct", out="cum").select(
+            "ad", "ct", "cpos", F.col("cum").cast("long").alias("cum")
+        )
+    else:
+        w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
+        cu = h.select(
+            "ad",
+            "ct",
+            "cpos",
+            F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("long").alias("cum"),
+        )
     agg = cu.agg(
         F.sum("ct").cast("long").alias("n"),
         F.sum(F.col("cpos") * (2 * F.col("cum") + F.col("ct") + 1))

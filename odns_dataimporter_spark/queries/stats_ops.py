@@ -1112,13 +1112,26 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("g") == "F").cast("long").alias("c2"),
     )
     ct = F.col("c1") + F.col("c2")
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    cu = d.select(
-        "c1",
-        "c2",
-        ct.alias("ct"),
-        F.coalesce(F.sum(ct).over(w), F.lit(0)).cast("long").alias("cum"),
-    )
+    # size-tiered histogram prefix sum (r11, VERDICT r10 item 4) — see
+    # stats_kruskal_wallis: identical int64 result, only the plan
+    # moves past ~1M estimated base rows.
+    from odns_dataimporter_spark.queries._helpers import scalable_prefix_sum
+    from odns_dataimporter_spark.size_hints import derived_prefix_distributed
+
+    if derived_prefix_distributed(sf_dir, "orders"):
+        cu = scalable_prefix_sum(
+            d.withColumn("ct", ct.cast("long")), ["cents"], "ct", out="cum"
+        ).select(
+            "c1", "c2", "ct", F.col("cum").cast("long").alias("cum")
+        )
+    else:
+        w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+        cu = d.select(
+            "c1",
+            "c2",
+            ct.alias("ct"),
+            F.coalesce(F.sum(ct).over(w), F.lit(0)).cast("long").alias("cum"),
+        )
     agg = cu.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),

@@ -184,13 +184,43 @@ def derived_semdedup_sample_mod(sf_dir: str) -> int:
     return max(1, est_rows // _SEMDEDUP_TRAIN_CAP)
 
 
+# rough parquet footprint of one orders row (sf0.1: 2.72 MB / 150k)
+_ORDERS_ROW_BYTES = 18
+# a single-task running-sum window over the distinct-value histogram
+# is FASTER than the range-partitioned two-pass until the histogram
+# itself is big (same trade as _RANK_DISTRIBUTED_NODES: the
+# distributed form pays a sampling job + an extra shuffle + a
+# broadcast join). The histogram is bounded by the base-table row
+# count, so the tier keys on that estimate.
+_PREFIX_DISTRIBUTED_ROWS = 1_000_000
+
+
+def derived_prefix_distributed(sf_dir: str, table: str = "orders") -> bool:
+    """True when a global prefix-sum window over a distinct-value
+    histogram of `table` should use the range-partitioned
+    `scalable_prefix_sum` instead of a single-task window. Result is
+    IDENTICAL either way (int64 prefix sums are associative; equality
+    pinned in tests/test_round11_invariants.py) — only the plan shape
+    moves, exactly like derived_rank_distributed below."""
+    row_bytes = {"orders": _ORDERS_ROW_BYTES, "events": _EVENTS_ROW_BYTES}.get(
+        table, _ORDERS_ROW_BYTES
+    )
+    b = table_bytes(sf_dir, table)
+    if b <= 0:
+        return True  # size unknown: never risk the single-task sort
+    return (b // row_bytes) >= _PREFIX_DISTRIBUTED_ROWS
+
+
 def derived_rank_distributed(sf_dir: str) -> bool:
-    """True when a corpus-growing rank map (graph node degrees — the
-    part key universe) should use the range-partitioned
-    `scalable_row_number` instead of a single-task global window.
-    Output is rank-map-identical either way (the helper reproduces
-    row_number exactly; tests pin equality) — only the plan shape
-    moves, exactly like the simhash chunk tiering above."""
+    """True when the co-order graph (node universe = the part key
+    space) is big enough that corpus-sized derived artifacts need the
+    scale path: r11 uses this for graph_clustering_coefficient's
+    E-row checkpoint storage level (DISK_ONLY past the tier, so block
+    storage cannot starve execution memory), and it remains the tier
+    for any corpus-growing rank map via `scalable_row_number` (the
+    helper reproduces row_number exactly; tests pin equality). Output
+    never moves with the tier — only the plan shape, exactly like the
+    simhash chunk tiering above."""
     b = table_bytes(sf_dir, "part")
     if b <= 0:
         return True  # size unknown: never risk the single-task sort

@@ -226,6 +226,7 @@ def test_gate_still_fails_structural_slowness(spark, sentinel_baseline):
         _gate(spark, "meta_stall", stalled_run, 0.1, "meta")
 
 
+@pytest.mark.slow
 @pytest.mark.budget
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_within_budget(name, spark, sf_dir, sentinel_baseline):
@@ -247,6 +248,7 @@ def test_query_within_budget(name, spark, sf_dir, sentinel_baseline):
 # own scale.
 
 
+@pytest.mark.slow
 @pytest.mark.budget01
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_within_budget_sf001(name, spark, sentinel_baseline):

@@ -90,10 +90,13 @@ def test_range_family_pre_epoch_parity(spark, pre_epoch_events_dir, op):
 
 
 def test_scalable_row_number_equals_global_window(spark, sf_dir):
-    """The range-partitioned two-pass rank (graph_clustering_coefficient's
-    >=1M-node tier, VERDICT r9 item 5) must reproduce the single-task
-    global row_number EXACTLY on the real node-degree distribution —
-    size only ever moves the plan, never the rank map."""
+    """The range-partitioned two-pass rank (VERDICT r9 item 5; the
+    helper pattern scalable_prefix_sum reuses in r11 — its original
+    consumer, graph_clustering_coefficient, dropped its rank map
+    entirely in the r11 hub-local rewrite) must reproduce the
+    single-task global row_number EXACTLY on the real node-degree
+    distribution — size only ever moves the plan, never the rank
+    map."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 

@@ -53,15 +53,10 @@ BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 # query -> reason an unpartitioned window over a big table is the op's
 # own semantics (pinned: anything NOT listed here fails).
 ALLOWLIST: dict[str, str] = {
-    "graph_clustering_coefficient": (
-        "the degree-rank map is SIZE-TIERED (size_hints."
-        "derived_rank_distributed): below ~1M nodes it is a single-task "
-        "window over the checkpointed degree table (strictly cheaper "
-        "locally), above it scalable_row_number's range-partitioned "
-        "two-pass — the audit runs at sf0.001 where the single-task "
-        "branch is the correct choice; rank-map equality of the two "
-        "forms is pinned in tests/test_round10_invariants.py"
-    ),
+    # graph_clustering_coefficient was REMOVED from this list in r11:
+    # the hub-local rewrite (VERDICT r10 item 1) has no rank map and
+    # no unpartitioned window at all — hub selection is a
+    # TakeOrderedAndProject.
     "stats_bootstrap_ci": (
         "the window indexes the DAY-reduced revenue series (calendar "
         "cardinality, ~2.4k rows/decade — grows with time span, not "

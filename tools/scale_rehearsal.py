@@ -18,6 +18,7 @@ Usage: python tools/scale_rehearsal.py [--runs 3] [--only name,...]
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -77,10 +78,16 @@ def main() -> None:
         # checkpoint-heavy graph op pins several GB until Python GC
         # drops the DataFrame reference)
         del df
-        import gc
-
         gc.collect()
-        spark._jvm.System.gc()
+        # py4j-only accessor: absent under Spark Connect, and the JVM
+        # may ignore the hint — degrade to Python-side gc (the
+        # recycle_session path is the reliable heap relief)
+        jvm = getattr(spark, "_jvm", None)
+        if jvm is not None:
+            try:
+                jvm.System.gc()
+            except Exception:
+                pass
         return dt
 
     def recycle_session():
@@ -107,7 +114,6 @@ def main() -> None:
         # drop py4j handles so ContextCleaner can evict prior queries'
         # lazy localCheckpoint blocks — at sf1 forty queries' worth of
         # retained checkpoint RDDs otherwise exhaust the driver heap
-        import gc
 
         gc.collect()
         r01 = measure(name, a.base)
